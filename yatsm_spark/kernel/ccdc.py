@@ -1,0 +1,287 @@
+"""CCDC-style sequential segmentation of an irregular multi-measure series.
+
+Parity anchor: yatsm/algorithms/ccdc.py::CCDCesque [M] — train / monitor /
+break loop re-derived from Zhu & Woodcock 2014 (RSE 144, "Continuous change
+detection and classification") because /root/reference was empty at build
+time (SURVEY.md §0, §7.5.5). The frozen fixtures in
+tests/test_ccdc_kernel.py pin this implementation's exact outputs
+(segment boundaries, break dates, coefficients, rmse) and serve as the
+engine's golden spec, mirroring the reference's tests/algorithms/test_ccdc.py
+golden-.npz strategy (SURVEY.md §5).
+
+Semantics implemented (SURVEY.md §2.5 W1–W6, §2.2 F5):
+
+W1  Training window grows from ``start`` until it holds >= min_obs
+    observations AND spans >= min_span days.
+W2  Stability test (paper eqs. 5–6): for every test series b,
+        |slope_b| * span_days / (stability_crit * rmse_b)   < 1
+        |resid_first_b|        / (stability_crit * rmse_b)  < 1
+        |resid_last_b|         / (stability_crit * rmse_b)  < 1
+    all three must hold; otherwise the window start advances by one.
+W3  Monitor: score_i = || (y_b,i - yhat_b,i) / max(rmse_b, min_rmse) ||_2
+    over test series; a break is declared when ``consecutive`` successive
+    observations all score > threshold. Break date = first obs of the run.
+W4  dynamic_rmse: rmse from the k obs closest in day-of-year to the
+    monitored obs instead of whole-window rmse.
+W5  Models are refit when the window has grown retrain_time days since the
+    last fit.
+W6  At end of series the open segment closes with break_day = 0.
+F5  Online noise removal: a single over-threshold obs followed by an
+    under-threshold obs is deleted as noise and never enters the model.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from yatsm_spark.kernel.design import harmonic_design
+from yatsm_spark.kernel.fit import make_estimator
+from yatsm_spark.kernel.diagnostics import rmse as _rmse
+from yatsm_spark.kernel.screen import multitemp_screen, lowess_screen
+
+
+@dataclass
+class CCDCParams:
+    """Configuration — defaults follow yatsm's CCDCesque config section [M]."""
+
+    consecutive: int = 5
+    threshold: float = 3.55
+    min_obs: int = 16
+    min_span: float = 365.25          # days the training window must cover
+    retrain_time: float = 365.25      # days between refits
+    stability_crit: float = 3.0       # paper's "3 x RMSE" initialization test
+    min_rmse: float = 1e-6            # floor on rmse in score denominators
+    harmonic_order: int = 1
+    period: float = 365.25
+    trend: bool = True
+    estimator: str = "OLS"            # OLS | Lasso20 | rlm_maxiter10
+    test_indices: tuple[int, ...] | None = None  # None = all series
+    screening: str | None = "RLM"     # RLM | LOWESS | None
+    screen_crit: float = 3.5
+    dynamic_rmse: bool = False
+    dynamic_rmse_k: int = 24          # obs closest in DOY used for W4
+    reverse: bool = False             # O2: fit the series backwards
+
+
+@dataclass
+class Segment:
+    start_day: float
+    end_day: float
+    break_day: float                  # 0.0 when the segment did not break
+    coef: np.ndarray                  # (n_series, n_coef)
+    rmse: np.ndarray                  # (n_series,)
+    magnitude: np.ndarray             # (n_series,) median resid over break run
+    n_obs: int
+    start_idx: int = 0                # indices into the *screened* series
+    end_idx: int = 0
+
+
+@dataclass
+class CCDCResult:
+    segments: list[Segment] = field(default_factory=list)
+    screened_out: np.ndarray | None = None  # bool mask on input obs (True=dropped)
+
+
+def _fit_window(t, Y, lo, hi, p: CCDCParams):
+    """Fit one estimator per series on obs [lo, hi]; returns (coefs, rmses)."""
+    X = harmonic_design(t[lo : hi + 1], order=p.harmonic_order, period=p.period,
+                        trend=p.trend)
+    n_series = Y.shape[0]
+    coefs = np.empty((n_series, X.shape[1]))
+    rmses = np.empty(n_series)
+    for b in range(n_series):
+        est = make_estimator(p.estimator)
+        est.fit(X, Y[b, lo : hi + 1])
+        coefs[b] = est.coef_
+        rmses[b] = _rmse(Y[b, lo : hi + 1], X @ est.coef_)
+    return coefs, rmses
+
+
+def _predict(t_pts, coefs, p: CCDCParams):
+    X = harmonic_design(np.atleast_1d(t_pts), order=p.harmonic_order,
+                        period=p.period, trend=p.trend)
+    return coefs @ X.T  # (n_series, n_pts)
+
+
+def _dynamic_rmse(t, Y, lo, hi, coefs, t_mon, p: CCDCParams):
+    """W4: rmse from the k training obs closest in DOY to t_mon."""
+    doy = np.mod(t[lo : hi + 1], p.period)
+    d = np.abs(doy - (t_mon % p.period))
+    d = np.minimum(d, p.period - d)  # circular distance
+    k = min(p.dynamic_rmse_k, hi - lo + 1)
+    idx = np.argsort(d, kind="stable")[:k] + lo
+    yhat = _predict(t[idx], coefs, p)
+    out = np.sqrt(np.mean((Y[:, idx] - yhat) ** 2, axis=1))
+    return out
+
+
+def ccdc_fit(t: np.ndarray, Y: np.ndarray, params: CCDCParams | None = None) -> CCDCResult:
+    """Segment a series. t: (n_obs,) days (float, ascending); Y: (n_series,
+    n_obs) or (n_obs,). Returns segments with per-series coefficients.
+
+    The loop mirrors CCDCesque.fit's train→monitor→break progression
+    (yatsm/algorithms/ccdc.py [M])."""
+    p = params or CCDCParams()
+    t = np.asarray(t, dtype=np.float64)
+    Y = np.asarray(Y, dtype=np.float64)
+    if Y.ndim == 1:
+        Y = Y[None, :]
+    if p.reverse:
+        # O2: reversed-time run — negate so the axis is ascending again.
+        t = -t[::-1]
+        Y = Y[:, ::-1]
+
+    order = np.argsort(t, kind="stable")
+    t, Y = t[order], Y[:, order]
+    n_series, n = Y.shape
+    test_idx = list(p.test_indices) if p.test_indices is not None else list(range(n_series))
+
+    # --- screening (F3/F4) on the first test series -----------------------
+    keep = np.ones(n, dtype=bool)
+    if p.screening == "RLM" and n >= 2 * p.min_obs:
+        keep = multitemp_screen(t, Y[test_idx[0]], crit=p.screen_crit, period=p.period)
+    elif p.screening == "LOWESS" and n >= 2 * p.min_obs:
+        keep = lowess_screen(t, Y[test_idx[0]], crit=p.screen_crit)
+    screened_out = ~keep
+    t, Y = t[keep], Y[:, keep]
+    n = len(t)
+
+    result = CCDCResult(screened_out=screened_out)
+    if n < p.min_obs:
+        return result
+
+    # Active-index list supports F5 noise deletion without re-copying arrays.
+    active = list(range(n))
+
+    start = 0            # positions within `active`
+    here = p.min_obs - 1
+    coefs = rmses = None
+    last_fit_end = None  # t at which the current model was fitted
+    trained = False
+
+    def day(i):
+        return t[active[i]]
+
+    def yv(i):
+        return Y[:, active[i]]
+
+    while here < len(active):
+        span_ok = (here - start + 1) >= p.min_obs and (day(here) - day(start)) >= p.min_span
+        if not trained:
+            if not span_ok:
+                here += 1
+                continue
+            lo, hi = active[start], active[here]
+            idx = np.array(active[start : here + 1])
+            Xw = harmonic_design(t[idx], order=p.harmonic_order, period=p.period, trend=p.trend)
+            coefs = np.empty((n_series, Xw.shape[1]))
+            rmses = np.empty(n_series)
+            for b in range(n_series):
+                est = make_estimator(p.estimator)
+                est.fit(Xw, Y[b, idx])
+                coefs[b] = est.coef_
+                rmses[b] = _rmse(Y[b, idx], Xw @ est.coef_)
+            # --- W2 stability test -----------------------------------------
+            span_days = day(here) - day(start)
+            stable = True
+            slope_col = 1 if p.trend else None
+            for b in test_idx:
+                denom = p.stability_crit * max(rmses[b], p.min_rmse)
+                resid = Y[b, idx] - Xw @ coefs[b]
+                if abs(resid[0]) / denom >= 1 or abs(resid[-1]) / denom >= 1:
+                    stable = False
+                    break
+                if slope_col is not None and abs(coefs[b][slope_col]) * span_days / denom >= 1:
+                    stable = False
+                    break
+            if not stable:
+                start += 1
+                here = max(here, start + p.min_obs - 1)
+                continue
+            trained = True
+            last_fit_end = day(here)
+            monitor_at = here + 1
+        else:
+            monitor_at = here
+
+        # --- W3 monitor -----------------------------------------------------
+        i = monitor_at
+        broke = False
+        while i < len(active):
+            # W5 retrain cadence
+            if day(i - 1) - last_fit_end >= p.retrain_time:
+                idx = np.array(active[start:i])
+                Xw = harmonic_design(t[idx], order=p.harmonic_order, period=p.period, trend=p.trend)
+                for b in range(n_series):
+                    est = make_estimator(p.estimator)
+                    est.fit(Xw, Y[b, idx])
+                    coefs[b] = est.coef_
+                    rmses[b] = _rmse(Y[b, idx], Xw @ est.coef_)
+                last_fit_end = day(i - 1)
+
+            run_scores = []   # (pos, per-series resid) for the candidate run
+            j = i
+            while j < len(active):
+                if p.dynamic_rmse:
+                    rm = _dynamic_rmse(t, Y, active[start], active[i - 1] if i > 0 else active[start],
+                                       coefs, day(j), p)
+                else:
+                    rm = rmses
+                yhat = _predict(day(j), coefs, p)[:, 0]
+                resid = yv(j) - yhat
+                score = np.sqrt(sum((resid[b] / max(rm[b], p.min_rmse)) ** 2 for b in test_idx))
+                if score > p.threshold:
+                    run_scores.append((j, resid))
+                    if len(run_scores) >= p.consecutive:
+                        broke = True
+                        break
+                    j += 1
+                else:
+                    break
+            if broke:
+                break
+            if len(run_scores) == 1:
+                # F5: isolated outlier → delete as noise, do not extend model.
+                del active[run_scores[0][0]]
+                continue
+            if run_scores:
+                # Short over-threshold run that fizzled (< consecutive):
+                # absorb obs into the segment (reference keeps them [M]).
+                i = run_scores[-1][0] + 1
+            else:
+                i += 1
+
+        if broke:
+            break_pos = run_scores[0][0]
+            mags = np.median(np.stack([r for _, r in run_scores], axis=1), axis=1)
+            result.segments.append(Segment(
+                start_day=day(start), end_day=day(break_pos - 1),
+                break_day=day(break_pos),
+                coef=coefs.copy(), rmse=rmses.copy(), magnitude=mags,
+                n_obs=break_pos - start,
+                start_idx=active[start], end_idx=active[break_pos - 1],
+            ))
+            start = break_pos
+            here = start + p.min_obs - 1
+            trained = False
+            continue
+        else:
+            # W6: series exhausted — close the final segment.
+            end_pos = len(active) - 1
+            result.segments.append(Segment(
+                start_day=day(start), end_day=day(end_pos), break_day=0.0,
+                coef=coefs.copy(), rmse=rmses.copy(),
+                magnitude=np.zeros(n_series),
+                n_obs=end_pos - start + 1,
+                start_idx=active[start], end_idx=active[end_pos],
+            ))
+            break
+
+    if p.reverse:
+        for s in result.segments:
+            s.start_day, s.end_day = -s.end_day, -s.start_day
+            if s.break_day != 0.0:
+                s.break_day = -s.break_day
+    return result

@@ -1,0 +1,119 @@
+"""Pluggable estimators (OLS / Lasso / RLM) behind one tiny interface.
+
+Parity anchor: yatsm/regression/packaged.py::find_packaged_regressor [M] —
+the reference ships sklearn-API estimators as versioned pickles
+(``OLS``, ``sklearn_Lasso20`` alpha=20, ``rlm_maxiter10``); we use a plain
+registry keyed by name instead (SURVEY.md §2.9). Determinism notes
+SURVEY.md §7.5.2: inputs are float64 and arrive in a deterministic order,
+so sklearn's coordinate descent (and trivially OLS) are reproducible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from yatsm_spark.kernel.robust import rlm_fit
+
+
+class OLS:
+    """Least squares via lstsq. coef_ covers ALL design columns (no separate
+    intercept — the design matrix carries its own intercept column)."""
+
+    name = "OLS"
+
+    def __init__(self) -> None:
+        self.coef_: np.ndarray | None = None
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "OLS":
+        self.coef_, *_ = np.linalg.lstsq(
+            np.asarray(X, dtype=np.float64), np.asarray(y, dtype=np.float64), rcond=None
+        )
+        return self
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return np.asarray(X, dtype=np.float64) @ self.coef_
+
+
+class Lasso:
+    """L1-penalized least squares. Uses sklearn when available (reference
+    used sklearn/glmnet Lasso with alpha=20 on reflectance scale); falls
+    back to coordinate descent in numpy so the engine has no hard sklearn
+    dependency. Intercept column (all-ones first design column) is NOT
+    penalized, matching glmnet/sklearn fit_intercept semantics."""
+
+    name = "Lasso"
+
+    def __init__(self, alpha: float = 20.0, max_iter: int = 1000, tol: float = 1e-6):
+        self.alpha = alpha
+        self.max_iter = max_iter
+        self.tol = tol
+        self.coef_: np.ndarray | None = None
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "Lasso":
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        n, k = X.shape
+        beta = np.zeros(k)
+        # Precompute column norms; coordinate descent on standardized problem.
+        col_ss = (X ** 2).sum(axis=0)
+        col_ss[col_ss == 0] = 1.0
+        resid = y - X @ beta
+        # sklearn's objective: 1/(2n)||y-Xb||^2 + alpha*||b||_1
+        # → soft-threshold at n*alpha per coordinate step.
+        thr = self.alpha * n
+        unpenalized = np.all(X == 1.0, axis=0)  # intercept-like columns
+        for _ in range(self.max_iter):
+            max_delta = 0.0
+            for j in range(k):
+                old = beta[j]
+                rho = X[:, j] @ resid + old * col_ss[j]
+                if unpenalized[j]:
+                    new = rho / col_ss[j]
+                else:
+                    new = np.sign(rho) * max(abs(rho) - thr, 0.0) / col_ss[j]
+                if new != old:
+                    resid += X[:, j] * (old - new)
+                    beta[j] = new
+                    max_delta = max(max_delta, abs(new - old))
+            if max_delta < self.tol:
+                break
+        self.coef_ = beta
+        return self
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return np.asarray(X, dtype=np.float64) @ self.coef_
+
+
+class RLM:
+    """Robust M-estimator wrapper over kernel.robust.rlm_fit.
+
+    Parity anchor: yatsm/regression/robust_fit.py::RLM [H]; packaged default
+    is maxiter=10 (``rlm_maxiter10``)."""
+
+    name = "RLM"
+
+    def __init__(self, maxiter: int = 10):
+        self.maxiter = maxiter
+        self.coef_: np.ndarray | None = None
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "RLM":
+        self.coef_ = rlm_fit(X, y, maxiter=self.maxiter).coef
+        return self
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return np.asarray(X, dtype=np.float64) @ self.coef_
+
+
+#: Estimator registry (reference: pickles/pickles.json names [M]).
+ESTIMATORS = {
+    "OLS": OLS,
+    "Lasso20": lambda: Lasso(alpha=20.0),
+    "rlm_maxiter10": lambda: RLM(maxiter=10),
+}
+
+
+def make_estimator(name: str):
+    try:
+        return ESTIMATORS[name]()
+    except KeyError:
+        raise KeyError(f"unknown estimator {name!r}; known: {sorted(ESTIMATORS)}")
