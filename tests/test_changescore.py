@@ -1,0 +1,88 @@
+"""W9 parity bridge (FIXTURES.md §3.6): the applyInPandas change-score
+operator must equal the pure-numpy kernel bit-for-bit, and codec chunks
+must round-trip through Spark."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from yatsm_spark.ingest import with_measures
+from yatsm_spark.kernel.ccdc import CCDCParams, ccdc_fit
+from yatsm_spark.operators.changescore import CONV_PARAMS, change_scores
+from yatsm_spark.operators.codec import decode_chunks, encode_chunks
+from yatsm_spark.operators.rollup import gapfill, rollup_from_turns
+from yatsm_spark.synth import generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def filled(spark):
+    tx = generate_transcripts(spark, 40, seed=7, max_turns=4000)
+    f = gapfill(rollup_from_turns(with_measures(tx), "1m"), "1m").cache()
+    f.count()
+    return f
+
+
+def test_applyinpandas_equals_numpy(spark, filled):
+    segs = change_scores(filled, "turn_count", CONV_PARAMS).toPandas()
+    local = filled.orderBy("conv_id", "window_start").toPandas()
+    import dataclasses
+
+    for conv_id, grp in local.groupby("conv_id"):
+        t = grp["window_start"].to_numpy().astype("datetime64[s]").astype(np.int64) / 86400.0
+        y = grp["turn_count"].to_numpy(np.float64)
+        res = ccdc_fit(t, y, dataclasses.replace(CONV_PARAMS))
+        got = segs[segs["conv_id"] == conv_id].sort_values("segment_id")
+        assert len(got) == len(res.segments), conv_id
+        for (_, row), seg in zip(got.iterrows(), res.segments):
+            assert row["start_ts"].timestamp() == round(seg.start_day * 86400)
+            assert row["end_ts"].timestamp() == round(seg.end_day * 86400)
+            if seg.break_day:
+                assert row["break_ts"].timestamp() == round(seg.break_day * 86400)
+            else:
+                assert pd.isna(row["break_ts"])
+            np.testing.assert_array_equal(np.array(row["coef"]), seg.coef[0])
+            assert row["rmse"] == seg.rmse[0]
+
+
+def test_segments_detect_injected_regime_shift(spark):
+    """A conv whose turn rate triples mid-life must yield a break."""
+    rows = []
+    base = pd.Timestamp("2025-01-01")
+    rng = np.random.RandomState(0)
+    tidx = 0
+    for minute in range(0, 2880):  # 2 days of activity
+        rate = 2 if minute < 1440 else 9
+        for k in range(rng.poisson(rate)):
+            rows.append({
+                "conv_id": "convX", "turn_idx": tidx, "role": "user",
+                "text": "hello world", "tool": None,
+                "ts": base + pd.Timedelta(minutes=minute, seconds=int(60 * k / max(rate, 1))),
+            })
+            tidx += 1
+    tx = spark.createDataFrame(pd.DataFrame(rows))
+    filled = gapfill(rollup_from_turns(with_measures(tx), "1m"), "1m")
+    segs = change_scores(filled).toPandas().sort_values("segment_id")
+    assert len(segs) >= 2
+    first_break = segs.iloc[0]["break_ts"]
+    shift = base + pd.Timedelta(days=1)
+    assert abs((first_break - shift).total_seconds()) < 4 * 3600
+
+
+def test_chunks_roundtrip_exactly(spark, filled):
+    chunks = encode_chunks(filled, "1m", chunk_points=512).cache()
+    assert chunks.filter("n_points > 512").count() == 0
+    back = decode_chunks(chunks)
+    cols = filled.columns
+    a = filled.select(*cols)
+    b = back.select(*cols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    # compression must actually compress vs raw 8B/value layout
+    import pyspark.sql.functions as F
+
+    sizes = chunks.agg(
+        F.sum(F.length("ts_codec") + F.length("val_codec")).alias("enc"),
+        F.sum("n_points").alias("pts"),
+    ).collect()[0]
+    raw = sizes["pts"] * 8 * (len(cols) - 1)
+    assert sizes["enc"] < raw / 2

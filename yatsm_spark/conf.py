@@ -1,0 +1,61 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Scale posture (SURVEY.md §4): AQE on (runtime re-plan + skew-join splitting),
+Arrow on (every Python crossing is vectorized), shuffle partitions sized to
+cores for local runs — on a real cluster this is overridden by
+``spark-submit --conf`` and AQE coalescing makes the initial number soft.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that matter at 100 TB and cost nothing locally.
+ENGINE_CONFS = {
+    # Arrow transfer for every pandas UDF / toPandas crossing.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # AQE: runtime coalescing, skew-join splitting, join re-planning.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Timestamps are UTC end-to-end; rollup windows must not depend on the
+    # driver's locale.
+    "spark.sql.session.timeZone": "UTC",
+    # Parquet scan batching.
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    # Sane split size so sf0.1 still produces enough tasks on local[32].
+    "spark.sql.files.maxPartitionBytes": "64m",
+}
+
+
+def get_spark(
+    app_name: str = "yatsm-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    master defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) when no
+    cluster master is supplied — on a real deployment this function is called
+    without master under ``spark-submit --py-files``.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    b = SparkSession.builder.appName(app_name).master(master)
+    confs = dict(ENGINE_CONFS)
+    if shuffle_partitions is None:
+        # Local mode: match cores; cluster mode: leave to AQE/submit conf.
+        n = master.split("[")[-1].rstrip("]") if "[" in master else "200"
+        shuffle_partitions = 32 if n == "*" else int(n) if n.isdigit() else 200
+    confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

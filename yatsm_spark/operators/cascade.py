@@ -1,0 +1,81 @@
+"""Continuous-aggregate cascade (A7): 1m -> 1h -> 1d from partial aggregates.
+
+Parity anchor: A7 (SURVEY.md §2.4) — the graft analogue of the reference's
+map-assembly from per-row records (yatsm/cli/map.py reads records, never
+raw imagery [M]): each coarser tier is computed from the finer tier's
+moments, NEVER from raw turns:
+
+    sum of counts, sum of sums, sum of sumsq, min of mins, max of maxes
+
+All moments are LONG (see operators/rollup.py), so cascade output is
+bit-identical to a direct rollup from raw at the same tier — the
+tier-consistency invariant (FIXTURES.md §2.1) tested in
+tests/test_rollup_spark.py and enforced at bench time across parallelism
+levels.
+
+Null semantics: a coarse slot whose children are all gap-filled gets
+turn_count 0 and null token stats (Spark's sum/min/max ignore nulls and
+return null for all-null groups) — exactly the gap-fill row shape.
+
+high_watermark: the retention driver (operators/retention.py) may only
+evict fine rows whose parent window is final — i.e. strictly older than the
+source's max complete coarse slot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from yatsm_spark.operators.rollup import MEASURES, TIERS, _slot
+
+
+def cascade(fine: DataFrame, from_tier: str, to_tier: str) -> DataFrame:
+    """Re-aggregate a (possibly gap-filled) fine tier to a coarser tier.
+
+    One shuffle on (conv_id, coarse_slot). Because the fine tier is already
+    conv-keyed and ~60x smaller than raw turns, this is the cheap path — at
+    100 TB the 1h/1d tiers cost ~1/60 and ~1/1440 of the 1m build.
+    """
+    if TIERS[to_tier] % TIERS[from_tier] != 0:
+        raise ValueError(f"{to_tier} is not a multiple of {from_tier}")
+    sec = TIERS[to_tier]
+    return (
+        fine
+        .groupBy("conv_id", _slot(F.col("window_start"), sec).alias("window_start"))
+        .agg(
+            F.sum("turn_count").alias("turn_count"),
+            F.sum("token_len_sum").alias("token_len_sum"),
+            F.min("token_len_min").alias("token_len_min"),
+            F.max("token_len_max").alias("token_len_max"),
+            F.sum("token_len_sumsq").alias("token_len_sumsq"),
+            F.sum("tool_call_count").alias("tool_call_count"),
+            F.sum("role_user_count").alias("role_user_count"),
+            F.sum("role_assistant_count").alias("role_assistant_count"),
+            F.sum("role_other_count").alias("role_other_count"),
+            # a coarse slot is "real" if any child is real
+            (F.sum((~F.col("gap_filled")).cast("int")) == 0).alias("gap_filled"),
+        )
+        .select("conv_id", "window_start", *MEASURES, "gap_filled")
+    )
+
+
+def build_tiers(rollup_1m_filled: DataFrame) -> dict[str, DataFrame]:
+    """Full cascade from the gap-filled 1m tier."""
+    h1 = cascade(rollup_1m_filled, "1m", "1h")
+    d1 = cascade(h1, "1h", "1d")
+    return {"1m": rollup_1m_filled, "1h": h1, "1d": d1}
+
+
+def high_watermark(fine: DataFrame, to_tier: str):
+    """Largest coarse slot that is COMPLETE in `fine` (its successor slot
+    has begun), per conv. Rows at/below this slot are safe to compress and,
+    once compressed, to evict from the finer tier."""
+    sec = TIERS[to_tier]
+    return (
+        fine.groupBy("conv_id")
+        .agg(F.max("window_start").alias("max_ws"))
+        .select(
+            "conv_id",
+            (_slot(F.col("max_ws"), sec) - F.expr(f"INTERVAL {sec} SECONDS")).alias("watermark"),
+        )
+    )

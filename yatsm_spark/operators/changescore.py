@@ -1,0 +1,106 @@
+"""W9: CCDC change scores / segments over per-conv rollup series.
+
+Parity anchor: the whole per-pixel fit path of the reference —
+yatsm/algorithms/ccdc.py::CCDCesque.fit driven by yatsm/cli/line.py's
+per-pixel loop [M] (SURVEY.md §3.1) — re-expressed as ONE grouped-map
+pandas UDF: Spark owns partitioning/shuffle/skew of conv groups (the
+analogue of distribute_jobs, yatsm/utils.py::distribute_jobs [H]); the
+numpy kernel owns sequence semantics. None of the reference's windows fit
+fixed SQL frames (SURVEY.md §2.5 note), so applyInPandas is the idiomatic
+Spark surface, not a compromise.
+
+Scale notes:
+- The kernel consumes ROLLUP points, not raw turns (rollup-first design,
+  SURVEY.md §7.5.4): a conv alive for a week is <= 10k 1m points regardless
+  of how many million turns it holds, bounding per-group memory.
+- Groups shuffle once on conv_id; AQE handles residual skew. Arrow moves
+  each group as columnar batches.
+- Time axis handed to the kernel is DAYS (float64, exact for epoch/86400
+  well past 2^53 ulp), so the CCDC math keeps its native units; the default
+  harmonic period is 1 day (diurnal turn-rate seasonality) instead of the
+  reference's 365.25-day annual cycle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from yatsm_spark.kernel.ccdc import CCDCParams, ccdc_fit
+
+SEGMENT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("segment_id", T.IntegerType(), False),
+    T.StructField("start_ts", T.TimestampType(), False),
+    T.StructField("end_ts", T.TimestampType(), False),
+    T.StructField("break_ts", T.TimestampType(), True),
+    T.StructField("coef", T.ArrayType(T.DoubleType()), False),
+    T.StructField("rmse", T.DoubleType(), False),
+    T.StructField("magnitude", T.DoubleType(), False),
+    T.StructField("n_obs", T.IntegerType(), False),
+])
+
+#: Graft defaults: 1m turn-rate series, daily harmonic, >=2h training span.
+CONV_PARAMS = CCDCParams(
+    consecutive=5,
+    threshold=3.55,
+    min_obs=16,
+    min_span=2.0 / 24.0,      # days
+    retrain_time=0.25,        # days
+    period=1.0,               # daily cycle, in days
+    harmonic_order=1,
+    screening=None,           # rollup zeros are real observations
+    min_rmse=0.5,             # turn-count units; avoids 0-rmse blowups
+)
+
+
+def _day_to_ts(day: float) -> pd.Timestamp:
+    return pd.Timestamp(round(day * 86400.0), unit="s")
+
+
+def change_scores(
+    filled: DataFrame,
+    measure: str = "turn_count",
+    params: CCDCParams | None = None,
+) -> DataFrame:
+    """Segments table from a gap-filled rollup tier.
+
+    measure: any rollup column; counts treat gap slots as real zeros,
+    stat measures (null on gap slots) are dropped before fitting (the
+    kernel must never see NaN — see .claude/skills/verify/SKILL.md).
+    """
+    p = params or CONV_PARAMS
+    p_dict = asdict(p)
+
+    def fit_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("window_start", kind="stable")
+        y = pdf[measure].to_numpy(dtype=np.float64)
+        # datetime64 unit varies (ns via Arrow, us elsewhere) — normalize to
+        # epoch seconds explicitly; slots are whole minutes so this is exact.
+        t = pdf["window_start"].to_numpy().astype("datetime64[s]").astype(np.int64) / 86400.0
+        ok = ~np.isnan(y)
+        t, y = t[ok], y[ok]
+        kp = CCDCParams(**p_dict)
+        res = ccdc_fit(t, y, kp)
+        rows = []
+        for i, s in enumerate(res.segments):
+            rows.append({
+                "conv_id": pdf["conv_id"].iloc[0],
+                "segment_id": i,
+                "start_ts": _day_to_ts(s.start_day),
+                "end_ts": _day_to_ts(s.end_day),
+                "break_ts": _day_to_ts(s.break_day) if s.break_day else None,
+                "coef": list(map(float, s.coef[0])),
+                "rmse": float(s.rmse[0]),
+                "magnitude": float(s.magnitude[0]),
+                "n_obs": int(s.n_obs),
+            })
+        if not rows:
+            return pd.DataFrame(columns=[f.name for f in SEGMENT_SCHEMA.fields])
+        return pd.DataFrame(rows)
+
+    return filled.groupBy("conv_id").applyInPandas(fit_conv, SEGMENT_SCHEMA)

@@ -1,0 +1,141 @@
+"""End-to-end batch pipeline: ingest → rollup tiers → segments → chunks.
+
+Parity anchor: ``yatsm line CONFIG JOB_NUMBER TOTAL_JOBS`` (SURVEY.md §3.1)
+— the reference's batch engine distributes image ROWS across independent
+jobs with file-existence resume. The graft distributes CONV BUCKETS
+(bucket = pmod(xxhash64(conv_id), B)) across sequential Spark jobs, each
+internally parallel across the cluster, each committing an atomic bucket
+partition + checkpoint manifest. Kill the process after k buckets and rerun:
+completed buckets are skipped and the final tables are bit-identical to an
+uninterrupted run (tests/test_checkpoint.py; BASELINE.md resumability row).
+
+Why a bucket loop at all (vs one giant job): it bounds the blast radius of
+failure at 10^12 turns, gives natural per-partition lineage/metrics, and
+mirrors the reference's operational model. B is small (16 locally,
+hundreds on a cluster); each bucket job still fans out to every executor.
+
+Stage graph per bucket (all conv-local, so everything after staging
+shuffles only within the bucket):
+
+    staging(bucket) → 1m rollup → gapfill → 1h → 1d
+                                    ↘ segments (applyInPandas kernel)
+                                    ↘ chunks 1m/1h/1d (Gorilla)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from yatsm_spark.checkpoint import CheckpointManager
+from yatsm_spark.ingest import with_measures
+from yatsm_spark.operators import rollup as R
+from yatsm_spark.operators.cascade import cascade
+from yatsm_spark.operators.changescore import change_scores, CONV_PARAMS
+from yatsm_spark.operators.codec import encode_chunks
+from yatsm_spark.sources.storage import ParquetStorage, with_bucket
+
+
+@dataclass
+class PipelineConfig:
+    workdir: str
+    n_buckets: int = 16
+    tiers: tuple[str, ...] = ("1m", "1h", "1d")
+    compress: bool = True
+    segments: bool = True
+    chunk_points: int = 4096
+
+
+@dataclass
+class PipelineMetrics:
+    staged_turns: int = 0
+    buckets: list = field(default_factory=list)
+    wall_s: float = 0.0
+
+
+def _input_fingerprint(df: DataFrame) -> str:
+    """Cheap order-insensitive input fingerprint per bucket: count + sums of
+    stable hashes — the graft's analogue of the cache image-ID check
+    (yatsm/cache.py::update_cache_file [H])."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(conv_id, turn_idx))").alias("h1"),
+        F.expr("bit_xor(xxhash64(conv_id, turn_idx, ts))").alias("h2"),
+    ).collect()[0]
+    return f"{row['n']}:{row['h1']}:{row['h2']}"
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: PipelineConfig,
+    resume: bool = True,
+    fail_after_bucket: int | None = None,
+) -> PipelineMetrics:
+    """Run (or resume) the full pipeline. fail_after_bucket injects a crash
+    for resumability tests."""
+    t0 = time.time()
+    store = ParquetStorage(cfg.workdir, cfg.n_buckets)
+    ckpt = CheckpointManager(cfg.workdir)
+    metrics = PipelineMetrics()
+
+    # --- stage 0: bucketed staging of per-turn measures ---------------------
+    # One full-input pass; partitionBy(bucket) so each bucket job reads only
+    # its own files afterwards (partition pruning on the parquet layout).
+    staging = "staging_measures"
+    if not (resume and store.exists(staging) and ckpt.is_done("staging", -1, "static")):
+        measures = with_bucket(with_measures(transcripts), cfg.n_buckets)
+        t = time.time()
+        store.write(measures, staging, partition_by=("bucket",))
+        n = spark.read.parquet(store.path(staging)).count()
+        ckpt.commit("staging", -1, "static", n, (time.time() - t) * 1000)
+    metrics.staged_turns = spark.read.parquet(store.path(staging)).count()
+
+    # --- per-bucket stage graph ---------------------------------------------
+    for b in range(cfg.n_buckets):
+        bdir = os.path.join(store.path(staging), f"bucket={b}")
+        if not os.path.exists(bdir):
+            ckpt.commit(f"bucket", b, "empty", 0, 0.0)
+            continue
+        bm = spark.read.parquet(bdir)
+        fp = _input_fingerprint(bm)
+        if resume and ckpt.is_done("bucket", b, fp):
+            continue
+        t = time.time()
+        filled = R.gapfill(R.rollup_from_turns(bm, "1m"), "1m").cache()
+        rows = {"rollup_1m": filled.count()}
+        store.write_bucket(filled, "tier_1m", b)
+
+        prev = filled
+        for tier_from, tier_to in (("1m", "1h"), ("1h", "1d")):
+            if tier_to not in cfg.tiers:
+                continue
+            nxt = cascade(prev, tier_from, tier_to).cache()
+            rows[f"rollup_{tier_to}"] = nxt.count()
+            store.write_bucket(nxt, f"tier_{tier_to}", b)
+            prev = nxt
+
+        if cfg.segments:
+            segs = change_scores(filled, "turn_count", CONV_PARAMS)
+            store.write_bucket(segs, "segments", b)
+            rows["segments"] = spark.read.parquet(
+                os.path.join(store.path("segments"), f"bucket={b}")).count()
+
+        if cfg.compress:
+            chunks = encode_chunks(filled, "1m", cfg.chunk_points)
+            store.write_bucket(chunks, "chunks_1m", b)
+            rows["chunks_1m"] = spark.read.parquet(
+                os.path.join(store.path("chunks_1m"), f"bucket={b}")).count()
+
+        filled.unpersist()
+        m = ckpt.commit("bucket", b, fp, rows.get("rollup_1m", 0),
+                        (time.time() - t) * 1000, **rows)
+        metrics.buckets.append(m)
+        if fail_after_bucket is not None and b >= fail_after_bucket:
+            raise RuntimeError(f"injected failure after bucket {b}")
+
+    metrics.wall_s = time.time() - t0
+    return metrics
