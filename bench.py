@@ -1,0 +1,108 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32),
+     BENCH_REPS         (default 1).
+
+Headline metric: turns rolled up per second through the full graft path
+(measures -> 1m rollup -> gap-fill -> 1h -> 1d cascade), plus per-query
+wall times for the other engine operators on the driver tables. Writes
+sink to the `noop` format so we measure engine compute, not local-disk
+parquet encode.
+
+Scaling protocol (BASELINE.md): run this same file twice via
+tools/bench_scaling.py at SPARK_GRAFT_CPUS=8 and =32 on identical input
+files; efficiency = (thr_32 / thr_8) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPS = int(os.environ.get("BENCH_REPS", "1"))
+
+
+def sink(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    from yatsm_spark.conf import get_spark
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.cascade import cascade
+    from yatsm_spark.operators.changescore import change_scores
+    from yatsm_spark.operators.codec import encode_chunks
+    from yatsm_spark.operators.rollup import gapfill, rollup_from_turns
+    from yatsm_spark.synth import transcripts_for_sf
+
+    spark = get_spark(app_name="yatsm-spark-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+
+    # Materialize bench transcripts once (deterministic; excluded from timing).
+    tx = transcripts_for_sf(spark, SF_DIR, data_root=os.path.join(REPO, "data"))
+    n_turns = tx.count()
+
+    queries: dict[str, float] = {}
+
+    def timed(name, fn):
+        best = None
+        for _ in range(REPS):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
+        return best
+
+    measures = with_measures(tx)
+
+    # headline: full rollup path (the north-star metric's denominator)
+    def rollup_path():
+        filled = gapfill(rollup_from_turns(measures, "1m"), "1m")
+        h1 = cascade(filled, "1m", "1h")
+        d1 = cascade(h1, "1h", "1d")
+        sink(filled)
+        sink(h1)
+        sink(d1)
+
+    headline = timed("rollup_cascade_full", rollup_path)
+
+    timed("rollup_1m_only", lambda: sink(rollup_from_turns(measures, "1m")))
+    filled_cached = gapfill(rollup_from_turns(measures, "1m"), "1m").cache()
+    filled_cached.count()
+    timed("cascade_from_cached_1m", lambda: sink(cascade(filled_cached, "1m", "1h")))
+    timed("segments_ccdc", lambda: sink(change_scores(filled_cached)))
+    timed("gorilla_encode", lambda: sink(encode_chunks(filled_cached, "1m")))
+    filled_cached.unpersist()
+
+    # driver-table operator spot checks (same code paths as queries())
+    import __spark_entry__ as e
+
+    for name in ("tpch_q1", "events_rollup_1m", "order_lineitem_interval",
+                 "minhash_pairs", "cosine_topk", "simhash", "quality"):
+        fn = e.queries()[name]
+        timed(name, lambda fn=fn: sink(fn(spark, SF_DIR)))
+
+    turns_per_sec = n_turns / headline if headline > 0 else 0.0
+    print(json.dumps({
+        "metric": "rollup_cascade_full_wall",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "n_turns": n_turns,
+        "turns_rolled_per_sec": round(turns_per_sec, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

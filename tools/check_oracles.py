@@ -1,0 +1,94 @@
+"""Driver-mimic: run every queries() entry at sf0.01 and diff against its
+oracle_sql() twin (row count + column names + order-insensitive values).
+Usage: python tools/check_oracles.py [name ...]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype(bool)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def main():
+    import __spark_entry__ as e
+    from yatsm_spark.conf import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark(master="local[16]")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    qs, osql = e.queries(), e.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = fn(spark, SF_DIR).toPandas()
+        except Exception as ex:
+            print(f"FAIL {name}: spark error {type(ex).__name__}: {str(ex)[:300]}")
+            n_fail += 1
+            continue
+        if name not in osql:
+            print(f"rows-only {name}: {len(got)} rows [{time.time()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            want = con.execute(osql[name]).df()
+        except Exception as ex:
+            print(f"FAIL {name}: oracle error {str(ex)[:300]}")
+            n_fail += 1
+            continue
+        g, w = normalize(got), normalize(want)
+        status = None
+        if list(g.columns) != list(w.columns):
+            status = f"column mismatch: spark={list(g.columns)} oracle={list(w.columns)}"
+        elif len(g) != len(w):
+            status = f"row count: spark={len(g)} oracle={len(w)}"
+        else:
+            try:
+                pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+            except AssertionError as ex:
+                status = "value mismatch: " + str(ex).split("\n")[-2][:200]
+        if status:
+            print(f"FAIL {name}: {status}")
+            if "value mismatch" in (status or "") or "row count" in (status or ""):
+                merged = g.merge(w, how="outer", indicator=True)
+                diff = merged[merged["_merge"] != "both"]
+                print(diff.head(6).to_string())
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(g)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

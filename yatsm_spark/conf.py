@@ -27,6 +27,9 @@ ENGINE_CONFS = {
     "spark.sql.parquet.enableVectorizedReader": "true",
     # Sane split size so sf0.1 still produces enough tasks on local[32].
     "spark.sql.files.maxPartitionBytes": "64m",
+    # Keep stdout clean (bench.py must emit exactly one JSON line).
+    "spark.ui.showConsoleProgress": "false",
+    "spark.ui.enabled": "false",
 }
 
 

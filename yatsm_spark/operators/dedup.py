@@ -1,0 +1,140 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Training-data-pipeline additions (task brief). Spark-first shapes:
+
+- exact: hash-groupBy on a normalized fingerprint — one shuffle, map-side
+  partial agg.
+- minhash: shingle -> per-seed min of md5(seed||shingle) (string min is
+  order-preserving on the hash, so MIN() IS the minhash) -> band buckets ->
+  bucket self-join for candidates. All relational; no UDFs.
+- ngram jaccard: exact set overlap on exploded distinct shingles —
+  |A∩B| via a self-join groupBy count, sizes via a broadcast of per-doc
+  cardinalities. Classic two-phase similarity join (corpus-scale safe:
+  never materializes full cross product, only shingle-sharing pairs).
+- simhash: 16-bit-per-word hash sign aggregation, hex-digit arithmetic —
+  portable enough for a SQL oracle.
+
+At 100 TB the shuffle keys here are shingles/buckets: frequency-skewed, so
+the candidate join inputs get a frequency cap (stop-shingle removal), the
+standard trick for similarity joins over web corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_NORM = lambda c: F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (after whitespace/case normalization) docs:
+    keeper = min(doc_id), n_copies per group."""
+    return (
+        docs.select("doc_id", F.md5(_NORM(F.col(text_col))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle). Built with
+    sequence+transform — JVM-side, no UDF."""
+    words = F.split(_NORM(F.col(text_col)), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+    return docs.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 8, shingle_n: int = 3,
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, sig_0..sig_{k-1}): sig_i = min(md5(i || shingle)).
+
+    md5 is a fixed function of the string — identical in any engine — and
+    MIN over its hex is a valid minhash (uniform order on shingles).
+    """
+    sh = word_shingles(docs, shingle_n, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_candidates(docs: DataFrame, n_hashes: int = 8, bands: int = 4,
+                       shingle_n: int = 3, text_col: str = "text") -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become candidate
+    pairs (a < b). rows_per_band = n_hashes / bands."""
+    rows = n_hashes // bands
+    sig = minhash_signatures(docs, n_hashes, shingle_n, text_col)
+    band_cols = [
+        F.concat_ws("_", F.lit(b), *[F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias("band_key")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, shingle_n: int = 3,
+                        text_col: str = "text", max_shingle_freq: int = 1000) -> DataFrame:
+    """Exact word-shingle Jaccard over shingle-sharing pairs.
+
+    |A∩B| from the shingle self-join; |A|,|B| joined from per-doc counts;
+    J = inter / (|A|+|B|-inter). max_shingle_freq drops stop-shingles —
+    the skew cap that keeps the self-join tractable on web corpora.
+    """
+    sh = word_shingles(docs, shingle_n, text_col).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    freq_ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= max_shingle_freq
+    )
+    shf = sh.join(F.broadcast(freq_ok.select("shingle")), "shingle")
+    a, b = shf.alias("a"), shf.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", F.round(
+            F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over word hashes.
+
+    word_hash = first 4 hex digits of md5(word) (16 bits); each bit
+    contributes +1/-1; simhash bit j = sign of the sum. conv(hex,16,10) on
+    the Spark side has an exact DuckDB twin via a hex-digit lookup, keeping
+    the whole operator SQL-checkable.
+    """
+    words = F.explode(F.array_distinct(F.split(_NORM(F.col(text_col)), " "))).alias("word")
+    w = docs.select("doc_id", words)
+    w = w.withColumn("h", F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("long"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(16)
+    ]
+    agg = w.groupBy("doc_id").agg(*bit_sums)
+    sim = sum(
+        (F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(16)),
+        start=F.lit(0),
+    )
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))

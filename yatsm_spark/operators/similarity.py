@@ -1,0 +1,97 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline addition (task brief): brute-force cosine top-k as
+the correctness baseline; LSH (random-hyperplane) bucketing as the scale
+path. Dot products run JVM-side via zip_with + aggregate (fold order =
+array order, so doubles are bit-deterministic and match an ordered-fold
+oracle); no Python in either operator.
+
+Scale shape: brute force is queries × corpus — fine when queries is a
+small broadcast side (the re-ranking stage); the LSH variant buckets the
+corpus once (linear scan, one shuffle) and only joins within buckets,
+the standard recall/cost trade for ANN at 10^9+ vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: queries (small, broadcast) × corpus.
+    Deterministic ranking: ORDER BY rounded sim DESC, neighbor id ASC."""
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(F.col(id_col), vec_d.alias("v"), _norm(vec_d).alias("nrm"))
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    joined = base.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    sim = F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        joined.select("query_id", F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector.
+
+    Plane weights are a fixed deterministic function w(j,d) = cos(j*1009+d)
+    — reproducible in ANY engine (no RNG state to ship), adequate spread
+    for sign-LSH. bucket = Σ_j sign_j · 2^j."""
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    proj = [
+        F.aggregate(
+            F.zip_with(
+                vec_d,
+                F.transform(F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+                            lambda d: F.cos(d + F.lit(float(j * 1009)))),
+                lambda x, wgt: x * wgt,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for j in range(n_planes)
+    ]
+    bucket = sum(
+        (F.when(p > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j, p in enumerate(proj)),
+        start=F.lit(0),
+    )
+    return embeddings.select(F.col(id_col), bucket.cast("long").alias("bucket"))
+
+
+def lsh_candidate_pairs(embeddings: DataFrame, n_planes: int = 8,
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN candidate pairs: same hyperplane bucket, a < b. Join is within
+    buckets only — the corpus never self-joins at full width."""
+    b = hyperplane_buckets(embeddings, n_planes, id_col, vec_col)
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"),
+                F.col("l.bucket").alias("bucket"))
+    )

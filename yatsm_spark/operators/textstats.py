@@ -1,0 +1,91 @@
+"""Text-analysis operators for training-data pipelines (task brief):
+token counting, quality scoring, language-ID heuristic, fingerprinting.
+
+All pure Catalyst expressions (JVM-side, WholeStageCodegen) — no Python in
+the hot path. Each has an exact ANSI-SQL twin for the DuckDB oracle, so the
+implementations stick to portable constructs (md5, regexp_replace, length).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: tiny stopword lists per language for the n-gram/stopword LID heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+}
+
+
+def _count_word(col, word: str):
+    """Occurrences of ` word ` in ` text ` — portable (length arithmetic,
+    no regex dialect differences)."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.regexp_replace(padded, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate (chars/4, the
+    common rule of thumb) + char count."""
+    t = F.col(text_col)
+    ws_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        ws_tokens.cast("long").alias("n_ws_tokens"),
+        F.ceil(F.length(t) / F.lit(4.0)).cast("long").alias("n_bpe_est"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a composite
+    keep/drop flag (Gopher/C4-style threshold rules, simplified)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = F.size(F.split(F.trim(t), r"\s+")).cast("long")
+    n_alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[a-zA-Z0-9\s]", ""))
+    n_stop = sum(_count_word(t, w) for w in LANG_MARKERS["en"])
+    mean_word_len = (n_alpha.cast("double") / F.greatest(n_words, F.lit(1)))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_q"),
+        n_words.alias("n_words"),
+        F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / F.greatest(n_words, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        (
+            (n_words >= 5) & (mean_word_len >= 2.0) & (mean_word_len <= 12.0)
+            & ((n_punct.cast("double") / F.greatest(n_chars, F.lit(1))) < 0.2)
+        ).alias("quality_keep"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: argmax over per-language marker hit
+    counts; 'und' when all zero. Deterministic tie-break by language code
+    order via the score tuple."""
+    t = F.col(text_col)
+    scores = {
+        lang: sum(_count_word(t, w) for w in words).alias(f"score_{lang}")
+        for lang, words in LANG_MARKERS.items()
+    }
+    scored = docs.select("doc_id", *scores.values())
+    best = F.greatest(*[F.col(f"score_{l}") for l in LANG_MARKERS])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in sorted(LANG_MARKERS):  # deterministic order
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.select("doc_id", *[f"score_{l}" for l in LANG_MARKERS], pred.alias("pred_lang"))
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text —
+    the exact-dedup key (near-dup keys live in operators/dedup.py)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))

@@ -110,8 +110,10 @@ def _gen_conv(conv_idx: int, seed: int, max_turns: int) -> pd.DataFrame:
     ts = start + np.cumsum(gaps)
 
     # text: deterministic content keyed by (conv_id, turn_idx); length
-    # lognormal(mu=5.5, sigma=1.0) clamped [1, 32768]
-    tlen = np.clip(np.exp(5.5 + 1.0 * rng.standard_normal(n)), 1, 32768).astype(np.int64)
+    # lognormal(mu=4.5, sigma=1.0) clamped [1, 8192] (kept short so the
+    # committed correctness-scale parquet stays small; the length
+    # distribution's shape, not its mean, is what the operators exercise)
+    tlen = np.clip(np.exp(4.5 + 1.0 * rng.standard_normal(n)), 1, 8192).astype(np.int64)
     prefix = [f"{conv_id}:{i}:" for i in turn_idx]
     text = [p + _BASE_TEXT[: max(int(l) - len(p), 0)] for p, l in zip(prefix, tlen)]
 
@@ -179,8 +181,9 @@ def transcripts_for_sf(spark: SparkSession, sf_dir: str, data_root: str = "/root
 
     base = os.path.basename(sf_dir.rstrip("/"))
     n = SF_CONVS.get(base, 2_000)
-    # cap mega-convs at small scales to keep smoke/correctness fast
-    max_turns = {"sf0.001": 2_000, "sf0.01": 10_000, "sf0.1": 50_000}.get(base, 10_000)
+    # cap mega-convs at small scales to keep smoke/correctness fast (bench
+    # scale keeps heavy skew to exercise salting/AQE)
+    max_turns = {"sf0.001": 1_000, "sf0.01": 1_500, "sf0.1": 20_000}.get(base, 1_500)
     path = os.path.join(data_root, f"transcripts_{base}.parquet")
     materialize_transcripts(spark, path, n, max_turns=max_turns)
     return spark.read.parquet(path)
