@@ -50,6 +50,10 @@ def get_spark(
         master = f"local[{cpus}]"
     b = SparkSession.builder.appName(app_name).master(master)
     confs = dict(ENGINE_CONFS)
+    # Local single-JVM mode: driver IS the executor — size the heap for the
+    # thread count (must be set before the JVM starts; no-op afterwards).
+    confs.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    confs.setdefault("spark.driver.maxResultSize", "8g")
     if shuffle_partitions is None:
         # Local mode: match cores; cluster mode: leave to AQE/submit conf.
         n = master.split("[")[-1].rstrip("]") if "[" in master else "200"
