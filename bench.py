@@ -64,14 +64,20 @@ def main():
 
     measures = with_measures(tx)
 
-    # headline: full rollup path (the north-star metric's denominator)
+    # headline: full rollup path (the north-star metric's denominator).
+    # Each tier is persisted then reused — the production shape (tiers are
+    # materialized tables; the cascade reads the finer tier, never raw).
+    from pyspark import StorageLevel
+
     def rollup_path():
-        filled = gapfill(rollup_from_turns(measures, "1m"), "1m")
-        h1 = cascade(filled, "1m", "1h")
-        d1 = cascade(h1, "1h", "1d")
+        filled = gapfill(rollup_from_turns(measures, "1m"), "1m") \
+            .persist(StorageLevel.MEMORY_AND_DISK)
         sink(filled)
+        h1 = cascade(filled, "1m", "1h").persist(StorageLevel.MEMORY_AND_DISK)
         sink(h1)
-        sink(d1)
+        sink(cascade(h1, "1h", "1d"))
+        filled.unpersist()
+        h1.unpersist()
 
     headline = timed("rollup_cascade_full", rollup_path)
 

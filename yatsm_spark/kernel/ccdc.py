@@ -152,38 +152,53 @@ def ccdc_fit(t: np.ndarray, Y: np.ndarray, params: CCDCParams | None = None) -> 
     if n < p.min_obs:
         return result
 
-    # Active-index list supports F5 noise deletion without re-copying arrays.
-    active = list(range(n))
+    # Active-index array supports F5 noise deletion; deletions are rare
+    # (isolated outliers), so np.delete's O(n) copy is fine.
+    act = np.arange(n)
 
-    start = 0            # positions within `active`
+    start = 0            # positions within `act`
     here = p.min_obs - 1
     coefs = rmses = None
     last_fit_end = None  # t at which the current model was fitted
     trained = False
 
     def day(i):
-        return t[active[i]]
+        return t[act[i]]
 
-    def yv(i):
-        return Y[:, active[i]]
+    def fit_window(pos_lo, pos_hi):
+        """Fit all series on act positions [pos_lo, pos_hi]; returns
+        (X, coefs, rmses)."""
+        idx = act[pos_lo : pos_hi + 1]
+        Xw = harmonic_design(t[idx], order=p.harmonic_order, period=p.period, trend=p.trend)
+        cf = np.empty((n_series, Xw.shape[1]))
+        rm = np.empty(n_series)
+        for b in range(n_series):
+            est = make_estimator(p.estimator)
+            est.fit(Xw, Y[b, idx])
+            cf[b] = est.coef_
+            rm[b] = _rmse(Y[b, idx], Xw @ est.coef_)
+        return Xw, cf, rm
 
-    while here < len(active):
+    def score_obs(pos, run_start_pos):
+        """Scalar score + residual for one obs (run extension / dynamic rmse)."""
+        if p.dynamic_rmse:
+            rm = _dynamic_rmse(t, Y, act[start], act[max(run_start_pos - 1, start)],
+                               coefs, day(pos), p)
+        else:
+            rm = rmses
+        resid = Y[:, act[pos]] - _predict(day(pos), coefs, p)[:, 0]
+        sc = np.sqrt(sum((resid[b] / max(rm[b], p.min_rmse)) ** 2 for b in test_idx))
+        return sc, resid
+
+    while here < len(act):
+        # --- W1/W2 training -------------------------------------------------
         span_ok = (here - start + 1) >= p.min_obs and (day(here) - day(start)) >= p.min_span
         if not trained:
             if not span_ok:
                 here += 1
                 continue
-            lo, hi = active[start], active[here]
-            idx = np.array(active[start : here + 1])
-            Xw = harmonic_design(t[idx], order=p.harmonic_order, period=p.period, trend=p.trend)
-            coefs = np.empty((n_series, Xw.shape[1]))
-            rmses = np.empty(n_series)
-            for b in range(n_series):
-                est = make_estimator(p.estimator)
-                est.fit(Xw, Y[b, idx])
-                coefs[b] = est.coef_
-                rmses[b] = _rmse(Y[b, idx], Xw @ est.coef_)
-            # --- W2 stability test -----------------------------------------
+            idx = act[start : here + 1]
+            Xw, coefs, rmses = fit_window(start, here)
             span_days = day(here) - day(start)
             stable = True
             slope_col = 1 if p.trend else None
@@ -202,66 +217,100 @@ def ccdc_fit(t: np.ndarray, Y: np.ndarray, params: CCDCParams | None = None) -> 
                 continue
             trained = True
             last_fit_end = day(here)
-            monitor_at = here + 1
-        else:
-            monitor_at = here
 
-        # --- W3 monitor -----------------------------------------------------
-        i = monitor_at
+        # --- W3 monitor, block-vectorized ------------------------------------
+        # Between refits the model is FIXED, so scores for a whole block of
+        # upcoming obs are one matrix product; runs/noise are resolved by
+        # inspecting only the first over-threshold position (every True
+        # triggers exactly one of break / delete / absorb-restart). This is
+        # a pure re-expression of the reference's per-obs loop — identical
+        # outputs, pinned by the frozen goldens.
+        i = here + 1
         broke = False
-        while i < len(active):
-            # W5 retrain cadence
+        run_resids: list[np.ndarray] = []
+        break_pos = -1
+        while i < len(act):
+            # W5 retrain cadence (checked at every scan position in the
+            # sequential formulation; B below is the first position where
+            # it could fire, so checking at block starts is equivalent).
             if day(i - 1) - last_fit_end >= p.retrain_time:
-                idx = np.array(active[start:i])
-                Xw = harmonic_design(t[idx], order=p.harmonic_order, period=p.period, trend=p.trend)
-                for b in range(n_series):
-                    est = make_estimator(p.estimator)
-                    est.fit(Xw, Y[b, idx])
-                    coefs[b] = est.coef_
-                    rmses[b] = _rmse(Y[b, idx], Xw @ est.coef_)
+                _, coefs, rmses = fit_window(start, i - 1)
                 last_fit_end = day(i - 1)
 
-            run_scores = []   # (pos, per-series resid) for the candidate run
-            j = i
-            while j < len(active):
-                if p.dynamic_rmse:
-                    rm = _dynamic_rmse(t, Y, active[start], active[i - 1] if i > 0 else active[start],
-                                       coefs, day(j), p)
-                else:
-                    rm = rmses
-                yhat = _predict(day(j), coefs, p)[:, 0]
-                resid = yv(j) - yhat
-                score = np.sqrt(sum((resid[b] / max(rm[b], p.min_rmse)) ** 2 for b in test_idx))
-                if score > p.threshold:
-                    run_scores.append((j, resid))
-                    if len(run_scores) >= p.consecutive:
-                        broke = True
-                        break
-                    j += 1
-                else:
-                    break
-            if broke:
-                break
-            if len(run_scores) == 1:
-                # F5: isolated outlier → delete as noise, do not extend model.
-                del active[run_scores[0][0]]
-                continue
-            if run_scores:
-                # Short over-threshold run that fizzled (< consecutive):
-                # absorb obs into the segment (reference keeps them [M]).
-                i = run_scores[-1][0] + 1
+            prev_days = t[act[i - 1 : len(act) - 1]]
+            b_off = int(np.searchsorted(prev_days, last_fit_end + p.retrain_time, side="left"))
+            B = min(i + max(b_off, 1), len(act))
+
+            blk = act[i:B]
+            if p.dynamic_rmse:
+                # per-position window-dependent rmse — scalar path (rare,
+                # non-default; exactness over speed)
+                over = np.zeros(len(blk), dtype=bool)
+                blk_resid = np.empty((n_series, len(blk)))
+                for q in range(len(blk)):
+                    sc_q, r_q = score_obs(i + q, i + q)
+                    over[q] = sc_q > p.threshold
+                    blk_resid[:, q] = r_q
             else:
-                i += 1
+                Xb = harmonic_design(t[blk], order=p.harmonic_order,
+                                     period=p.period, trend=p.trend)
+                blk_resid = Y[:, blk] - coefs @ Xb.T
+                denom = np.maximum(rmses, p.min_rmse)
+                sc = np.sqrt(sum((blk_resid[b] / denom[b]) ** 2 for b in test_idx))
+                over = sc > p.threshold
+
+            tp = np.flatnonzero(over)
+            if len(tp) == 0:
+                i = B
+                continue
+            p_ = int(tp[0])
+            # count the True run from p_, extending past the block edge with
+            # the same (frozen) model if needed
+            run_resids = [blk_resid[:, p_]]
+            q = p_ + 1
+            while len(run_resids) < p.consecutive:
+                # dynamic_rmse: members after the first must score against
+                # the rmse window FROZEN at the run start (the sequential
+                # loop held `i` fixed during a run) — block scores used a
+                # per-position window, so always rescore scalar-ly here.
+                if q < len(blk) and not p.dynamic_rmse:
+                    if over[q]:
+                        run_resids.append(blk_resid[:, q])
+                        q += 1
+                    else:
+                        break
+                else:
+                    g = i + q
+                    if g >= len(act):
+                        break
+                    sc_g, r_g = score_obs(g, i + p_)
+                    if sc_g > p.threshold:
+                        run_resids.append(r_g)
+                        q += 1
+                    else:
+                        break
+            if len(run_resids) >= p.consecutive:
+                broke = True
+                break_pos = i + p_
+                break
+            if len(run_resids) == 1:
+                # F5: isolated outlier → delete as noise, rescan from the
+                # same global position (model unchanged ⇒ later scores
+                # unchanged; restart keeps predecessor bookkeeping exact).
+                act = np.delete(act, i + p_)
+                i = i + p_
+                continue
+            # short run fizzled (< consecutive): absorb into the segment
+            i = i + q
 
         if broke:
-            break_pos = run_scores[0][0]
-            mags = np.median(np.stack([r for _, r in run_scores], axis=1), axis=1)
+            mags = np.median(np.stack(run_resids, axis=1), axis=1)
             result.segments.append(Segment(
                 start_day=day(start), end_day=day(break_pos - 1),
                 break_day=day(break_pos),
                 coef=coefs.copy(), rmse=rmses.copy(), magnitude=mags,
                 n_obs=break_pos - start,
-                start_idx=active[start], end_idx=active[break_pos - 1],
+                start_idx=int(act[start]), end_idx=int(act[break_pos - 1]),
             ))
             start = break_pos
             here = start + p.min_obs - 1
@@ -269,13 +318,13 @@ def ccdc_fit(t: np.ndarray, Y: np.ndarray, params: CCDCParams | None = None) -> 
             continue
         else:
             # W6: series exhausted — close the final segment.
-            end_pos = len(active) - 1
+            end_pos = len(act) - 1
             result.segments.append(Segment(
                 start_day=day(start), end_day=day(end_pos), break_day=0.0,
                 coef=coefs.copy(), rmse=rmses.copy(),
                 magnitude=np.zeros(n_series),
                 n_obs=end_pos - start + 1,
-                start_idx=active[start], end_idx=active[end_pos],
+                start_idx=int(act[start]), end_idx=int(act[end_pos]),
             ))
             break
 

@@ -1,0 +1,193 @@
+"""Vectorized (numpy) XOR-float + delta-of-delta codecs.
+
+The scalar codec in kernel/gorilla.py implements the exact per-point
+Gorilla bit layout (paper §4.1) — its '10'-reuse window is a sequential
+state machine, inherently loop-bound in pure Python. For the 10^12-point
+hot path the engine uses this BLOCK variant of the same two ideas
+(XOR-with-leading/trailing-window, delta-of-delta bucketing), restructured
+so encode AND decode are single-pass numpy:
+
+float block layout (version byte 0x02):
+    [ver:8][n:32][first:64][lead:8][mbits:8]
+    [flags: n-1 bits]            1 = xor != 0
+    [payloads: nnz * mbits bits] meaningful bits of each nonzero xor
+
+(lead, mbits) are chosen per block from the OR of all xors — every nonzero
+xor fits one shared window, trading a few bits/point vs per-point windows
+for fully-columnar encode/decode (the standard block-codec variant, cf.
+the VLDB'20 compressed-TS line in PAPERS.md).
+
+timestamp block layout (version byte 0x02):
+    [ver:8][n:32][first:64][first_delta:64]
+    [codes: (n-2) * 2 bits]      0: dod=0, 1: 7-bit, 2: 12-bit, 3: 64-bit
+    [payloads: variable]         zig-zag dod in the coded width
+
+Bit-exact round-trip (incl. NaN) is enforced by tests/test_gorilla.py for
+both codec families; operators/codec.py writes a version byte so either
+stream is self-describing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FLOAT_BLOCK_VER = 2
+TS_BLOCK_VER = 2
+
+_TS_WIDTHS = np.array([0, 7, 12, 64], dtype=np.int64)
+
+
+def _scatter_bits(values: np.ndarray, widths: np.ndarray, head: np.ndarray) -> bytes:
+    """Pack `head` (a 0/1 uint8 bit array) followed by variable-width
+    big-endian fields (values[i] in widths[i] bits) into bytes — no Python
+    loop: repeat/cumsum index tricks + np.packbits."""
+    widths = np.asarray(widths, dtype=np.int64)
+    if len(widths) == 0:
+        return np.packbits(head.astype(np.uint8)).tobytes()
+    total = int(widths.sum())
+    starts = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.int64)
+    k = np.arange(total, dtype=np.int64) - np.repeat(starts, widths)
+    v = np.repeat(values.astype(np.uint64), widths)
+    w = np.repeat(widths, widths)
+    bits = ((v >> (w - 1 - k).astype(np.uint64)) & np.uint64(1)).astype(np.uint8)
+    allbits = np.concatenate([head.astype(np.uint8), bits])
+    return np.packbits(allbits).tobytes()
+
+
+def _gather_bits(bits: np.ndarray, offsets: np.ndarray, widths: np.ndarray) -> np.ndarray:
+    """Read variable-width big-endian uints from a 0/1 bit array. All
+    widths must be > 0 (callers filter zero-width classes first)."""
+    widths = np.asarray(widths, dtype=np.int64)
+    if len(widths) == 0:
+        return np.array([], dtype=np.uint64)
+    starts = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.int64)
+    total = int(widths.sum())
+    k = np.arange(total, dtype=np.int64) - np.repeat(starts, widths)
+    pos = np.repeat(np.asarray(offsets, dtype=np.int64), widths) + k
+    w = np.repeat(widths, widths)
+    weighted = bits[pos].astype(np.uint64) << (w - 1 - k).astype(np.uint64)
+    return np.add.reduceat(weighted, starts).astype(np.uint64)
+
+
+# --- floats -----------------------------------------------------------------
+
+
+def encode_floats_block(vals: np.ndarray) -> bytes:
+    bits = np.ascontiguousarray(np.asarray(vals, dtype=np.float64)).view(np.uint64)
+    n = len(bits)
+    header = bytearray()
+    header.append(FLOAT_BLOCK_VER)
+    header += int(n).to_bytes(4, "big")
+    if n == 0:
+        return bytes(header)
+    header += int(bits[0]).to_bytes(8, "big")
+    if n == 1:
+        return bytes(header)
+    x = bits[1:] ^ bits[:-1]
+    union = np.bitwise_or.reduce(x)
+    if union == 0:
+        lead, mbits = 0, 1  # degenerate: all equal; flags all 0, no payloads
+    else:
+        u = int(union)
+        lead = 64 - u.bit_length()
+        tz = (u & -u).bit_length() - 1
+        mbits = 64 - lead - tz
+    tail = 64 - lead - mbits
+    header.append(lead)
+    header.append(mbits)
+    flags = (x != 0).astype(np.uint8)
+    nz = x[x != 0] >> np.uint64(tail)
+    widths = np.full(len(nz), mbits, dtype=np.int64)
+    return bytes(header) + _scatter_bits(nz, widths, flags)
+
+
+def decode_floats_block(data: bytes) -> np.ndarray:
+    assert data[0] == FLOAT_BLOCK_VER
+    n = int.from_bytes(data[1:5], "big")
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out.view(np.float64)
+    out[0] = int.from_bytes(data[5:13], "big")
+    if n == 1:
+        return out.view(np.float64)
+    lead = data[13]
+    mbits = data[14]
+    tail = 64 - lead - mbits
+    bits = np.unpackbits(np.frombuffer(data[15:], dtype=np.uint8))
+    flags = bits[: n - 1].astype(bool)
+    nnz = int(flags.sum())
+    widths = np.full(nnz, mbits, dtype=np.int64)
+    offsets = (n - 1) + np.arange(nnz, dtype=np.int64) * mbits
+    payl = _gather_bits(bits, offsets, widths) << np.uint64(tail)
+    x = np.zeros(n - 1, dtype=np.uint64)
+    x[flags] = payl
+    np.bitwise_xor.accumulate(np.concatenate([out[:1], x]), out=out)
+    return out.view(np.float64)
+
+
+# --- timestamps ---------------------------------------------------------------
+
+
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    return ((v << 1) ^ (v >> 63)).astype(np.uint64)
+
+
+def _unzigzag(u: np.ndarray) -> np.ndarray:
+    u = u.astype(np.uint64)
+    return ((u >> np.uint64(1)) ^ (np.uint64(0) - (u & np.uint64(1)))).astype(np.int64)
+
+
+def encode_timestamps_block(ts: np.ndarray) -> bytes:
+    ts = np.asarray(ts, dtype=np.int64)
+    n = len(ts)
+    header = bytearray()
+    header.append(TS_BLOCK_VER)
+    header += int(n).to_bytes(4, "big")
+    if n == 0:
+        return bytes(header)
+    header += int(np.uint64(ts[0])).to_bytes(8, "big")
+    if n == 1:
+        return bytes(header)
+    deltas = np.diff(ts)
+    header += int(np.uint64(deltas[0])).to_bytes(8, "big")
+    if n == 2:
+        return bytes(header)
+    dod = deltas[1:] - deltas[:-1]
+    z = _zigzag(dod)
+    codes = np.select([z == 0, z < (1 << 7), z < (1 << 12)], [0, 1, 2], default=3).astype(np.uint64)
+    # 2-bit class codes packed first (fixed offsets), then payloads.
+    code_bits = np.column_stack([(codes >> 1) & 1, codes & 1]).reshape(-1).astype(np.uint8)
+    widths = _TS_WIDTHS[codes.astype(np.int64)]
+    nzmask = widths > 0
+    return bytes(header) + _scatter_bits(z[nzmask], widths[nzmask], code_bits)
+
+
+def decode_timestamps_block(data: bytes) -> np.ndarray:
+    assert data[0] == TS_BLOCK_VER
+    n = int.from_bytes(data[1:5], "big")
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    out[0] = np.uint64(int.from_bytes(data[5:13], "big")).astype(np.int64)
+    if n == 1:
+        return out
+    first_delta = np.uint64(int.from_bytes(data[13:21], "big")).astype(np.int64)
+    if n == 2:
+        out[1] = out[0] + first_delta
+        return out
+    bits = np.unpackbits(np.frombuffer(data[21:], dtype=np.uint8))
+    m = n - 2
+    codes = (bits[0 : 2 * m : 2].astype(np.int64) << 1) | bits[1 : 2 * m : 2]
+    widths = _TS_WIDTHS[codes]
+    nzmask = widths > 0
+    nz_w = widths[nzmask]
+    offsets = 2 * m + np.concatenate([[0], np.cumsum(nz_w)[:-1]]) if nzmask.any() else np.array([], dtype=np.int64)
+    z = np.zeros(m, dtype=np.uint64)
+    if nzmask.any():
+        z[nzmask] = _gather_bits(bits, offsets.astype(np.int64), nz_w)
+    dod = _unzigzag(z)
+    deltas = np.empty(n - 1, dtype=np.int64)
+    deltas[0] = first_delta
+    np.cumsum(np.concatenate([[first_delta], dod]), out=deltas)
+    out[1:] = out[0] + np.cumsum(deltas)
+    return out

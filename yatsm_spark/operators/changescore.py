@@ -75,6 +75,10 @@ def change_scores(
     """
     p = params or CONV_PARAMS
     p_dict = asdict(p)
+    # Column-prune BEFORE the group shuffle: the kernel needs 3 columns, so
+    # never move the other 9 through the exchange (at 10^12 scale the
+    # shuffle is the cost of this operator).
+    filled = filled.select("conv_id", "window_start", measure)
 
     def fit_conv(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("window_start", kind="stable")

@@ -25,13 +25,35 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from yatsm_spark.kernel.gorilla import (
-    decode_floats,
-    decode_timestamps,
-    encode_floats,
-    encode_timestamps,
-)
+from yatsm_spark.kernel import gorilla as g_scalar
+from yatsm_spark.kernel import gorilla_vec as g_vec
 from yatsm_spark.operators.rollup import MEASURES
+
+# Default: the vectorized block codecs (kernel/gorilla_vec.py) — the
+# "vectorized Arrow UDF" hot path. Streams are self-describing: block
+# streams start with version byte 0x02; the scalar per-point Gorilla
+# format starts with the high byte of a 32-bit count, which is always 0
+# for chunk-sized inputs, so decode dispatches on the first byte.
+
+
+def encode_floats(v):
+    return g_vec.encode_floats_block(v)
+
+
+def encode_timestamps(ts):
+    return g_vec.encode_timestamps_block(ts)
+
+
+def decode_floats(data: bytes):
+    if data and data[0] == g_vec.FLOAT_BLOCK_VER:
+        return g_vec.decode_floats_block(data)
+    return g_scalar.decode_floats(data)
+
+
+def decode_timestamps(data: bytes):
+    if data and data[0] == g_vec.TS_BLOCK_VER:
+        return g_vec.decode_timestamps_block(data)
+    return g_scalar.decode_timestamps(data)
 
 _SERIES = MEASURES + ["gap_filled"]
 

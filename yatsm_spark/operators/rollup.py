@@ -23,7 +23,7 @@ the graft's line cache (S5): materializing it IS the memoization.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 TIERS = {"1m": 60, "1h": 3600, "1d": 86400}
 
@@ -90,19 +90,19 @@ def gapfill(rollup: DataFrame, tier: str = "1m") -> DataFrame:
     handling splits any residual hot partition.
     """
     sec = TIERS[tier]
-    w = Window.partitionBy("conv_id")
-    grid = (
-        rollup
-        .withColumn("span_min", F.min("window_start").over(w))
-        .withColumn("span_max", F.max("window_start").over(w))
-        .select("conv_id", "span_min", "span_max")
-        .dropDuplicates(["conv_id"])
-        .select(
-            "conv_id",
-            F.explode(
-                F.sequence("span_min", "span_max", F.expr(f"INTERVAL {sec} SECONDS"))
-            ).alias("window_start"),
-        )
+    # Spans via groupBy (partial-agg, tiny output), NOT a window function —
+    # a window would sort the whole tier inside each conv partition; the
+    # hash agg streams it. The grid explode then happens on the small spans
+    # relation and re-shuffles only grid rows.
+    spans = rollup.groupBy("conv_id").agg(
+        F.min("window_start").alias("span_min"),
+        F.max("window_start").alias("span_max"),
+    )
+    grid = spans.select(
+        "conv_id",
+        F.explode(
+            F.sequence("span_min", "span_max", F.expr(f"INTERVAL {sec} SECONDS"))
+        ).alias("window_start"),
     )
     joined = grid.join(rollup, on=["conv_id", "window_start"], how="left")
     fill = [F.coalesce(c, F.lit(0)).alias(c) for c in
