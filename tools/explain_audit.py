@@ -1,0 +1,107 @@
+"""Dump .explain('formatted') for the engine's key plans and grep the
+properties that matter at 100 TB (pushed filters, pruned read schemas,
+partial aggregation, broadcast vs SMJ, WholeStageCodegen spans).
+Writes BENCH/PLANS.md. Usage: python tools/explain_audit.py
+"""
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main():
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    from yatsm_spark.conf import get_spark
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.cascade import cascade
+    from yatsm_spark.operators.rollup import gapfill, rollup_from_turns
+
+    spark = get_spark(master="local[8]")
+    tx = spark.read.parquet(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data", "transcripts_sf0.01.parquet"))
+
+    sections = []
+
+    def audit(name, df, expectations):
+        p = plan_of(df)
+        checks = []
+        for label, needle, want in expectations:
+            ok = (needle in p) == want
+            checks.append(f"- {'PASS' if ok else '**FAIL**'}: {label}")
+        sections.append(f"## {name}\n\n" + "\n".join(checks) +
+                        "\n\n```\n" + p[:4000] + "\n```\n")
+
+    measures = with_measures(tx)
+    r1 = rollup_from_turns(measures, "1m")
+    audit("rollup_1m (A6)", r1, [
+        ("map-side partial aggregation present", "partial_count", True),
+        ("text column pruned from scan (only length survives projection)", "ReadSchema", True),
+    ])
+
+    filled = gapfill(r1, "1m")
+    audit("gapfill (W8)", filled, [
+        ("explode of sequence grid", "Generate explode", True),
+        ("no cartesian product", "CartesianProduct", False),
+    ])
+
+    audit("cascade 1m->1h (A7)", cascade(filled, "1m", "1h"), [
+        ("hash aggregate (not sort-based)", "HashAggregate", True),
+    ])
+
+    # single-conv pushdown (S4)
+    one = tx.where(F.col("conv_id") == "conv00000007")
+    audit("single-conv read (S4)", one, [
+        ("predicate pushed to parquet scan", "PushedFilters: [IsNotNull(conv_id), EqualTo(conv_id,conv00000007)]", True),
+    ])
+
+    qs = e.queries()
+    audit("region_rollup (J2 broadcast)", qs["region_rollup"](spark, SF_DIR), [
+        ("broadcast hash join chosen", "BroadcastHashJoin", True),
+        ("no shuffle join for dims", "SortMergeJoin", False),
+    ])
+    audit("order_lineitem_interval (J1 range join)", qs["order_lineitem_interval"](spark, SF_DIR), [
+        ("equi-key join with range residual (hash or SMJ, never cartesian)", "CartesianProduct", False),
+    ])
+    audit("orders_asof (J3 as-of)", qs["orders_asof"](spark, SF_DIR), [
+        ("single window, rn filter", "RunningWindowFunction", False),  # informational
+        ("date filter pushed to scan", "PushedFilters", True),
+    ])
+    audit("cosine_topk (broadcast queries)", qs["cosine_topk"](spark, SF_DIR), [
+        ("query side broadcast", "BroadcastNestedLoopJoin", True),
+    ])
+    audit("token_counts (pure codegen)", qs["token_counts"](spark, SF_DIR), [
+        ("whole-stage codegen", "WholeStageCodegen", True),
+        ("no Python UDF in plan", "BatchEvalPython", False),
+        ("no Arrow eval either (pure JVM)", "ArrowEvalPython", False),
+    ])
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "BENCH", "PLANS.md")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        f.write("# PLANS — physical-plan audit (tools/explain_audit.py)\n\n"
+                "Checks the plan properties that decide 100 TB behavior: pushdown,\n"
+                "pruning, partial aggregation, join strategy, codegen coverage.\n\n"
+                + "\n".join(sections))
+    fails = sum(s.count("**FAIL**") for s in sections)
+    print(f"wrote BENCH/PLANS.md, {fails} failed expectations")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

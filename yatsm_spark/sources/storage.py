@@ -73,3 +73,54 @@ class ParquetStorage:
     def drop(self, table: str) -> None:
         if self.exists(table):
             shutil.rmtree(self.path(table))
+
+
+class IcebergStorage:
+    """Iceberg backend for real clusters (sandbox has no Iceberg jars —
+    SURVEY.md §7.4 — so this path is exercised only when the catalog conf
+    is present; ParquetStorage is the test-time default).
+
+    Table layout mirrors ParquetStorage: one table per tier/artifact,
+    partitioned by bucket(conv) via a hidden-partition spec. Reconcile
+    (J4/S5 cache-update semantics) uses MERGE INTO keyed on
+    (conv_id, window_start); retention eviction is a partition-predicate
+    DELETE — both snapshot-isolated, which supersedes the parquet
+    backend's tmp+rename bucket commits.
+    """
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str,
+                 n_buckets: int = DEFAULT_BUCKETS):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        self.n_buckets = n_buckets
+
+    def _ident(self, table: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{table}"
+
+    def ensure(self, df: DataFrame, table: str) -> None:
+        (df.writeTo(self._ident(table))
+           .partitionedBy(F.bucket(self.n_buckets, F.col("conv_id")))
+           .createOrReplace())
+
+    def write(self, df: DataFrame, table: str, mode: str = "append", **_) -> None:
+        w = df.writeTo(self._ident(table))
+        w.append() if mode == "append" else w.createOrReplace()
+
+    def merge_rollup(self, updates: DataFrame, table: str) -> None:
+        """Idempotent upsert of rollup rows (late-data reconcile)."""
+        updates.createOrReplaceTempView("_updates")
+        self.spark.sql(f"""
+            MERGE INTO {self._ident(table)} t
+            USING _updates u
+            ON t.conv_id = u.conv_id AND t.window_start = u.window_start
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+
+    def evict_before(self, table: str, cutoff) -> None:
+        self.spark.sql(
+            f"DELETE FROM {self._ident(table)} WHERE window_start < TIMESTAMP '{cutoff}'")
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.table(self._ident(table))
