@@ -86,3 +86,30 @@ def test_chunks_roundtrip_exactly(spark, filled):
     ).collect()[0]
     raw = sizes["pts"] * 8 * (len(cols) - 1)
     assert sizes["enc"] < raw / 2
+
+
+def test_sparse_densify_paths_equal_dense(spark, filled):
+    """The scale path (sparse input + in-kernel densify) must be
+    indistinguishable from feeding the gap-filled tier."""
+    from pyspark.sql import functions as F
+
+    from yatsm_spark.operators.cascade import cascade
+
+    sparse = filled.filter(~F.col("gap_filled"))
+    a = change_scores(filled, "turn_count", CONV_PARAMS).orderBy("conv_id", "segment_id").toPandas()
+    b = change_scores(sparse, "turn_count", CONV_PARAMS, densify=True) \
+        .orderBy("conv_id", "segment_id").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+    ca = encode_chunks(filled, "1m", chunk_points=512)
+    cb = encode_chunks(sparse, "1m", chunk_points=512, densify=True)
+    assert ca.exceptAll(cb).count() == 0
+    assert cb.exceptAll(ca).count() == 0
+
+    # cascade over sparse + gapfill == cascade over dense (same rows)
+    from yatsm_spark.operators.rollup import gapfill
+
+    da = cascade(filled, "1m", "1h")
+    db = gapfill(cascade(sparse, "1m", "1h"), "1h")
+    assert da.exceptAll(db).count() == 0
+    assert db.exceptAll(da).count() == 0

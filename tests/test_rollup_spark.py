@@ -172,3 +172,14 @@ def test_retention_respects_watermark(spark, filled):
     wm = high_watermark(filled, "1h")
     bad = ev.join(wm, "conv_id").filter("window_start > watermark").count()
     assert bad == 0
+
+
+def test_salted_rollup_identical_to_unsalted(spark, tx):
+    from yatsm_spark.operators.rollup import rollup_from_turns_salted
+
+    m = with_measures(tx)
+    for tier in ("1m", "1d"):
+        a = rollup_from_turns(m, tier)
+        b = rollup_from_turns_salted(m, tier, n_salts=8)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0

@@ -25,9 +25,13 @@ def main():
     spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
     tx = transcripts_for_sf(spark, SF_DIR, data_root=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"))
-    filled = gapfill(rollup_from_turns(with_measures(tx), "1m"), "1m").cache()
-    tiers = {"1m": filled, "1h": cascade(filled, "1m", "1h")}
-    tiers["1d"] = cascade(tiers["1h"], "1h", "1d")
+    sparse = rollup_from_turns(with_measures(tx), "1m").cache()
+    h1 = cascade(sparse, "1m", "1h").cache()
+    tiers = {
+        "1m": gapfill(sparse, "1m"),
+        "1h": gapfill(h1, "1h"),
+        "1d": gapfill(cascade(h1, "1h", "1d"), "1d"),
+    }
     out = {}
     for name, df in tiers.items():
         row = df.select(

@@ -165,11 +165,46 @@ def ccdc_fit(t: np.ndarray, Y: np.ndarray, params: CCDCParams | None = None) -> 
     def day(i):
         return t[act[i]]
 
+    # The design matrix is a pure function of t — build it ONCE per series
+    # and slice per window (the training/retrain loops fit thousands of
+    # windows on segment-rich series; recomputing cos/sin per fit dominated
+    # profile before this).
+    X_full = harmonic_design(t, order=p.harmonic_order, period=p.period, trend=p.trend)
+    fast_ols = p.estimator == "OLS"
+
     def fit_window(pos_lo, pos_hi):
         """Fit all series on act positions [pos_lo, pos_hi]; returns
         (X, coefs, rmses)."""
         idx = act[pos_lo : pos_hi + 1]
-        Xw = harmonic_design(t[idx], order=p.harmonic_order, period=p.period, trend=p.trend)
+        Xw = X_full[idx]
+        Yw = Y[:, idx]
+        if fast_ols:
+            # Normal equations with the trend column CENTERED inside the
+            # window: t is epoch-scale (~2e4 days) while window spans are
+            # ~1e-1..1e2 days, so the raw [1, t] block is nearly collinear
+            # (kappa(XtX) ~ 1e12 => solve loses the coefficients). Centering
+            # makes XtX well-conditioned; the intercept shifts back by the
+            # exact algebra a_global = a_centered - slope * c. One solve
+            # covers every series (vectorized RHS), ~3x faster than lstsq.
+            if p.trend:
+                c = t[idx].mean()
+                Xc = Xw.copy()
+                Xc[:, 1] = Xw[:, 1] - c
+            else:
+                c = 0.0
+                Xc = Xw
+            XtX = Xc.T @ Xc
+            try:
+                cf = np.linalg.solve(XtX, Xc.T @ Yw.T).T
+            except np.linalg.LinAlgError:
+                cf = np.vstack([np.linalg.lstsq(Xc, Yw[b], rcond=None)[0]
+                                for b in range(n_series)])
+            resid = Yw - cf @ Xc.T
+            rm = np.sqrt(np.mean(resid ** 2, axis=1))
+            if p.trend:
+                cf = cf.copy()
+                cf[:, 0] = cf[:, 0] - cf[:, 1] * c
+            return Xw, cf, rm
         cf = np.empty((n_series, Xw.shape[1]))
         rm = np.empty(n_series)
         for b in range(n_series):
@@ -179,6 +214,65 @@ def ccdc_fit(t: np.ndarray, Y: np.ndarray, params: CCDCParams | None = None) -> 
             rm[b] = _rmse(Y[b, idx], Xw @ est.coef_)
         return Xw, cf, rm
 
+    # --- incremental normal-equation sums for monitor refits -------------
+    # A refit at cadence re-estimates on the WHOLE segment window
+    # [start, i) (reference semantics); fitting directly is O(window) per
+    # refit => O(n^2/cadence) on long segments. Instead maintain running
+    # Sxx (k,k), Sxy (k,S), Syy (S,) over the fitted window: each refit
+    # batch-adds only the rows passed since the previous refit (one small
+    # matmul) and solves in the centered frame in O(k^3). Deleted noise obs
+    # are never added (deletions only happen at positions >= the refit
+    # frontier), so no removals are needed during monitoring.
+    k_cols = X_full.shape[1]
+    sums = {"Sxx": None, "Sxy": None, "Syy": None, "n": 0, "c_num": 0.0}
+
+    def sums_reset(pos_lo, pos_hi):
+        idx = act[pos_lo : pos_hi + 1]
+        Xw = X_full[idx]
+        Yw = Y[:, idx]
+        sums["Sxx"] = Xw.T @ Xw
+        sums["Sxy"] = Xw.T @ Yw.T
+        sums["Syy"] = np.einsum("sn,sn->s", Yw, Yw)
+        sums["n"] = len(idx)
+        sums["c_num"] = float(t[idx].sum())
+
+    def sums_add(pos_lo, pos_hi):
+        if pos_hi < pos_lo:
+            return
+        idx = act[pos_lo : pos_hi + 1]
+        Xw = X_full[idx]
+        Yw = Y[:, idx]
+        sums["Sxx"] += Xw.T @ Xw
+        sums["Sxy"] += Xw.T @ Yw.T
+        sums["Syy"] += np.einsum("sn,sn->s", Yw, Yw)
+        sums["n"] += len(idx)
+        sums["c_num"] += float(t[idx].sum())
+
+    def fit_from_sums():
+        """Solve in the centered frame built EXACTLY from the global-frame
+        sums via the translation Xc = X @ E (E = I, E[0,1] = -c)."""
+        Sxx, Sxy, Syy, nw = sums["Sxx"], sums["Sxy"], sums["Syy"], sums["n"]
+        if p.trend:
+            c = sums["c_num"] / nw
+            E = np.eye(k_cols)
+            E[0, 1] = -c
+            Sxx_c = E.T @ Sxx @ E
+            Sxy_c = E.T @ Sxy
+        else:
+            c = 0.0
+            Sxx_c, Sxy_c = Sxx, Sxy
+        try:
+            cf_c = np.linalg.solve(Sxx_c, Sxy_c).T
+        except np.linalg.LinAlgError:
+            cf_c = (np.linalg.pinv(Sxx_c) @ Sxy_c).T
+        sse = Syy - 2.0 * np.einsum("sk,ks->s", cf_c, Sxy_c) \
+            + np.einsum("sk,kj,sj->s", cf_c, Sxx_c, cf_c)
+        rm = np.sqrt(np.maximum(sse, 0.0) / nw)
+        cf = cf_c.copy()
+        if p.trend:
+            cf[:, 0] = cf_c[:, 0] - cf_c[:, 1] * c
+        return cf, rm
+
     def score_obs(pos, run_start_pos):
         """Scalar score + residual for one obs (run extension / dynamic rmse)."""
         if p.dynamic_rmse:
@@ -186,7 +280,7 @@ def ccdc_fit(t: np.ndarray, Y: np.ndarray, params: CCDCParams | None = None) -> 
                                coefs, day(pos), p)
         else:
             rm = rmses
-        resid = Y[:, act[pos]] - _predict(day(pos), coefs, p)[:, 0]
+        resid = Y[:, act[pos]] - coefs @ X_full[act[pos]]
         sc = np.sqrt(sum((resid[b] / max(rm[b], p.min_rmse)) ** 2 for b in test_idx))
         return sc, resid
 
@@ -217,6 +311,8 @@ def ccdc_fit(t: np.ndarray, Y: np.ndarray, params: CCDCParams | None = None) -> 
                 continue
             trained = True
             last_fit_end = day(here)
+            sums_reset(start, here)
+            last_sum_end = here + 1
 
         # --- W3 monitor, block-vectorized ------------------------------------
         # Between refits the model is FIXED, so scores for a whole block of
@@ -234,7 +330,12 @@ def ccdc_fit(t: np.ndarray, Y: np.ndarray, params: CCDCParams | None = None) -> 
             # sequential formulation; B below is the first position where
             # it could fire, so checking at block starts is equivalent).
             if day(i - 1) - last_fit_end >= p.retrain_time:
-                _, coefs, rmses = fit_window(start, i - 1)
+                if fast_ols:
+                    sums_add(last_sum_end, i - 1)
+                    last_sum_end = i
+                    coefs, rmses = fit_from_sums()
+                else:
+                    _, coefs, rmses = fit_window(start, i - 1)
                 last_fit_end = day(i - 1)
 
             prev_days = t[act[i - 1 : len(act) - 1]]
@@ -252,9 +353,7 @@ def ccdc_fit(t: np.ndarray, Y: np.ndarray, params: CCDCParams | None = None) -> 
                     over[q] = sc_q > p.threshold
                     blk_resid[:, q] = r_q
             else:
-                Xb = harmonic_design(t[blk], order=p.harmonic_order,
-                                     period=p.period, trend=p.trend)
-                blk_resid = Y[:, blk] - coefs @ Xb.T
+                blk_resid = Y[:, blk] - coefs @ X_full[blk].T
                 denom = np.maximum(rmses, p.min_rmse)
                 sc = np.sqrt(sum((blk_resid[b] / denom[b]) ** 2 for b in test_idx))
                 over = sc > p.threshold

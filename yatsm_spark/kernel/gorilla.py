@@ -85,12 +85,12 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
     w.write(int(ts[0]) & (1 << 64) - 1, 64)
     if n == 1:
         return w.getvalue()
-    first_delta = int(ts[1]) - int(ts[0])
+    first_delta = _wrap64(int(ts[1]) - int(ts[0]))
     w.write(first_delta & (1 << 64) - 1, 64)
     prev_delta = first_delta
     for i in range(2, n):
-        delta = int(ts[i]) - int(ts[i - 1])
-        dod = delta - prev_delta
+        delta = _wrap64(int(ts[i]) - int(ts[i - 1]))
+        dod = _wrap64(delta - prev_delta)
         prev_delta = delta
         if dod == 0:
             w.write(0, 1)
@@ -110,6 +110,13 @@ def _to_signed64(u: int) -> int:
     return u - (1 << 64) if u >= (1 << 63) else u
 
 
+def _wrap64(v: int) -> int:
+    """Two's-complement wrap to int64 — delta/dod intermediates can exceed
+    the int64 range even when every timestamp fits (e.g. deltas of ±2^62);
+    wrapping keeps encode/decode consistent for the full int64 domain."""
+    return ((v + (1 << 63)) & ((1 << 64) - 1)) - (1 << 63)
+
+
 def decode_timestamps(data: bytes) -> np.ndarray:
     r = BitReader(data)
     n = r.read(32)
@@ -120,7 +127,7 @@ def decode_timestamps(data: bytes) -> np.ndarray:
     if n == 1:
         return out
     prev_delta = _to_signed64(r.read(64))
-    out[1] = out[0] + prev_delta
+    out[1] = _wrap64(int(out[0]) + prev_delta)
     for i in range(2, n):
         if r.read(1) == 0:
             dod = 0
@@ -132,8 +139,8 @@ def decode_timestamps(data: bytes) -> np.ndarray:
                     break
             else:
                 dod = _to_signed64(r.read(64))
-        prev_delta += dod
-        out[i] = out[i - 1] + prev_delta
+        prev_delta = _wrap64(prev_delta + dod)
+        out[i] = _wrap64(int(out[i - 1]) + prev_delta)
     return out
 
 

@@ -54,7 +54,11 @@ CONV_PARAMS = CCDCParams(
     period=1.0,               # daily cycle, in days
     harmonic_order=1,
     screening=None,           # rollup zeros are real observations
-    min_rmse=0.5,             # turn-count units; avoids 0-rmse blowups
+    # Floor the score denominator at 1.0 turn: counts are Poisson-ish, so
+    # per-slot sd >= 1 whenever the rate is >= 1 — a lower floor makes
+    # quiet windows hair-trigger (every burst = "break"), yielding
+    # hundreds of meaningless segments per conv on bench data.
+    min_rmse=1.0,
 )
 
 
@@ -66,12 +70,20 @@ def change_scores(
     filled: DataFrame,
     measure: str = "turn_count",
     params: CCDCParams | None = None,
+    densify: bool = False,
+    step_seconds: int = 60,
 ) -> DataFrame:
-    """Segments table from a gap-filled rollup tier.
+    """Segments table from a rollup tier.
 
     measure: any rollup column; counts treat gap slots as real zeros,
     stat measures (null on gap slots) are dropped before fitting (the
     kernel must never see NaN — see .claude/skills/verify/SKILL.md).
+
+    densify=True accepts the SPARSE tier and reindexes each conv onto the
+    dense slot grid INSIDE the kernel (kernel/gapfill.py) — the scale path:
+    the group shuffle then moves only real slots (~1/8 of dense volume at
+    bench skew) and the zeros are materialized post-shuffle in numpy.
+    Output is identical to feeding the gap-filled tier (tested).
     """
     p = params or CONV_PARAMS
     p_dict = asdict(p)
@@ -82,10 +94,19 @@ def change_scores(
 
     def fit_conv(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("window_start", kind="stable")
-        y = pdf[measure].to_numpy(dtype=np.float64)
+        y = pdf[measure].to_numpy(dtype=np.float64, na_value=np.nan)
         # datetime64 unit varies (ns via Arrow, us elsewhere) — normalize to
         # epoch seconds explicitly; slots are whole minutes so this is exact.
-        t = pdf["window_start"].to_numpy().astype("datetime64[s]").astype(np.int64) / 86400.0
+        epochs = pdf["window_start"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        if densify and len(epochs):
+            from yatsm_spark.kernel.gapfill import gapfill_slots
+
+            counts_like = measure.endswith("_count")
+            vals = y.astype(np.int64) if counts_like and not np.isnan(y).any() else y
+            dense = gapfill_slots(epochs, {"y": vals}, step=step_seconds)
+            epochs = dense["slot_epoch"]
+            y = dense["y"].astype(np.float64)
+        t = epochs / 86400.0
         ok = ~np.isnan(y)
         t, y = t[ok], y[ok]
         kp = CCDCParams(**p_dict)

@@ -99,11 +99,43 @@ def _decode_values(buf: bytes, n: int) -> dict[str, np.ndarray]:
     return out
 
 
-def encode_chunks(rollup: DataFrame, tier: str, chunk_points: int = 4096) -> DataFrame:
-    """Rollup tier -> compressed chunk rows (one shuffle on conv_id)."""
+def encode_chunks(rollup: DataFrame, tier: str, chunk_points: int = 4096,
+                  densify: bool = False) -> DataFrame:
+    """Rollup tier -> compressed chunk rows (one shuffle on conv_id).
+
+    densify=True accepts the SPARSE tier and reindexes each conv onto the
+    dense slot grid in the kernel (counts 0, stats null, gap_filled true)
+    before encoding — gap slots then cost ~1 bit each in the codec instead
+    of a shuffled row each. Output chunks are identical to encoding the
+    gap-filled tier (tested)."""
+    from yatsm_spark.operators.rollup import TIERS
+
+    step = TIERS[tier]
+    count_cols = [m for m in MEASURES if m.endswith("_count")]
+    stat_cols = [m for m in MEASURES if not m.endswith("_count")]
+
+    def _densify(pdf: pd.DataFrame) -> pd.DataFrame:
+        from yatsm_spark.kernel.gapfill import gapfill_slots
+
+        epochs = pdf["window_start"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        vals = {c: pdf[c].to_numpy(dtype=np.int64) for c in count_cols}
+        vals.update({c: pdf[c].to_numpy(dtype=np.float64, na_value=np.nan) for c in stat_cols})
+        dense = gapfill_slots(epochs, vals, step=step)
+        out = pd.DataFrame({
+            "conv_id": pdf["conv_id"].iloc[0],
+            "window_start": dense["slot_epoch"].astype("datetime64[s]").astype("datetime64[us]"),
+            "gap_filled": dense["gap_filled"],
+        })
+        for c in count_cols:
+            out[c] = dense[c]
+        for c in stat_cols:
+            out[c] = dense[c]
+        return out
 
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("window_start", kind="stable")
+        if densify and len(pdf):
+            pdf = _densify(pdf)
         rows = []
         for lo in range(0, len(pdf), chunk_points):
             c = pdf.iloc[lo : lo + chunk_points]

@@ -76,43 +76,94 @@ def rollup_from_turns(measures: DataFrame, tier: str = "1m") -> DataFrame:
     )
 
 
+def rollup_from_turns_salted(measures: DataFrame, tier: str = "1m",
+                             n_salts: int = 16) -> DataFrame:
+    """A6 with EXPLICIT skew salting (SURVEY.md §4 partitioning row; the
+    graft replacement for distribute_jobs' interleaving).
+
+    Spark's hash agg already partial-aggregates map-side, which handles
+    most skew; the explicit salt matters when ONE (conv, window) key is hot
+    — a mega-conversation rolled into a coarse tier (1d) can put millions
+    of turns behind a single reduce key. Phase 1 groups by (key, salt) —
+    salt from turn_idx, so placement is deterministic — phase 2 merges the
+    ≤ n_salts partials per key. All moments are decomposable, so the result
+    is bit-identical to the unsalted rollup (tested)."""
+    sec = TIERS[tier]
+    salt = F.pmod(F.xxhash64("turn_idx"), F.lit(n_salts))
+    partial = (
+        measures
+        .groupBy("conv_id", _slot(F.col("ts"), sec).alias("window_start"),
+                 salt.alias("_salt"))
+        .agg(
+            F.count(F.lit(1)).alias("turn_count"),
+            F.sum("token_len").alias("token_len_sum"),
+            F.min("token_len").alias("token_len_min"),
+            F.max("token_len").alias("token_len_max"),
+            F.sum(F.col("token_len") * F.col("token_len")).alias("token_len_sumsq"),
+            F.sum("is_tool_call").cast("long").alias("tool_call_count"),
+            F.sum((F.col("role") == "user").cast("long")).alias("role_user_count"),
+            F.sum((F.col("role") == "assistant").cast("long")).alias("role_assistant_count"),
+            F.sum((~F.col("role").isin("user", "assistant")).cast("long")).alias("role_other_count"),
+        )
+    )
+    return (
+        partial.groupBy("conv_id", "window_start")
+        .agg(
+            F.sum("turn_count").alias("turn_count"),
+            F.sum("token_len_sum").alias("token_len_sum"),
+            F.min("token_len_min").alias("token_len_min"),
+            F.max("token_len_max").alias("token_len_max"),
+            F.sum("token_len_sumsq").alias("token_len_sumsq"),
+            F.sum("tool_call_count").alias("tool_call_count"),
+            F.sum("role_user_count").alias("role_user_count"),
+            F.sum("role_assistant_count").alias("role_assistant_count"),
+            F.sum("role_other_count").alias("role_other_count"),
+        )
+        .withColumn("gap_filled", F.lit(False))
+        .select("conv_id", "window_start", *MEASURES, "gap_filled")
+    )
+
+
 def gapfill(rollup: DataFrame, tier: str = "1m") -> DataFrame:
     """W8: densify each conv's [min_slot, max_slot] span.
 
-    The span comes from a window min/max over the conv partition (reuses the
-    rollup's existing conv-hash distribution — no extra join against a spans
-    table), then sequence+explode emits the grid and a left join attaches
-    the sparse rows. Gap rows: counts 0, stats null, gap_filled true.
+    Gap rows are the HOLES between consecutive real slots, found with one
+    lag() window over the sparse tier and emitted by sequence+explode, then
+    UNION ALL'd back. Decisive property at scale: the only exchange is the
+    window's shuffle of the SPARSE rows (~1/8 of the dense output at bench
+    skew); the dense gap rows are generated after the shuffle and flow
+    straight into the sink / consumer without ever being exchanged. (An
+    earlier grid+left-join formulation shuffled AND sorted the full dense
+    tier — 8x more exchange volume, and SMJ sorted 300M rows at sf0.1.)
 
-    Skew note: explode of a mega-conv's span produces (span/tier) rows in
-    one partition's tasks; the grid side is then joined on the composite
-    (conv_id, window_start) key, which re-shuffles fine-grained — AQE skew
-    handling splits any residual hot partition.
+    Span endpoints are real slots by construction, so hole-filling equals
+    grid-filling over [min, max] exactly.
     """
+    from pyspark.sql import Window
+
     sec = TIERS[tier]
-    # Spans via groupBy (partial-agg, tiny output), NOT a window function —
-    # a window would sort the whole tier inside each conv partition; the
-    # hash agg streams it. The grid explode then happens on the small spans
-    # relation and re-shuffles only grid rows.
-    spans = rollup.groupBy("conv_id").agg(
-        F.min("window_start").alias("span_min"),
-        F.max("window_start").alias("span_max"),
-    )
-    grid = spans.select(
-        "conv_id",
-        F.explode(
-            F.sequence("span_min", "span_max", F.expr(f"INTERVAL {sec} SECONDS"))
-        ).alias("window_start"),
-    )
-    joined = grid.join(rollup, on=["conv_id", "window_start"], how="left")
-    fill = [F.coalesce(c, F.lit(0)).alias(c) for c in
+    w = Window.partitionBy("conv_id").orderBy("window_start")
+    base = rollup.withColumn("_prev", F.lag("window_start").over(w))
+    step = F.expr(f"INTERVAL {sec} SECONDS")
+    zero = [F.lit(0).cast("long").alias(c) for c in
             ("turn_count", "tool_call_count", "role_user_count",
              "role_assistant_count", "role_other_count")]
-    keep_null = ["token_len_sum", "token_len_min", "token_len_max", "token_len_sumsq"]
-    return joined.select(
-        "conv_id", "window_start", *fill, *keep_null,
-        F.coalesce("gap_filled", F.lit(True)).alias("gap_filled"),
-    ).select("conv_id", "window_start", *MEASURES, "gap_filled")
+    nulls = [F.lit(None).cast("long").alias(c) for c in
+             ("token_len_sum", "token_len_min", "token_len_max", "token_len_sumsq")]
+    gaps = (
+        base
+        .where(F.col("_prev").isNotNull()
+               & (F.unix_timestamp("window_start") - F.unix_timestamp("_prev") > sec))
+        .select(
+            "conv_id",
+            F.explode(F.sequence(F.col("_prev") + step,
+                                 F.col("window_start") - step, step)).alias("window_start"),
+            *zero, *nulls, F.lit(True).alias("gap_filled"),
+        )
+        .select("conv_id", "window_start", *MEASURES, "gap_filled")
+    )
+    return base.drop("_prev").select("conv_id", "window_start", *MEASURES, "gap_filled") \
+        .unionByName(gaps)
 
 
 def rollup_gapfilled(measures: DataFrame, tier: str = "1m") -> DataFrame:

@@ -105,32 +105,38 @@ def run_pipeline(
         if resume and ckpt.is_done("bucket", b, fp):
             continue
         t = time.time()
-        filled = R.gapfill(R.rollup_from_turns(bm, "1m"), "1m").cache()
-        rows = {"rollup_1m": filled.count()}
-        store.write_bucket(filled, "tier_1m", b)
+        # Sparse-first dataflow: every shuffle moves only REAL slots; the
+        # dense (gap-filled) tiers are generated post-shuffle on the write
+        # path, and the kernels densify per conv in numpy. At bench skew
+        # the dense tier is ~8x the sparse one — none of it is exchanged.
+        sparse = R.rollup_from_turns(bm, "1m").cache()
+        rows = {"rollup_1m_sparse": sparse.count()}
+        store.write_bucket(R.gapfill(sparse, "1m"), "tier_1m", b)
+        rows["rollup_1m"] = spark.read.parquet(
+            os.path.join(store.path("tier_1m"), f"bucket={b}")).count()
 
-        prev = filled
+        prev = sparse
         for tier_from, tier_to in (("1m", "1h"), ("1h", "1d")):
             if tier_to not in cfg.tiers:
                 continue
             nxt = cascade(prev, tier_from, tier_to).cache()
             rows[f"rollup_{tier_to}"] = nxt.count()
-            store.write_bucket(nxt, f"tier_{tier_to}", b)
+            store.write_bucket(R.gapfill(nxt, tier_to), f"tier_{tier_to}", b)
             prev = nxt
 
         if cfg.segments:
-            segs = change_scores(filled, "turn_count", CONV_PARAMS)
+            segs = change_scores(sparse, "turn_count", CONV_PARAMS, densify=True)
             store.write_bucket(segs, "segments", b)
             rows["segments"] = spark.read.parquet(
                 os.path.join(store.path("segments"), f"bucket={b}")).count()
 
         if cfg.compress:
-            chunks = encode_chunks(filled, "1m", cfg.chunk_points)
+            chunks = encode_chunks(sparse, "1m", cfg.chunk_points, densify=True)
             store.write_bucket(chunks, "chunks_1m", b)
             rows["chunks_1m"] = spark.read.parquet(
                 os.path.join(store.path("chunks_1m"), f"bucket={b}")).count()
 
-        filled.unpersist()
+        sparse.unpersist()
         m = ckpt.commit("bucket", b, fp, rows.get("rollup_1m", 0),
                         (time.time() - t) * 1000, **rows)
         metrics.buckets.append(m)
