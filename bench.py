@@ -87,6 +87,29 @@ def main():
 
     headline = timed("rollup_cascade_full", rollup_path)
 
+    if os.environ.get("BENCH_FULL_JOB"):
+        # The complete north-star job: tiers + CCDC change scores + Gorilla
+        # chunks (this is what "turns rolled up per second" buys you).
+        def full_job():
+            rollup_path()
+            # re-read AFTER the overwrite (file listings are cached per DF)
+            sparse = spark.read.parquet(f"{work}/sparse_1m")
+            sink(change_scores(sparse, densify=True))
+            sink(encode_chunks(sparse, "1m", densify=True))
+
+        job = timed("engine_job_full", full_job)
+        print(json.dumps({
+            "metric": "engine_job_full_wall",
+            "value": round(job, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "cpus": CPUS,
+            "n_turns": n_turns,
+            "turns_rolled_per_sec": round(n_turns / job, 1),
+        }))
+        return
+
     if os.environ.get("BENCH_HEADLINE_ONLY"):
         print(json.dumps({
             "metric": "rollup_cascade_full_wall",

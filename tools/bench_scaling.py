@@ -26,7 +26,7 @@ def run(cmd, cpus):
     # long-running cluster job looks like and what the N->4N efficiency
     # criterion is about. JVMs are still cold per (rep, cpus) subprocess.
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR, SPARK_GRAFT_CPUS=str(cpus),
-               BENCH_HEADLINE_ONLY="1", BENCH_REPS="2")
+               BENCH_FULL_JOB="1", BENCH_REPS="2")
     p = subprocess.run([sys.executable, cmd], env=env, capture_output=True, text=True,
                        cwd=REPO, timeout=3600)
     if p.returncode != 0:
