@@ -55,7 +55,8 @@ def main():
 
     filled = gapfill(r1, "1m")
     audit("gapfill (W8)", filled, [
-        ("explode of sequence grid", "Generate explode", True),
+        ("gap rows via Generate (explode), not a join", "Generate", True),
+        ("sparse+gaps union", "Union", True),
         ("no cartesian product", "CartesianProduct", False),
     ])
 
@@ -85,7 +86,7 @@ def main():
         ("query side broadcast", "BroadcastNestedLoopJoin", True),
     ])
     audit("token_counts (pure codegen)", qs["token_counts"](spark, SF_DIR), [
-        ("whole-stage codegen", "WholeStageCodegen", True),
+        ("whole-stage codegen", "codegen id", True),
         ("no Python UDF in plan", "BatchEvalPython", False),
         ("no Arrow eval either (pure JVM)", "ArrowEvalPython", False),
     ])
