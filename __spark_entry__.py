@@ -147,18 +147,13 @@ def q_tx_changemap(spark, sf_dir):
 
 
 def q_tx_asof(spark, sf_dir):
-    """J3 as-of: last turn at/before a fixed instant per conv."""
+    """J3 as-of: last turn at/before a fixed instant per conv
+    (deterministic pick: ts desc, then turn_idx desc on ties)."""
     from yatsm_spark.operators.joins import asof_latest
 
     tx = _tx(spark, sf_dir).select("conv_id", "turn_idx", "role", "ts")
-    # deterministic pick: order by ts desc then turn_idx desc
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("conv_id").orderBy(F.col("ts").desc(), F.col("turn_idx").desc())
-    return (
-        tx.filter(F.col("ts") <= F.lit("2025-01-16 00:00:00"))
-        .withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
-    )
+    return asof_latest(tx, "conv_id", "ts", "2025-01-16 00:00:00",
+                       tie_break=["turn_idx"])
 
 
 def q_tx_interval_join(spark, sf_dir):
@@ -181,14 +176,21 @@ def q_tx_interval_join(spark, sf_dir):
 
 def q_tx_segments(spark, sf_dir):
     """W9 CCDC segments — sequential kernel, no SQL twin (rows-only check);
-    exact semantics pinned by tests/test_ccdc_kernel.py goldens."""
+    exact semantics pinned by tests/test_ccdc_kernel.py goldens.
+
+    `coef` (array<double>) is projected through round+to_json so the
+    driver's pandas canonicalizer can sort/hash it (lists are unhashable —
+    CORRECTNESS_r01 `tx_segments` err)."""
     from yatsm_spark.ingest import with_measures
     from yatsm_spark.operators.changescore import change_scores
     from yatsm_spark.operators.rollup import rollup_gapfilled
 
     tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000300")
     filled = rollup_gapfilled(with_measures(tx), "1m")
-    return change_scores(filled)
+    segs = change_scores(filled)
+    return segs.withColumn(
+        "coef", F.to_json(F.transform(F.col("coef"), lambda x: F.round(x, 6)))
+    )
 
 
 def q_tx_codec_roundtrip(spark, sf_dir):
@@ -283,14 +285,12 @@ def q_orders_changemap(spark, sf_dir):
 
 
 def q_orders_asof(spark, sf_dir):
-    from pyspark.sql import Window
+    from yatsm_spark.operators.joins import asof_latest
 
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") <= F.lit("1997-01-01"))
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
-    return (
-        o.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
-        .select("o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate")
-    )
+    o = _t(spark, sf_dir, "orders")
+    return asof_latest(o, "o_custkey", "o_orderdate", "1997-01-01",
+                       tie_break=["o_orderkey"]).select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate")
 
 
 def q_orders_pairing(spark, sf_dir):
@@ -434,10 +434,19 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """mapInPandas feature extraction (stubbed decode) — rows-only check."""
+    """mapInPandas feature extraction (stubbed decode) — rows-only check.
+
+    `feature` (array<float>) is hashed to a scalar (sha256 of its rounded
+    json) so the driver canonicalizer can sort/hash the frame
+    (CORRECTNESS_r01 `multimodal_features` err)."""
     from yatsm_spark.operators.multimodal import as_media_table, extract_features
 
-    return extract_features(as_media_table(_t(spark, sf_dir, "documents")))
+    feats = extract_features(as_media_table(_t(spark, sf_dir, "documents")))
+    return feats.withColumn(
+        "feature",
+        F.sha2(F.to_json(F.transform(F.col("feature"),
+                                     lambda x: F.round(x.cast("double"), 6))), 256),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -714,18 +723,21 @@ def oracle_sql() -> dict[str, str]:
                      min(md5('2' || '|' || shingle)) AS sig_2,
                      min(md5('3' || '|' || shingle)) AS sig_3
               FROM sh GROUP BY doc_id),
-            banded AS (
+            banded0 AS (
               SELECT doc_id, '0_' || sig_0 || '_' || sig_1 AS band_key FROM sig
               UNION ALL
-              SELECT doc_id, '1_' || sig_2 || '_' || sig_3 AS band_key FROM sig)
+              SELECT doc_id, '1_' || sig_2 || '_' || sig_3 AS band_key FROM sig),
+            bandok AS (SELECT band_key FROM banded0 GROUP BY band_key
+                       HAVING count(*) <= 1000),
+            banded AS (SELECT banded0.* FROM banded0 JOIN bandok USING (band_key))
             SELECT DISTINCT a.doc_id::long AS doc_a, b.doc_id::long AS doc_b
             FROM banded a JOIN banded b
               ON a.band_key = b.band_key AND a.doc_id < b.doc_id
         """,
         "ngram_jaccard": shingles + """
-            , sizes AS (SELECT doc_id, count(*)::long AS sz FROM sh GROUP BY doc_id),
-            freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+            , freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
             shf AS (SELECT sh.* FROM sh JOIN freq USING (shingle)),
+            sizes AS (SELECT doc_id, count(*)::long AS sz FROM shf GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::long AS inter
               FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -853,10 +865,12 @@ def _embedding_oracles() -> dict[str, str]:
                   FROM embeddings)
         """,
         "lsh_pairs": f"""
-            WITH b AS (
+            WITH b0 AS (
               SELECT vec_id, ({bucket})::long AS bucket
               FROM (SELECT vec_id, list_transform(embedding, x -> x::double) AS v
-                    FROM embeddings))
+                    FROM embeddings)),
+            bok AS (SELECT bucket FROM b0 GROUP BY bucket HAVING count(*) <= 1000),
+            b AS (SELECT b0.* FROM b0 JOIN bok USING (bucket))
             SELECT l.vec_id AS id_a, r.vec_id AS id_b, l.bucket
             FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
         """,

@@ -3,7 +3,6 @@ row): kill after k buckets, resume, outputs identical to an uninterrupted
 run — the graft's hardened version of `yatsm line --resume`."""
 
 import os
-import shutil
 
 import pytest
 
@@ -65,17 +64,28 @@ def test_manifests_record_lineage_and_metrics(spark, tx, tmp_path_factory):
 
 
 def test_changed_input_invalidates_bucket(spark, tx, tmp_path_factory):
+    """Resume with a CHANGED input and no manual cache clearing: the staging
+    fingerprint (computed from the raw transcripts) must differ, forcing
+    re-staging, and the per-bucket fingerprints then differ too, forcing
+    bucket recompute. Round-1 ADVICE (medium): a constant staging
+    fingerprint silently skipped every bucket on changed input."""
     w = str(tmp_path_factory.mktemp("inval"))
     cfg = PipelineConfig(workdir=w, n_buckets=2, compress=False, segments=False)
     run_pipeline(spark, tx, cfg, resume=False)
-    # New input (one conv more) -> fingerprints differ -> buckets recompute.
+    # New input (one conv more) -> fingerprints differ -> buckets recompute,
+    # WITHOUT any manual staging/manifest invalidation.
     tx2 = generate_transcripts(spark, 31, seed=3, max_turns=1500)
-    # force staging rebuild: clear its manifest + dir (input changed)
-    shutil.rmtree(os.path.join(w, "staging_measures"))
-    from yatsm_spark.checkpoint import CheckpointManager
-
-    CheckpointManager(w).clear()
     m = run_pipeline(spark, tx2, cfg, resume=True)
     assert len(m.buckets) >= 1
     total = _table(spark, w, "tier_1m").select("conv_id").distinct().count()
     assert total == 31
+
+
+def test_unchanged_input_resume_skips_everything(spark, tx, tmp_path_factory):
+    """Resume with IDENTICAL input must skip all buckets (fingerprints
+    match) — the flip side of invalidation."""
+    w = str(tmp_path_factory.mktemp("skip"))
+    cfg = PipelineConfig(workdir=w, n_buckets=2, compress=False, segments=False)
+    run_pipeline(spark, tx, cfg, resume=False)
+    m = run_pipeline(spark, tx, cfg, resume=True)
+    assert len(m.buckets) == 0

@@ -38,7 +38,7 @@ def text_fingerprint(transcripts: DataFrame) -> str:
     (turn_idx, hash) structs gives deterministic intra-conv order without a
     global sort). Layer 2 reduces one short row per conv.
     The same construction is reproduced by the duckdb/pandas twin in
-    tests/test_ingest.py, so source-vs-ingested equality is checkable on
+    tests/test_rollup_spark.py, so source-vs-ingested equality is checkable on
     both sides.
     """
     per_conv = (

@@ -65,9 +65,18 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 8, shingle_n: int = 3,
 
 
 def minhash_candidates(docs: DataFrame, n_hashes: int = 8, bands: int = 4,
-                       shingle_n: int = 3, text_col: str = "text") -> DataFrame:
+                       shingle_n: int = 3, text_col: str = "text",
+                       max_band_size: int = 1000) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become candidate
-    pairs (a < b). rows_per_band = n_hashes / bands."""
+    pairs (a < b). rows_per_band = n_hashes / bands.
+
+    max_band_size caps the self-join blast radius: a band bucket with m
+    members emits m(m-1)/2 pairs, so one degenerate key (e.g. a boilerplate
+    signature shared by millions of near-empty docs) would go quadratic at
+    corpus scale. Buckets over the cap are dropped BEFORE the join — the
+    same stop-key discipline as ngram_jaccard_pairs' max_shingle_freq.
+    Members of a dropped bucket can still pair through their other bands.
+    """
     rows = n_hashes // bands
     sig = minhash_signatures(docs, n_hashes, shingle_n, text_col)
     band_cols = [
@@ -75,6 +84,10 @@ def minhash_candidates(docs: DataFrame, n_hashes: int = 8, bands: int = 4,
         for b in range(bands)
     ]
     banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+    band_ok = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("bsz")).filter(
+        F.col("bsz") <= max_band_size
+    )
+    banded = banded.join(F.broadcast(band_ok.select("band_key")), "band_key")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -87,18 +100,22 @@ def minhash_candidates(docs: DataFrame, n_hashes: int = 8, bands: int = 4,
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, shingle_n: int = 3,
                         text_col: str = "text", max_shingle_freq: int = 1000) -> DataFrame:
-    """Exact word-shingle Jaccard over shingle-sharing pairs.
+    """Word-shingle Jaccard over shingle-sharing pairs, computed on the
+    frequency-capped shingle universe.
 
-    |A∩B| from the shingle self-join; |A|,|B| joined from per-doc counts;
-    J = inter / (|A|+|B|-inter). max_shingle_freq drops stop-shingles —
-    the skew cap that keeps the self-join tractable on web corpora.
+    max_shingle_freq drops stop-shingles (document frequency > cap) — the
+    skew cap that keeps the self-join tractable on web corpora. BOTH the
+    intersections |A∩B| AND the set sizes |A|,|B| are computed on the same
+    capped universe, so J = inter/(|A|+|B|-inter) is the exact Jaccard of
+    the capped sets (round-1 ADVICE: mixing capped intersections with
+    uncapped sizes silently underestimates J whenever the cap fires).
     """
     sh = word_shingles(docs, shingle_n, text_col).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     freq_ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= max_shingle_freq
     )
     shf = sh.join(F.broadcast(freq_ok.select("shingle")), "shingle")
+    sizes = shf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = shf.alias("a"), shf.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))

@@ -19,11 +19,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def asof_latest(records: DataFrame, key: str, order_col: str, at) -> DataFrame:
+def asof_latest(records: DataFrame, key: str, order_col: str, at,
+                tie_break: list[str] | None = None) -> DataFrame:
     """The record per key with the greatest order_col <= at (as-of pick).
-    Deterministic tie-break on every remaining column via a stable
-    secondary sort on the key's natural order column list."""
-    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+
+    tie_break: extra columns sorted DESC after order_col to make the pick
+    deterministic when rows tie on order_col (e.g. ["turn_idx"]). Without
+    it, ties are broken by whatever order the shuffle produced — fine only
+    when order_col is unique per key."""
+    order = [F.col(order_col).desc()] + [F.col(c).desc() for c in (tie_break or [])]
+    w = Window.partitionBy(key).orderBy(*order)
     return (
         records.filter(F.col(order_col) <= F.lit(at))
         .withColumn("__rn", F.row_number().over(w))

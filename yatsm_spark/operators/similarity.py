@@ -84,10 +84,21 @@ def hyperplane_buckets(
 
 
 def lsh_candidate_pairs(embeddings: DataFrame, n_planes: int = 8,
-                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        max_bucket_size: int = 1000) -> DataFrame:
     """ANN candidate pairs: same hyperplane bucket, a < b. Join is within
-    buckets only — the corpus never self-joins at full width."""
+    buckets only — the corpus never self-joins at full width.
+
+    max_bucket_size drops buckets whose membership exceeds the cap before
+    the self-join: an m-member bucket emits m(m-1)/2 pairs, so one
+    degenerate bucket (e.g. the all-zeros region of the embedding space)
+    would go quadratic at 10^9 vectors. The standard fix is more planes /
+    multi-probe for those regions; the cap bounds the damage meanwhile."""
     b = hyperplane_buckets(embeddings, n_planes, id_col, vec_col)
+    bucket_ok = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz")).filter(
+        F.col("bsz") <= max_bucket_size
+    )
+    b = b.join(F.broadcast(bucket_ok.select("bucket")), "bucket")
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket"))

@@ -7,7 +7,7 @@ jobs with file-existence resume. The graft distributes CONV BUCKETS
 internally parallel across the cluster, each committing an atomic bucket
 partition + checkpoint manifest. Kill the process after k buckets and rerun:
 completed buckets are skipped and the final tables are bit-identical to an
-uninterrupted run (tests/test_checkpoint.py; BASELINE.md resumability row).
+uninterrupted run (tests/test_pipeline.py; BASELINE.md resumability row).
 
 Why a bucket loop at all (vs one giant job): it bounds the blast radius of
 failure at 10^12 turns, gives natural per-partition lineage/metrics, and
@@ -85,13 +85,19 @@ def run_pipeline(
     # --- stage 0: bucketed staging of per-turn measures ---------------------
     # One full-input pass; partitionBy(bucket) so each bucket job reads only
     # its own files afterwards (partition pruning on the parquet layout).
+    # The staging manifest is fingerprinted from the RAW transcripts: on
+    # resume with a changed input dataset, staging re-runs and the stale
+    # staged parquet is overwritten — without this the per-bucket
+    # fingerprints would be computed from stale staged files, match the old
+    # manifests, and silently skip every bucket (round-1 ADVICE, medium).
     staging = "staging_measures"
-    if not (resume and store.exists(staging) and ckpt.is_done("staging", -1, "static")):
+    stage_fp = _input_fingerprint(transcripts)
+    if not (resume and store.exists(staging) and ckpt.is_done("staging", -1, stage_fp)):
         measures = with_bucket(with_measures(transcripts), cfg.n_buckets)
         t = time.time()
         store.write(measures, staging, partition_by=("bucket",))
         n = spark.read.parquet(store.path(staging)).count()
-        ckpt.commit("staging", -1, "static", n, (time.time() - t) * 1000)
+        ckpt.commit("staging", -1, stage_fp, n, (time.time() - t) * 1000)
     metrics.staged_turns = spark.read.parquet(store.path(staging)).count()
 
     # --- per-bucket stage graph ---------------------------------------------
