@@ -65,3 +65,58 @@ def test_online_monitor_fires_on_shift(spark, tmp_path):
     shift_ts = base + pd.Timedelta(minutes=60)
     assert abs((first["alert_ts"] - shift_ts).total_seconds()) <= 10 * 60
     assert first["baseline_rate"] < 4
+
+
+def _monitor_reference(rates, state, threshold, consecutive, min_train):
+    """Scalar per-row replay of the monitor semantics — the ground truth
+    monitor_scan must reproduce exactly (it was the shipped round-1 loop)."""
+    n, s, ss, consec = state
+    alerts = []
+    for i, rate in enumerate(float(r) for r in rates):
+        if n >= min_train:
+            mean = s / n
+            var = max(ss / n - mean * mean, 1e-9)
+            z = abs(rate - mean) / (var ** 0.5)
+            if z > threshold:
+                consec += 1
+                if consec >= consecutive:
+                    alerts.append((i, z, mean))
+                    n, s, ss, consec = 0, 0.0, 0.0, 0
+                    continue
+                continue
+            consec = 0
+        n += 1
+        s += rate
+        ss += rate * rate
+    return alerts, (n, s, ss, consec)
+
+
+def test_monitor_scan_matches_scalar_reference():
+    import numpy as np
+
+    from yatsm_spark.streaming.stream_rollup import monitor_scan
+
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        # regime-switching Poisson rates: quiet -> burst -> quiet, random cuts
+        parts = []
+        for _ in range(rng.integers(1, 5)):
+            lam = float(rng.choice([1.0, 2.0, 20.0, 50.0]))
+            parts.append(rng.poisson(lam, size=int(rng.integers(5, 200))))
+        rates = np.concatenate(parts).astype(float)
+        # split into batches to exercise state carry-over
+        cuts = sorted(rng.integers(0, len(rates), size=int(rng.integers(0, 3))))
+        state_a = state_b = (0, 0.0, 0.0, 0)
+        got_all, want_all = [], []
+        lo = 0
+        for hi in list(cuts) + [len(rates)]:
+            batch = rates[lo:hi]
+            got, state_a = monitor_scan(batch, state_a, 3.55, 5, 16)
+            want, state_b = _monitor_reference(batch, state_b, 3.55, 5, 16)
+            got_all.extend((lo + j, z, m) for j, z, m in got)
+            want_all.extend((lo + j, z, m) for j, z, m in want)
+            lo = hi
+        assert [(j, round(z, 9), round(m, 9)) for j, z, m in got_all] == \
+               [(j, round(z, 9), round(m, 9)) for j, z, m in want_all], trial
+        assert state_a[0] == state_b[0] and state_a[3] == state_b[3]
+        assert abs(state_a[1] - state_b[1]) < 1e-6 and abs(state_a[2] - state_b[2]) < 1e-3

@@ -7,7 +7,7 @@ hot path the engine uses this BLOCK variant of the same two ideas
 (XOR-with-leading/trailing-window, delta-of-delta bucketing), restructured
 so encode AND decode are single-pass numpy:
 
-float block layout (version byte 0x02):
+float block layout (version byte 0xF2):
     [ver:8][n:32][first:64][lead:8][mbits:8]
     [flags: n-1 bits]            1 = xor != 0
     [payloads: nnz * mbits bits] meaningful bits of each nonzero xor
@@ -17,22 +17,35 @@ xor fits one shared window, trading a few bits/point vs per-point windows
 for fully-columnar encode/decode (the standard block-codec variant, cf.
 the VLDB'20 compressed-TS line in PAPERS.md).
 
-timestamp block layout (version byte 0x02):
+timestamp block layout (version byte 0xF3):
     [ver:8][n:32][first:64][first_delta:64]
     [codes: (n-2) * 2 bits]      0: dod=0, 1: 7-bit, 2: 12-bit, 3: 64-bit
     [payloads: variable]         zig-zag dod in the coded width
 
-Bit-exact round-trip (incl. NaN) is enforced by tests/test_gorilla.py for
-both codec families; operators/codec.py writes a version byte so either
-stream is self-describing.
+nullable-int64 block layout (version byte 0xF4):
+    [ver:8][n:32][null flags: n bits, byte-padded]
+    [ts-block stream of the non-null values]
+Integer rollup measures (counts, sums, min/max of int64 token lengths)
+take this path so they round-trip EXACTLY over the full int64 range —
+the float path is exact only below 2^53 (round-1 ADVICE).
+
+Version bytes live in 0xF2..0xF4: the scalar per-point Gorilla stream
+(kernel/gorilla.py) starts with the high byte of its 32-bit point count,
+which encode asserts < 0xF0000000 points, so the first byte of a scalar
+stream can never collide with a block version byte and dispatch-on-first-
+byte (operators/codec.py) is sound (round-1 ADVICE).
+
+Bit-exact round-trip (incl. NaN) is enforced by tests/test_gorilla.py +
+tests/test_codec_property.py for all codec families.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-FLOAT_BLOCK_VER = 2
-TS_BLOCK_VER = 2
+FLOAT_BLOCK_VER = 0xF2
+TS_BLOCK_VER = 0xF3
+INT_BLOCK_VER = 0xF4
 
 _TS_WIDTHS = np.array([0, 7, 12, 64], dtype=np.int64)
 
@@ -123,6 +136,36 @@ def decode_floats_block(data: bytes) -> np.ndarray:
     x[flags] = payl
     np.bitwise_xor.accumulate(np.concatenate([out[:1], x]), out=out)
     return out.view(np.float64)
+
+
+# --- nullable int64 -----------------------------------------------------------
+
+
+def encode_ints_block(vals: np.ndarray, null_mask: np.ndarray | None = None) -> bytes:
+    """Exact int64 block codec: null-flag bitmap + delta-of-delta stream of
+    the non-null values (reuses the timestamp machinery — dod wraps modulo
+    2^64, so ANY int64 series round-trips bit-exactly, unlike the float
+    path which loses integers above 2^53)."""
+    vals = np.asarray(vals, dtype=np.int64)
+    n = len(vals)
+    if null_mask is None:
+        null_mask = np.zeros(n, dtype=bool)
+    header = bytes([INT_BLOCK_VER]) + int(n).to_bytes(4, "big")
+    flags = np.packbits(null_mask.astype(np.uint8)).tobytes()
+    return header + flags + encode_timestamps_block(vals[~null_mask])
+
+
+def decode_ints_block(data: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """-> (values int64 with 0 at null slots, null_mask bool)."""
+    assert data[0] == INT_BLOCK_VER
+    n = int.from_bytes(data[1:5], "big")
+    nflag_bytes = (n + 7) // 8
+    null_mask = np.unpackbits(
+        np.frombuffer(data[5 : 5 + nflag_bytes], dtype=np.uint8))[:n].astype(bool)
+    present = decode_timestamps_block(data[5 + nflag_bytes :])
+    out = np.zeros(n, dtype=np.int64)
+    out[~null_mask] = present
+    return out, null_mask
 
 
 # --- timestamps ---------------------------------------------------------------

@@ -8,9 +8,11 @@ per FIXTURES.md §2.3:
     (conv_id, tier, chunk_start, n_points, ts_codec binary, val_codec binary)
 
 val_codec layout: for each measure in rollup.MEASURES order, a 4-byte
-big-endian length followed by the Gorilla stream of that measure as float64
-(nulls encoded as NaN — bit-exact round-trip, so decode restores nulls).
-gap_filled is packed as a 0/1 float series appended last.
+big-endian length followed by that measure's self-describing stream:
+integer/boolean series use the nullable-int64 block codec (exact over the
+FULL int64 range — the float path is exact only below 2^53, round-1
+ADVICE), float series use the Gorilla XOR stream (nulls as NaN).
+gap_filled is packed as a 0/1 int series appended last.
 
 Bounded chunks (default 4096 points ≈ 2.8 days of 1m) keep a mega-conv from
 producing one giant row; groups stream through applyInPandas per conv.
@@ -31,9 +33,9 @@ from yatsm_spark.operators.rollup import MEASURES
 
 # Default: the vectorized block codecs (kernel/gorilla_vec.py) — the
 # "vectorized Arrow UDF" hot path. Streams are self-describing: block
-# streams start with version byte 0x02; the scalar per-point Gorilla
-# format starts with the high byte of a 32-bit count, which is always 0
-# for chunk-sized inputs, so decode dispatches on the first byte.
+# streams start with a version byte in 0xF2..0xF4; the scalar per-point
+# Gorilla format starts with the high byte of a 32-bit count, which its
+# encoder asserts < 0xF0, so first-byte dispatch cannot misfire.
 
 
 def encode_floats(v):
@@ -42,6 +44,10 @@ def encode_floats(v):
 
 def encode_timestamps(ts):
     return g_vec.encode_timestamps_block(ts)
+
+
+def encode_ints(v, null_mask=None):
+    return g_vec.encode_ints_block(v, null_mask)
 
 
 def decode_floats(data: bytes):
@@ -54,6 +60,14 @@ def decode_timestamps(data: bytes):
     if data and data[0] == g_vec.TS_BLOCK_VER:
         return g_vec.decode_timestamps_block(data)
     return g_scalar.decode_timestamps(data)
+
+
+def decode_series(data: bytes):
+    """-> (values ndarray, null_mask ndarray) for any value stream."""
+    if data and data[0] == g_vec.INT_BLOCK_VER:
+        return g_vec.decode_ints_block(data)
+    v = decode_floats(data)
+    return v, np.isnan(v)
 
 _SERIES = MEASURES + ["gap_filled"]
 
@@ -77,25 +91,34 @@ ROLLUP_SCHEMA = T.StructType(
 def _encode_values(pdf: pd.DataFrame) -> bytes:
     parts = []
     for m in _SERIES:
-        if m == "gap_filled":
-            arr = pdf[m].to_numpy(dtype=np.float64)
+        # Every rollup series is int64 by schema (ROLLUP_SCHEMA pins
+        # LongType; gap_filled is 0/1) — ALWAYS take the int path so the
+        # bytes are canonical no matter which pandas dtype the series
+        # arrived in (Int64 from Arrow, float64+NaN from the in-kernel
+        # densify) — chunk bytes must be identical across both dataflows
+        # (tests/test_changescore.py chunk-identity assertion).
+        s = pdf[m]
+        null = s.isna().to_numpy(dtype=bool)
+        if pd.api.types.is_float_dtype(s):
+            v = s.to_numpy(dtype=np.float64)
+            vals = np.where(null, 0.0, v).astype(np.int64)
         else:
-            arr = pdf[m].to_numpy(dtype=np.float64, na_value=np.nan)
-        enc = encode_floats(arr)
+            vals = s.fillna(0).to_numpy(dtype=np.int64)
+        enc = encode_ints(vals, null)
         parts.append(struct.pack(">I", len(enc)))
         parts.append(enc)
     return b"".join(parts)
 
 
-def _decode_values(buf: bytes, n: int) -> dict[str, np.ndarray]:
+def _decode_values(buf: bytes, n: int) -> dict[str, tuple[np.ndarray, np.ndarray]]:
     out = {}
     pos = 0
     for m in _SERIES:
         (ln,) = struct.unpack_from(">I", buf, pos)
         pos += 4
-        out[m] = decode_floats(buf[pos : pos + ln])
+        out[m] = decode_series(buf[pos : pos + ln])
         pos += ln
-        assert len(out[m]) == n
+        assert len(out[m][0]) == n
     return out
 
 
@@ -167,11 +190,14 @@ def decode_chunks(chunks: DataFrame) -> DataFrame:
                 d = {"conv_id": r["conv_id"],
                      "window_start": ts.astype("datetime64[s]").astype("datetime64[us]")}
                 for m in MEASURES:
-                    v = vals[m]
-                    d[m] = pd.array(
-                        np.where(np.isnan(v), None, v), dtype="Int64"
-                    )
-                d["gap_filled"] = vals["gap_filled"] > 0.5
+                    v, null = vals[m]
+                    # int streams carry 0 at null slots; float streams carry
+                    # NaN — zero them before the int cast either way.
+                    arr = pd.array(np.where(null, 0, v).astype(np.int64), dtype="Int64")
+                    arr[null] = None
+                    d[m] = arr
+                gv, _ = vals["gap_filled"]
+                d["gap_filled"] = gv > 0
                 frames.append(pd.DataFrame(d))
             if frames:
                 yield pd.concat(frames, ignore_index=True)

@@ -76,37 +76,127 @@ _STATE_SCHEMA = T.StructType([
 ])
 
 
+def monitor_scan(rates, state, threshold: float, consecutive: int, min_train: int):
+    """Vectorized exact replay of the per-row monitor state machine.
+
+    Per-row semantics (what a scalar loop would do):
+      - while n < min_train: absorb the row into the baseline (n, Σ, Σ²)
+      - else z = |rate - mean| / sd of the CURRENT baseline;
+        z >  threshold: consec += 1; row NOT absorbed (baseline freezes);
+                        consec == consecutive -> alert + full state reset
+        z <= threshold: consec = 0; absorb row
+    Vectorization: between events the scan is branch-free, so each while
+    iteration handles a whole RUN with numpy — (a) training fill, (b)
+    absorb-run under running cumulative baselines up to the first
+    violation, (c) violation-run against the frozen baseline up to the
+    alert or the run's death. Iteration count is O(#alerts + #candidate
+    runs), not O(#rows) (round-1 verdict: the per-row loop was the
+    slowest streaming stage at scale; micro-bench in
+    BENCH/STREAM_MONITOR.md).
+
+    Returns (alert list of (row_idx, z, baseline_mean), new_state).
+    """
+    import numpy as np
+
+    n, s, ss, consec = state
+    rates = np.asarray(rates, dtype=np.float64)
+    m = len(rates)
+    # Global exclusive prefix sums, computed ONCE: the running baseline at
+    # any row j of an absorb-run starting at i is (s + P[j]-P[i],
+    # ss + Q[j]-Q[i]) because every row in [i, j) is absorbed. (Candidate
+    # rows are skipped only by the frozen-run below, which advances i past
+    # them, so no window ever spans a skipped row.) For count data the
+    # differences are integer-exact in any summation order.
+    P = np.empty(m + 1)
+    P[0] = 0.0
+    np.cumsum(rates, out=P[1:])
+    Q = np.empty(m + 1)
+    Q[0] = 0.0
+    np.cumsum(rates * rates, out=Q[1:])
+    t2 = threshold * threshold
+    i = 0
+    alerts = []
+    # Scan in ADAPTIVE windows: start small after any event, grow 4x on
+    # each clean window. Each while-iteration touches O(w) elements, so
+    # total work is O(m + events*w_min) — both an unbounded tail-scan per
+    # event (O(events*m)) and a fixed large window (O(events*W)) are
+    # slower than the scalar loop on bursty data.
+    W_MAX = 16384
+    w = 512
+    ar = np.arange(W_MAX, dtype=np.float64)
+    while i < m:
+        if n < min_train:
+            take = min(min_train - n, m - i)
+            n += take
+            s += float(P[i + take] - P[i])
+            ss += float(Q[i + take] - Q[i])
+            i += take
+            continue
+        if consec == 0:
+            # absorb-run: assume every row absorbed; the assumption is
+            # self-consistent up to (and excluding) the first violation.
+            # z > threshold  <=>  (r-mean)^2 > threshold^2 * var, keeping
+            # the whole test sqrt/abs/div-free.
+            end = min(i + w, m)
+            L = end - i
+            cs = P[i:end] + (s - P[i])         # running Σ before each row
+            css = Q[i:end] + (ss - Q[i])
+            cn = ar[:L] + n
+            mean = cs / cn
+            var = css / cn
+            var -= mean * mean
+            np.maximum(var, 1e-9, out=var)
+            d = rates[i:end] - mean
+            d *= d
+            var *= t2
+            viol = d > var
+            k = int(np.argmax(viol))
+            if not viol[k]:
+                # whole window clean: absorb it all, grow the window
+                n += L
+                s += float(P[end] - P[i])
+                ss += float(Q[end] - Q[i])
+                i = end
+                w = min(w * 4, W_MAX)
+                continue
+            if k > 0:
+                n += k
+                s += float(P[i + k] - P[i])
+                ss += float(Q[i + k] - Q[i])
+                i += k
+            w = 512
+            # row i violates the current baseline -> fall through
+        # violation-run against the FROZEN baseline (candidate rows are
+        # never absorbed, so mean/sd stay constant for the whole run).
+        # At most `consecutive` rows per event — scalar beats numpy here.
+        mean = s / n
+        sd = max(ss / n - mean * mean, 1e-9) ** 0.5
+        while i < m:
+            z = abs(float(rates[i]) - mean) / sd
+            if z <= threshold:
+                consec = 0         # run died; this row is absorbed by the
+                break              # next absorb-run (i NOT advanced)
+            consec += 1
+            i += 1
+            if consec >= consecutive:
+                alerts.append((i - 1, z, mean))
+                n, s, ss, consec = 0, 0.0, 0.0, 0
+                break
+        # i == m with consec > 0: batch ended mid-run; consec carries.
+    return alerts, (n, s, ss, consec)
+
+
 def _monitor_fn(threshold: float, consecutive: int, min_train: int):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        import numpy as np
-
-        if state.exists:
-            n, s, ss, consec = state.get
-        else:
-            n, s, ss, consec = 0, 0.0, 0.0, 0
+        st = state.get if state.exists else (0, 0.0, 0.0, 0)
         alerts = []
         for pdf in pdfs:
             pdf = pdf.sort_values("window_start", kind="stable")
-            for _, row in pdf.iterrows():
-                rate = float(row["turn_count"])
-                if n >= min_train:
-                    mean = s / n
-                    var = max(ss / n - mean * mean, 1e-9)
-                    z = abs(rate - mean) / (var ** 0.5)
-                    if z > threshold:
-                        consec += 1
-                        if consec >= consecutive:
-                            alerts.append((key[0], row["window_start"], z, mean))
-                            # reset baseline after a confirmed break (new segment)
-                            n, s, ss, consec = 0, 0.0, 0.0, 0
-                            continue
-                        # candidate break: do NOT absorb into baseline
-                        continue
-                    consec = 0
-                n += 1
-                s += rate
-                ss += rate * rate
-        state.update((n, s, ss, consec))
+            found, st = monitor_scan(
+                pdf["turn_count"].to_numpy(), st, threshold, consecutive, min_train)
+            ws = pdf["window_start"].reset_index(drop=True)
+            alerts.extend((key[0], ws.iloc[j], z, mean) for j, z, mean in found)
+        state.update(tuple(st))
         if alerts:
             yield pd.DataFrame(alerts, columns=["conv_id", "alert_ts", "score", "baseline_rate"])
 
