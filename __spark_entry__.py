@@ -193,6 +193,18 @@ def q_tx_segments(spark, sf_dir):
     )
 
 
+def q_tx_phenology(spark, sf_dir):
+    """A3 relational form: per-conv long-term-mean diurnal profile stats
+    over the gap-filled 1m tier (gap slots are real zero observations)."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.phenology import diurnal_stats
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000100")
+    filled = rollup_gapfilled(with_measures(tx), "1m")
+    return diurnal_stats(filled, "turn_count")
+
+
 def q_tx_codec_roundtrip(spark, sf_dir):
     """Gorilla chunks decoded back to rollup rows; oracle recomputes the
     same gap-filled rollup in SQL — passing proves encode∘decode == id
@@ -462,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_asof": q_tx_asof,
         "tx_interval_join": q_tx_interval_join,
         "tx_segments": q_tx_segments,
+        "tx_phenology": q_tx_phenology,
         "tx_codec_roundtrip": q_tx_codec_roundtrip,
         # events stream proxy
         "events_rollup_1m": q_events_rollup_1m,
@@ -595,6 +608,53 @@ def oracle_sql() -> dict[str, str]:
             FROM {tx} t JOIN iv ON t.conv_id = iv.iv_conv
                  AND t.ts >= iv.iv_start AND t.ts <= iv.iv_end
             GROUP BY t.conv_id
+        """,
+        "tx_phenology": f"""
+            WITH t AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000100'),
+            r AS (
+              SELECT conv_id, {slot_m} AS window_start,
+                     count(*)::long AS turn_count
+              FROM t GROUP BY 1, 2),
+            spans AS (SELECT conv_id, min(window_start) mn, max(window_start) mx
+                      FROM r GROUP BY conv_id),
+            grid AS (SELECT conv_id,
+                            unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS window_start
+                     FROM spans),
+            filled AS (
+              SELECT g.conv_id, g.window_start,
+                     coalesce(r.turn_count, 0)::long AS y
+              FROM grid g LEFT JOIN r ON g.conv_id = r.conv_id AND g.window_start = r.window_start),
+            hourly AS (
+              SELECT conv_id, date_part('hour', window_start)::int AS hour,
+                     count(*)::long AS c, sum(y)::long AS s,
+                     sum(y*y)::long AS ss
+              FROM filled GROUP BY 1, 2),
+            prof AS (
+              SELECT *, s::double / c::double AS p,
+                     max(s::double / c::double) OVER (PARTITION BY conv_id) AS maxp,
+                     min(s::double / c::double) OVER (PARTITION BY conv_id) AS minp
+              FROM hourly),
+            agg AS (
+              SELECT conv_id,
+                     min(CASE WHEN p = maxp THEN hour END)::int AS peak_hour,
+                     round(max(p), 6) AS peak_rate,
+                     round(min(p), 6) AS trough_rate,
+                     min(CASE WHEN p >= (maxp + minp) / 2.0 THEN hour END)::int AS rise_hour,
+                     max(CASE WHEN p >= (maxp + minp) / 2.0 THEN hour END)::int AS fall_hour,
+                     sum(c)::long AS n, sum(s)::long AS sy, sum(ss)::long AS syy,
+                     sum(c::double * p) AS sp,
+                     sum(c::double * p * p) AS spp,
+                     sum(p * s::double) AS syp
+              FROM prof GROUP BY conv_id)
+            SELECT conv_id, peak_hour, peak_rate, trough_rate, rise_hour, fall_hour,
+                   CASE WHEN (n::double*syy::double - sy::double*sy::double) > 0
+                         AND (n::double*spp - sp*sp) > 0
+                        THEN round((n::double*syp - sy::double*sp)
+                                   / sqrt((n::double*syy::double - sy::double*sy::double)
+                                          * (n::double*spp - sp*sp)), 6)
+                        ELSE 0.0 END AS pheno_cor,
+                   n AS pheno_nobs
+            FROM agg
         """,
         "tx_codec_roundtrip": f"""
             WITH t AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000050'),

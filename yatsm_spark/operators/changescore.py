@@ -44,6 +44,20 @@ SEGMENT_SCHEMA = T.StructType([
     T.StructField("n_obs", T.IntegerType(), False),
 ])
 
+#: A3 phenology fields appended per segment (kernel/phenology.py — the
+#: graft of yatsm/phenology/longtermmean.py::LongTermMeanPhenology.fit,
+#: structured-array field append per SURVEY.md §2.4 / §3.2 map pheno).
+PHENO_SEGMENT_SCHEMA = T.StructType(
+    SEGMENT_SCHEMA.fields + [
+        T.StructField("peak_hour", T.IntegerType(), False),
+        T.StructField("peak_rate", T.DoubleType(), True),
+        T.StructField("rise_hour", T.IntegerType(), False),
+        T.StructField("fall_hour", T.IntegerType(), False),
+        T.StructField("pheno_cor", T.DoubleType(), True),
+        T.StructField("pheno_nobs", T.IntegerType(), False),
+    ]
+)
+
 #: Graft defaults: 1m turn-rate series, daily harmonic, >=2h training span.
 CONV_PARAMS = CCDCParams(
     consecutive=5,
@@ -72,6 +86,7 @@ def change_scores(
     params: CCDCParams | None = None,
     densify: bool = False,
     step_seconds: int = 60,
+    phenology: bool = False,
 ) -> DataFrame:
     """Segments table from a rollup tier.
 
@@ -84,9 +99,16 @@ def change_scores(
     the group shuffle then moves only real slots (~1/8 of dense volume at
     bench skew) and the zeros are materialized post-shuffle in numpy.
     Output is identical to feeding the gap-filled tier (tested).
+
+    phenology=True appends the A3 long-term-mean diurnal fields per
+    segment (PHENO_SEGMENT_SCHEMA; kernel/phenology.py) — computed inside
+    the SAME grouped-map call on the already-shuffled slots, so the
+    structured-array field append of the reference costs zero extra
+    exchanges here.
     """
     p = params or CONV_PARAMS
     p_dict = asdict(p)
+    schema = PHENO_SEGMENT_SCHEMA if phenology else SEGMENT_SCHEMA
     # Column-prune BEFORE the group shuffle: the kernel needs 3 columns, so
     # never move the other 9 through the exchange (at 10^12 scale the
     # shuffle is the cost of this operator).
@@ -113,7 +135,7 @@ def change_scores(
         res = ccdc_fit(t, y, kp)
         rows = []
         for i, s in enumerate(res.segments):
-            rows.append({
+            row = {
                 "conv_id": pdf["conv_id"].iloc[0],
                 "segment_id": i,
                 "start_ts": _day_to_ts(s.start_day),
@@ -123,9 +145,16 @@ def change_scores(
                 "rmse": float(s.rmse[0]),
                 "magnitude": float(s.magnitude[0]),
                 "n_obs": int(s.n_obs),
-            })
+            }
+            if phenology:
+                from yatsm_spark.kernel.phenology import diurnal_phenology
+
+                seg = (t >= s.start_day) & (t <= s.end_day)
+                row.update(diurnal_phenology(
+                    np.round(t[seg] * 86400.0).astype(np.int64), y[seg]))
+            rows.append(row)
         if not rows:
-            return pd.DataFrame(columns=[f.name for f in SEGMENT_SCHEMA.fields])
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
         return pd.DataFrame(rows)
 
-    return filled.groupBy("conv_id").applyInPandas(fit_conv, SEGMENT_SCHEMA)
+    return filled.groupBy("conv_id").applyInPandas(fit_conv, schema)
