@@ -193,6 +193,37 @@ def q_tx_segments(spark, sf_dir):
     )
 
 
+def q_tx_classify(spark, sf_dir):
+    """P4 end-to-end (rows-only: a driver-fit ensemble has no SQL twin):
+    CCDC segments -> deterministic activity labels on half the convs ->
+    train the numpy forest -> classify EVERY segment. Model + predictions
+    are parallelism-invariant (seeded forest, sorted training sample)."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.changescore import change_scores
+    from yatsm_spark.operators.classify import (
+        classify_segments,
+        segment_features,
+        train_segment_classifier,
+    )
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
+    segs = change_scores(rollup_gapfilled(with_measures(tx), "1m"))
+    # labels: deterministic rule over raw conv activity, training half only
+    labels = (
+        tx.filter(F.col("conv_id") < "conv00000100")
+        .groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+        .select("conv_id",
+                F.when(F.col("n") >= 400, F.lit("active")).otherwise(F.lit("light"))
+                .alias("label"))
+    )
+    feats = segment_features(segs)
+    model = train_segment_classifier(feats, labels, n_trees=20, seed=11)
+    pred = classify_segments(segs, model)
+    return pred.select("conv_id", "segment_id", "class",
+                       F.round("class_proba", 6).alias("class_proba"))
+
+
 def q_tx_phenology(spark, sf_dir):
     """A3 relational form: per-conv long-term-mean diurnal profile stats
     over the gap-filled 1m tier (gap slots are real zero observations)."""
@@ -475,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_interval_join": q_tx_interval_join,
         "tx_segments": q_tx_segments,
         "tx_phenology": q_tx_phenology,
+        "tx_classify": q_tx_classify,
         "tx_codec_roundtrip": q_tx_codec_roundtrip,
         # events stream proxy
         "events_rollup_1m": q_events_rollup_1m,
