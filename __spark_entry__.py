@@ -81,6 +81,29 @@ def q_tx_rollup_1m(spark, sf_dir):
     return rollup_from_turns(with_measures(_tx(spark, sf_dir)), "1m").drop("gap_filled")
 
 
+def q_tx_rollup_1m_salted(spark, sf_dir):
+    """A6 salted two-phase rollup — must be BIT-IDENTICAL to the unsalted
+    rollup (decomposable moments), so it shares tx_rollup_1m's oracle."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.rollup import rollup_from_turns_salted
+
+    return rollup_from_turns_salted(with_measures(_tx(spark, sf_dir)), "1m").drop("gap_filled")
+
+
+def q_tx_retention(spark, sf_dir):
+    """Retention eviction (SURVEY.md §2.11): the RETAINED 1m rows after
+    evicting slots older than 2 days (per-conv age) that sit at/below the
+    finalized 1h watermark. Oracle recomputes the same predicate in SQL."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.retention import evict
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000050")
+    filled = rollup_gapfilled(with_measures(tx), "1m")
+    kept = evict(filled, "1m", "1h", ttl_seconds=2 * 86400)
+    return kept.select("conv_id", "window_start", "turn_count", "gap_filled")
+
+
 def q_tx_gapfill_1m(spark, sf_dir):
     from yatsm_spark.ingest import with_measures
     from yatsm_spark.operators.rollup import rollup_gapfilled
@@ -496,6 +519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graft core (transcripts)
         "tx_rollup_1m": q_tx_rollup_1m,
+        "tx_rollup_1m_salted": q_tx_rollup_1m_salted,
+        "tx_retention": q_tx_retention,
         "tx_gapfill_1m": q_tx_gapfill_1m,
         "tx_cascade_1h": q_tx_cascade_1h,
         "tx_cascade_1d": q_tx_cascade_1d,
@@ -572,6 +597,36 @@ def oracle_sql() -> dict[str, str]:
         "tx_rollup_1m": f"""
             SELECT conv_id, {slot_m} AS window_start, {ROLE_COUNTS_SQL}
             FROM {tx} GROUP BY 1, 2
+        """,
+        "tx_rollup_1m_salted": f"""
+            SELECT conv_id, {slot_m} AS window_start, {ROLE_COUNTS_SQL}
+            FROM {tx} GROUP BY 1, 2
+        """,
+        "tx_retention": f"""
+            WITH t AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000050'),
+            r AS (
+              SELECT conv_id, {slot_m} AS window_start,
+                     count(*)::long AS turn_count
+              FROM t GROUP BY 1, 2),
+            spans AS (SELECT conv_id, min(window_start) mn, max(window_start) mx
+                      FROM r GROUP BY conv_id),
+            grid AS (SELECT conv_id,
+                            unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS window_start
+                     FROM spans),
+            filled AS (
+              SELECT g.conv_id, g.window_start,
+                     coalesce(r.turn_count, 0)::long AS turn_count,
+                     (r.conv_id IS NULL) AS gap_filled
+              FROM grid g LEFT JOIN r ON g.conv_id = r.conv_id AND g.window_start = r.window_start),
+            wm AS (SELECT conv_id,
+                          to_timestamp((floor(epoch(max(window_start))/3600)*3600)::bigint)::timestamp
+                            - INTERVAL 1 HOUR AS watermark,
+                          max(window_start) AS maxws
+                   FROM filled GROUP BY conv_id)
+            SELECT f.conv_id, f.window_start, f.turn_count, f.gap_filled
+            FROM filled f JOIN wm USING (conv_id)
+            WHERE NOT (epoch(wm.maxws) - epoch(f.window_start) > 172800
+                       AND f.window_start <= wm.watermark)
         """,
         "tx_gapfill_1m": f"""
             WITH t AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000100'),
