@@ -69,7 +69,13 @@ def main():
     # materialized tables; the cascade reads the finer tier, never raw).
     from pyspark import StorageLevel
 
-    work = os.path.join(REPO, "bench_work")
+    # BENCH_WORK_DIR: where tier tables materialize. On a real cluster the
+    # tier writes land on DISTRIBUTED storage whose bandwidth scales with
+    # the executor count; a single local disk does not scale with threads,
+    # so scaling runs (tools/bench_scaling.py) point this at tmpfs to
+    # emulate storage that keeps up — otherwise the N->4N efficiency
+    # measures the disk, not the engine.
+    work = os.environ.get("BENCH_WORK_DIR", os.path.join(REPO, "bench_work"))
 
     def rollup_path():
         # Sparse-first (see pipeline.py): only real slots are shuffled; the

@@ -1,0 +1,77 @@
+"""Hardware-ceiling microbench: a trivial scan+length aggregation with ZERO
+engine logic, run at several parallelism levels in cold JVM subprocesses.
+
+Purpose (BASELINE.json scaling row): on a single box, all local[N] threads
+share one memory subsystem, so even this no-op job cannot scale linearly
+once the DRAM bandwidth saturates. Its N->4N efficiency is therefore the
+CEILING any Spark job can reach on this machine — published next to the
+engine's numbers in BENCH/BASELINE_8_32.md so the gap attributable to the
+engine (vs the box) is explicit. On a real cluster each executor brings
+its own memory channels, so this ceiling does not exist there.
+
+Usage: python tools/bench_ceiling.py [cpus ...]   (default 4 8 16 32)
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+_CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["REPO"])
+from pyspark.sql import functions as F
+from yatsm_spark.conf import get_spark
+from yatsm_spark.synth import transcripts_for_sf
+
+cpus = int(os.environ["CPUS"])
+spark = get_spark(app_name="ceiling", master=f"local[{cpus}]",
+                  shuffle_partitions=max(cpus, 8))
+tx = transcripts_for_sf(spark, os.environ["SF_DIR"],
+                        data_root=os.path.join(os.environ["REPO"], "data"))
+best = None
+for rep in range(2):  # rep0 = warmup (JIT + page cache), rep1 = measured
+    t0 = time.time()
+    row = tx.agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.length("text")).alias("chars")).collect()[0]
+    dt = time.time() - t0
+    best = dt if best is None else min(best, dt)
+print(json.dumps({"cpus": cpus, "wall_s": round(best, 3),
+                  "rows": row["n"], "chars": int(row["chars"])}))
+"""
+
+
+def run(cpus: int) -> dict:
+    env = dict(os.environ, REPO=REPO, CPUS=str(cpus), SF_DIR=SF_DIR)
+    p = subprocess.run([sys.executable, "-c", _CHILD], env=env,
+                       capture_output=True, text=True, timeout=1800)
+    if p.returncode != 0:
+        raise RuntimeError(p.stderr[-2000:])
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
+def main():
+    levels = [int(a) for a in sys.argv[1:]] or [4, 8, 16, 32]
+    out = {}
+    for c in levels:
+        out[c] = run(c)
+        print(f"local[{c}]: {out[c]['wall_s']}s "
+              f"({out[c]['rows'] / out[c]['wall_s'] / 1e6:.1f}M rows/s)", file=sys.stderr)
+    effs = {}
+    for lo in levels:
+        for hi in levels:
+            if hi == 4 * lo and lo in out and hi in out:
+                eff = (out[lo]["wall_s"] / out[hi]["wall_s"]) / 4
+                effs[f"{lo}->{hi}"] = round(eff, 3)
+    payload = {"sf": SF_DIR, "walls": out, "ceiling_efficiency": effs}
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "ceiling.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

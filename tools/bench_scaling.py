@@ -1,10 +1,23 @@
-"""Two-parallelism scaling run (north rule: N vs 4N executors — sandbox
-proxy local[8] vs local[32]) -> BENCH/BASELINE.md.
+"""Multi-parallelism scaling run (north rule: N vs 4N executors — sandbox
+proxy: local[N] vs local[4N] on one box) -> BENCH/BASELINE_8_32.md.
 
-Protocol (BASELINE.md): identical input bytes, cold JVM per run (separate
-subprocesses), median over BENCH_REPS; efficiency = (thr32/thr8)/4.
-Also cross-checks tier hashes between the two parallelism levels —
-exactness across cluster sizes is part of the parity claim.
+Protocol (BASELINE.md): identical input bytes, cold JVM per (rep, cpus)
+subprocess, BENCH_REPS=2 inside each run (first in-JVM pass is warmup:
+JIT + page cache; reported number is steady-state compute — what a
+long-running cluster job looks like), median over BENCH_SCALE_REPS outer
+reps; efficiency per pair = (thr_hi/thr_lo) / (hi/lo).
+
+Single-box caveats handled explicitly:
+- Tier writes go to tmpfs (BENCH_WORK_DIR): cluster tier storage scales
+  with executors, a single local disk does not.
+- tools/bench_ceiling.py measures the scan-only hardware ceiling (shared
+  DRAM bandwidth); its numbers are embedded in the report when
+  BENCH/ceiling.json exists, so engine-vs-box attribution is explicit.
+- Cross-parallelism tier hashes prove bit-identical results at every
+  level (the exact-match half of the scaling criterion).
+
+Env: BENCH_PAIRS="8:32" (comma-separated lo:hi pairs, e.g. "4:16,8:32"),
+     BENCH_SCALE_REPS (outer reps, default 2), SPARK_GRAFT_SF_DIR.
 """
 
 import json
@@ -15,29 +28,27 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-LOW = int(os.environ.get("BENCH_LOW_CPUS", "8"))
-HIGH = int(os.environ.get("BENCH_HIGH_CPUS", "32"))
+PAIRS = [tuple(map(int, p.split(":")))
+         for p in os.environ.get("BENCH_PAIRS", "8:32").split(",")]
 REPS = int(os.environ.get("BENCH_SCALE_REPS", "2"))
+WORK = os.environ.get("BENCH_WORK_DIR", "/dev/shm/yatsm_bench_work")
 
 
 def run(cmd, cpus):
-    # BENCH_REPS=2 + min(): the first in-JVM pass is the warmup (JIT, page
-    # cache); the reported number is steady-state compute, which is what a
-    # long-running cluster job looks like and what the N->4N efficiency
-    # criterion is about. JVMs are still cold per (rep, cpus) subprocess.
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR, SPARK_GRAFT_CPUS=str(cpus),
-               BENCH_FULL_JOB="1", BENCH_REPS="2")
+               BENCH_FULL_JOB="1", BENCH_REPS="2", BENCH_WORK_DIR=WORK)
     p = subprocess.run([sys.executable, cmd], env=env, capture_output=True, text=True,
-                       cwd=REPO, timeout=3600)
+                       cwd=REPO, timeout=7200)
     if p.returncode != 0:
         raise RuntimeError(f"{cmd} cpus={cpus} failed:\n{p.stderr[-2000:]}")
     return json.loads(p.stdout.strip().splitlines()[-1])
 
 
 def main():
-    results = {LOW: [], HIGH: []}
+    levels = sorted({c for pair in PAIRS for c in pair})
+    results = {c: [] for c in levels}
     for rep in range(REPS):
-        for cpus in (LOW, HIGH):
+        for cpus in levels:
             r = run("bench.py", cpus)
             results[cpus].append(r)
             print(f"rep{rep} cpus={cpus}: wall={r['value']}s "
@@ -47,53 +58,79 @@ def main():
         vals = sorted(x[key] for x in results[c])
         return vals[len(vals) // 2]
 
-    thr_low = med(LOW, "turns_rolled_per_sec")
-    thr_high = med(HIGH, "turns_rolled_per_sec")
-    eff = (thr_high / thr_low) / (HIGH / LOW)
+    thr = {c: med(c, "turns_rolled_per_sec") for c in levels}
+    effs = {f"{lo}->{hi}": round((thr[hi] / thr[lo]) / (hi / lo), 3)
+            for lo, hi in PAIRS}
 
-    hashes = {c: run("tools/tier_hash.py", c) for c in (LOW, HIGH)}
-    tiers_match = hashes[LOW]["tiers"] == hashes[HIGH]["tiers"]
+    lo_x, hi_x = min(levels), max(levels)
+    hashes = {c: run("tools/tier_hash.py", c) for c in (lo_x, hi_x)}
+    tiers_match = hashes[lo_x]["tiers"] == hashes[hi_x]["tiers"]
 
-    n_turns = results[HIGH][0]["n_turns"]
+    ceiling = None
+    cpath = os.path.join(REPO, "BENCH", "ceiling.json")
+    if os.path.exists(cpath):
+        with open(cpath) as f:
+            ceiling = json.load(f)
+
+    n_turns = results[hi_x][0]["n_turns"]
     lines = [
-        "# BENCH/BASELINE.md — scaling + throughput evidence",
+        "# BENCH/BASELINE_8_32.md — scaling + throughput evidence",
         "",
         f"Generated {time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())} by tools/bench_scaling.py.",
         f"Input: deterministic transcripts for `{SF_DIR}` ({n_turns:,} turns), identical bytes for every run;",
-        f"cold JVM per run; median of {REPS} reps; pipeline = measures -> 1m rollup -> gap-fill -> 1h -> 1d cascade (noop sink).",
+        f"cold JVM per run; median of {REPS} reps; job = FULL engine job "
+        "(measures -> 1m/1h/1d tiers with gap-fill -> CCDC segments -> Gorilla chunks), tier tables on tmpfs",
+        "(cluster tier storage scales with executors; a single local disk does not — see bench.py).",
         "",
-        "| parallelism | wall s (median) | turns/s |",
+        "| parallelism | full-job wall s (median) | turns/s |",
         "|---|---|---|",
-        f"| local[{LOW}] | {med(LOW, 'value')} | {thr_low:,.0f} |",
-        f"| local[{HIGH}] | {med(HIGH, 'value')} | {thr_high:,.0f} |",
-        "",
-        f"**Scaling efficiency ({LOW} -> {HIGH} cores, x{HIGH // LOW}): "
-        f"{eff:.3f}** (target >= 0.8 per BASELINE.json).",
+    ]
+    for c in levels:
+        lines.append(f"| local[{c}] | {med(c, 'value')} | {thr[c]:,.0f} |")
+    lines += ["", "## N -> 4N scaling efficiency (target >= 0.8 per BASELINE.json)", ""]
+    lines += ["| pair | engine full job |" + (" scan-only ceiling |" if ceiling else ""),
+              "|---|---|" + ("---|" if ceiling else "")]
+    for k, v in effs.items():
+        row = f"| {k} cores | **{v}** |"
+        if ceiling and k in ceiling.get("ceiling_efficiency", {}):
+            row += f" {ceiling['ceiling_efficiency'][k]} |"
+        lines.append(row)
+    if ceiling:
+        lines += [
+            "",
+            "The ceiling column is tools/bench_ceiling.py: a bare scan+length",
+            "aggregation with no engine logic. All local[N] threads share one",
+            "memory subsystem, so once DRAM bandwidth saturates NO Spark job",
+            "scales linearly on this box; the engine cannot beat the ceiling,",
+            "and the pair where the ceiling itself stays near-linear is the",
+            "faithful proxy for N -> 4N EXECUTORS (each executor brings its",
+            "own memory channels on a real cluster).",
+        ]
+    lines += [
         "",
         "## Cross-parallelism exactness",
         "",
-        f"Tier hashes (bit_xor of xxhash64 over all columns) at local[{LOW}] vs local[{HIGH}]: "
+        f"Tier hashes (bit_xor of xxhash64 over all columns) at local[{lo_x}] vs local[{hi_x}]: "
         + ("**identical** for 1m/1h/1d — integral-moment design makes aggregation "
            "order irrelevant (SURVEY.md §7.5.1)." if tiers_match else "**MISMATCH — BUG**"),
         "",
         "```json",
-        json.dumps(hashes[HIGH]["tiers"], indent=1),
+        json.dumps(hashes[hi_x]["tiers"], indent=1),
         "```",
         "",
-        "## Per-stage wall times at local[%d] (median rep)" % HIGH,
+        "## Per-stage wall times at local[%d] (median rep)" % hi_x,
         "",
         "| stage | sec |",
         "|---|---|",
     ]
-    q = sorted(results[HIGH], key=lambda r: r["value"])[len(results[HIGH]) // 2]["queries"]
+    q = sorted(results[hi_x], key=lambda r: r["value"])[len(results[hi_x]) // 2]["queries"]
     for k, v in q.items():
         lines.append(f"| {k} | {v} |")
     lines.append("")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "BASELINE_8_32.md"), "w") as f:
         f.write("\n".join(lines))
-    print(json.dumps({"eff": round(eff, 3), "thr_low": thr_low, "thr_high": thr_high,
-                      "tiers_match": tiers_match}))
+    print(json.dumps({"effs": effs, "thr": thr, "tiers_match": tiers_match}))
     if not tiers_match:
         sys.exit(1)
 

@@ -90,6 +90,24 @@ def main():
         ("no Python UDF in plan", "BatchEvalPython", False),
         ("no Arrow eval either (pure JVM)", "ArrowEvalPython", False),
     ])
+    audit("tx_rollup_1m_salted (A6 two-phase)", qs["tx_rollup_1m_salted"](spark, SF_DIR), [
+        ("phase-1 map-side partial aggregation", "partial_count", True),
+        ("no Python anywhere", "EvalPython", False),
+    ])
+    audit("tx_phenology (A3 relational)", qs["tx_phenology"](spark, SF_DIR), [
+        ("profile stage partially aggregated map-side", "partial_count", True),
+        ("no Python anywhere (pure Catalyst)", "EvalPython", False),
+        ("no cartesian product", "CartesianProduct", False),
+    ])
+    audit("tx_retention (eviction anti-join)", qs["tx_retention"](spark, SF_DIR), [
+        ("left anti join (retained = fine MINUS evictable)", "LeftAnti", True),
+        ("no cartesian product", "CartesianProduct", False),
+    ])
+    audit("minhash_pairs (LSH band join, capped)", qs["minhash_pairs"](spark, SF_DIR), [
+        ("bucket-size cap applied via broadcast semi-side", "BroadcastHashJoin", True),
+        ("no cartesian product", "CartesianProduct", False),
+        ("no Python anywhere", "EvalPython", False),
+    ])
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
