@@ -40,3 +40,51 @@ def test_changemap_counts_breaks(engine):
     cm = engine.changemap(segs)
     n_breaks = segs.filter(F.col("break_ts").isNotNull()).count()
     assert cm.agg(F.sum("num_changes")).collect()[0][0] == (n_breaks or None)
+
+
+def test_phenology_surface(engine):
+    ph = engine.phenology()
+    assert {"peak_hour", "rise_hour", "fall_hour", "pheno_cor",
+            "pheno_nobs"} <= set(ph.columns)
+    assert ph.count() == 30  # one row per conv
+    assert ph.filter((F.col("peak_hour") < 0) | (F.col("peak_hour") > 23)).count() == 0
+
+
+def test_train_classify_surface(engine, spark):
+    from pyspark.sql import Row
+
+    segs = engine.segments(phenology=True).cache()
+    if segs.count() < 10:
+        pytest.skip("too few segments at this scale")
+    # pheno fields must be present end-to-end
+    assert "peak_hour" in segs.columns
+    convs = [r.conv_id for r in segs.select("conv_id").distinct().collect()]
+    labels = spark.createDataFrame(
+        [Row(conv_id=c, label="even" if int(c[-1]) % 2 == 0 else "odd")
+         for c in convs])
+    model = engine.train_classifier(segs, labels, n_trees=5, seed=1)
+    pred = engine.classify(segs, model)
+    assert {"class", "class_proba"} <= set(pred.columns)
+    assert pred.count() == segs.count()
+
+
+def test_map_predict_matches_kernel_design(engine):
+    """predicted == numpy X(d)·coef for every snapshot row (§3.3)."""
+    import numpy as np
+    import pandas as pd
+
+    from yatsm_spark.kernel.design import harmonic_design
+    from yatsm_spark.operators.changescore import CONV_PARAMS
+
+    segs = engine.segments().cache()
+    if segs.count() == 0:
+        pytest.skip("no segments at this scale")
+    at = segs.agg(F.max("start_ts")).collect()[0][0]
+    out = engine.map_predict(segs, at).toPandas()
+    assert len(out) > 0
+    t_day = pd.Timestamp(at).timestamp() / 86400.0
+    xd = harmonic_design(np.array([t_day]), order=CONV_PARAMS.harmonic_order,
+                         period=CONV_PARAMS.period)[0]
+    for _, r in out.iterrows():
+        want = float(np.dot(np.asarray(r["coef"], dtype=float), xd))
+        assert r["predicted"] == pytest.approx(want, rel=1e-9, abs=1e-9)

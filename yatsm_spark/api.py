@@ -6,8 +6,11 @@ SURVEY.md §3) onto engine methods:
     yatsm line      -> Engine.run()            (pipeline.run_pipeline)
     yatsm pixel     -> Engine.explain_conv()   (single-series debug, §3.2)
     yatsm map       -> Engine.snapshot_at()    (as-of J3 over segments)
+    yatsm map pheno -> Engine.segments(phenology=True) + snapshot_at (A3)
     yatsm changemap -> Engine.changemap()      (W7 over segments)
     yatsm cache     -> the 1m tier itself      (S5: tier IS the cache)
+    yatsm train     -> Engine.train_classifier() (P4, cli/train.py)
+    yatsm classify  -> Engine.classify()       (P4, cli/classify.py)
 """
 
 from __future__ import annotations
@@ -35,8 +38,29 @@ class Engine:
     def rollup(self, tier: str = "1m") -> DataFrame:
         return rollup_gapfilled(with_measures(self.transcripts), tier)
 
-    def segments(self, params=CONV_PARAMS) -> DataFrame:
-        return change_scores(self.rollup("1m"), params=params)
+    def segments(self, params=CONV_PARAMS, phenology: bool = False) -> DataFrame:
+        return change_scores(self.rollup("1m"), params=params, phenology=phenology)
+
+    def phenology(self) -> DataFrame:
+        """A3 relational form: per-conv diurnal long-term-mean stats."""
+        from yatsm_spark.operators.phenology import diurnal_stats
+
+        return diurnal_stats(self.rollup("1m"))
+
+    def train_classifier(self, segments: DataFrame, labels: DataFrame, **kw):
+        """P4 `yatsm train`: broadcast-join labels, fit the numpy forest."""
+        from yatsm_spark.operators.classify import (
+            segment_features,
+            train_segment_classifier,
+        )
+
+        return train_segment_classifier(segment_features(segments), labels, **kw)
+
+    def classify(self, segments: DataFrame, model) -> DataFrame:
+        """P4 `yatsm classify`: append class/class_proba per segment."""
+        from yatsm_spark.operators.classify import classify_segments
+
+        return classify_segments(segments, model)
 
     def explain_conv(self, conv_id: str):
         """`yatsm pixel` analogue (SURVEY.md §3.2): the gap-filled series,
@@ -51,7 +75,15 @@ class Engine:
 
     def snapshot_at(self, segments: DataFrame, at) -> DataFrame:
         """`yatsm map` analogue (J3): the segment active per conv at `at`."""
-        return asof_latest(segments, "conv_id", "start_ts", at)
+        return asof_latest(segments, "conv_id", "start_ts", at,
+                           tie_break=["segment_id"])
+
+    def map_predict(self, segments: DataFrame, at) -> DataFrame:
+        """`yatsm map predict DATE` (§3.3): active segment per conv at `at`
+        with ŷ = X(at)·coef appended (JVM-side fold, no UDF)."""
+        from yatsm_spark.operators.changescore import predict_at
+
+        return predict_at(self.snapshot_at(segments, at), at)
 
     def changemap(self, segments: DataFrame) -> DataFrame:
         """`yatsm changemap` analogue (W7): first/last/num breaks per conv."""

@@ -27,7 +27,7 @@ from dataclasses import asdict
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 from yatsm_spark.kernel.ccdc import CCDCParams, ccdc_fit
@@ -78,6 +78,27 @@ CONV_PARAMS = CCDCParams(
 
 def _day_to_ts(day: float) -> pd.Timestamp:
     return pd.Timestamp(round(day * 86400.0), unit="s")
+
+
+def predict_at(segments: DataFrame, at, params: CCDCParams | None = None) -> DataFrame:
+    """`yatsm map predict DATE` analogue (SURVEY.md §3.3): ŷ = X(d)·coef
+    per segment, evaluated at timestamp `at`.
+
+    X(d) is a CONSTANT vector (one date), so it is built driver-side with
+    the SAME kernel design code that produced the coefficients
+    (kernel/design.py::harmonic_design — column order is load-bearing) and
+    folded against the stored coef array JVM-side via zip_with/aggregate:
+    no UDF, no shuffle, exact fold order."""
+    from yatsm_spark.kernel.design import harmonic_design
+
+    p = params or CONV_PARAMS
+    t_day = pd.Timestamp(at).timestamp() / 86400.0
+    xd = harmonic_design(np.array([t_day]), order=p.harmonic_order,
+                         period=p.period)[0]
+    xcol = F.array(*[F.lit(float(v)) for v in xd])
+    pred = F.aggregate(F.zip_with(F.col("coef"), xcol, lambda c, x: c * x),
+                       F.lit(0.0), lambda acc, v: acc + v)
+    return segments.withColumn("predicted", pred)
 
 
 def change_scores(
