@@ -88,28 +88,6 @@ ROLLUP_SCHEMA = T.StructType(
 )
 
 
-def _encode_values(pdf: pd.DataFrame) -> bytes:
-    parts = []
-    for m in _SERIES:
-        # Every rollup series is int64 by schema (ROLLUP_SCHEMA pins
-        # LongType; gap_filled is 0/1) — ALWAYS take the int path so the
-        # bytes are canonical no matter which pandas dtype the series
-        # arrived in (Int64 from Arrow, float64+NaN from the in-kernel
-        # densify) — chunk bytes must be identical across both dataflows
-        # (tests/test_changescore.py chunk-identity assertion).
-        s = pdf[m]
-        null = s.isna().to_numpy(dtype=bool)
-        if pd.api.types.is_float_dtype(s):
-            v = s.to_numpy(dtype=np.float64)
-            vals = np.where(null, 0.0, v).astype(np.int64)
-        else:
-            vals = s.fillna(0).to_numpy(dtype=np.int64)
-        enc = encode_ints(vals, null)
-        parts.append(struct.pack(">I", len(enc)))
-        parts.append(enc)
-    return b"".join(parts)
-
-
 def _decode_values(buf: bytes, n: int) -> dict[str, tuple[np.ndarray, np.ndarray]]:
     out = {}
     pos = 0
@@ -137,39 +115,67 @@ def encode_chunks(rollup: DataFrame, tier: str, chunk_points: int = 4096,
     count_cols = [m for m in MEASURES if m.endswith("_count")]
     stat_cols = [m for m in MEASURES if not m.endswith("_count")]
 
-    def _densify(pdf: pd.DataFrame) -> pd.DataFrame:
-        from yatsm_spark.kernel.gapfill import gapfill_slots
-
-        epochs = pdf["window_start"].to_numpy().astype("datetime64[s]").astype(np.int64)
-        vals = {c: pdf[c].to_numpy(dtype=np.int64) for c in count_cols}
-        vals.update({c: pdf[c].to_numpy(dtype=np.float64, na_value=np.nan) for c in stat_cols})
-        dense = gapfill_slots(epochs, vals, step=step)
-        out = pd.DataFrame({
-            "conv_id": pdf["conv_id"].iloc[0],
-            "window_start": dense["slot_epoch"].astype("datetime64[s]").astype("datetime64[us]"),
-            "gap_filled": dense["gap_filled"],
-        })
-        for c in count_cols:
-            out[c] = dense[c]
-        for c in stat_cols:
-            out[c] = dense[c]
-        return out
-
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("window_start", kind="stable")
-        if densify and len(pdf):
-            pdf = _densify(pdf)
+        """Whole-conv numpy encode: every series is converted to
+        (int64 values, null mask) ONCE per conv — int64-exact end to end,
+        no float round-trip — then the chunk loop slices numpy arrays.
+        (Per-chunk pandas ops were ~2x the actual codec cost.)"""
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(columns=[f.name for f in CHUNK_SCHEMA.fields])
+        epochs = pdf["window_start"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        order = np.argsort(epochs, kind="stable")
+        epochs = epochs[order]
+        vals: dict[str, np.ndarray] = {}
+        nulls: dict[str, np.ndarray | None] = {}
+        for c in count_cols:
+            vals[c] = pdf[c].to_numpy(dtype=np.int64)[order]
+            nulls[c] = None
+        for c in stat_cols:
+            s = pdf[c]
+            nulls[c] = s.isna().to_numpy(dtype=bool)[order]
+            vals[c] = s.fillna(0).to_numpy(dtype=np.int64)[order]
+        gap = pdf["gap_filled"].to_numpy(dtype=np.int64)[order]
+        if densify:
+            from yatsm_spark.kernel.gapfill import gapfill_slots
+
+            grid_in = {c: vals[c] for c in count_cols}
+            # stats travel as int64 + a notnull flag column: gap slots get
+            # notnull=0 (int fill is 0), i.e. null — no float64 detour, so
+            # values above 2^53 stay exact through densification too.
+            for c in stat_cols:
+                grid_in[c] = vals[c]
+                grid_in[f"_nn_{c}"] = (~nulls[c]).astype(np.int64)
+            dense = gapfill_slots(epochs, grid_in, step=step)
+            epochs = dense["slot_epoch"]
+            gap = dense["gap_filled"].astype(np.int64)
+            for c in count_cols:
+                vals[c] = dense[c]
+                nulls[c] = None
+            for c in stat_cols:
+                vals[c] = dense[c]
+                nulls[c] = dense[f"_nn_{c}"] == 0
+        conv_id = pdf["conv_id"].iloc[0]
         rows = []
-        for lo in range(0, len(pdf), chunk_points):
-            c = pdf.iloc[lo : lo + chunk_points]
-            ts = c["window_start"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        for lo in range(0, len(epochs), chunk_points):
+            hi = min(lo + chunk_points, len(epochs))
+            parts = []
+            for m in _SERIES:
+                if m == "gap_filled":
+                    stream = encode_ints(gap[lo:hi], None)
+                else:
+                    nm = nulls[m]
+                    stream = encode_ints(vals[m][lo:hi],
+                                         None if nm is None else nm[lo:hi])
+                parts.append(struct.pack(">I", len(stream)))
+                parts.append(stream)
             rows.append({
-                "conv_id": c["conv_id"].iloc[0],
+                "conv_id": conv_id,
                 "tier": tier,
-                "chunk_start": c["window_start"].iloc[0],
-                "n_points": len(c),
-                "ts_codec": encode_timestamps(ts),
-                "val_codec": _encode_values(c),
+                "chunk_start": pd.Timestamp(int(epochs[lo]), unit="s"),
+                "n_points": hi - lo,
+                "ts_codec": encode_timestamps(epochs[lo:hi]),
+                "val_codec": b"".join(parts),
             })
         return pd.DataFrame(rows)
 
