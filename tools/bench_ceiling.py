@@ -44,10 +44,13 @@ for rep in range(2):  # rep0 = warmup (JIT + page cache), rep1 = measured
 # kernel, ~no data movement). If this scales ~1.0 while the scan does not,
 # the scan gap is the box's shared memory subsystem, not Spark overhead.
 def _burn(it):
+    # ~1 core-second per partition: long enough that the 128-task dispatch
+    # + python worker spin-up (~0.7 s at 32 threads) stays a small
+    # fraction of the wall at every level.
     import numpy as np
     rng = np.random.default_rng(0)
     A = rng.normal(size=(400, 4)); b = rng.normal(size=400)
-    for _ in range(600):
+    for _ in range(8000):
         np.linalg.lstsq(A, b, rcond=None)
     yield 1
 
