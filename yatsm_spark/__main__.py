@@ -32,6 +32,8 @@ def main(argv=None):
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--no-segments", action="store_true")
+    ap.add_argument("--phenology", action="store_true",
+                    help="append A3 diurnal phenology fields to segments")
     ap.add_argument("--no-compress", action="store_true")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--master", default=None,
@@ -54,6 +56,7 @@ def main(argv=None):
         spark, tx,
         PipelineConfig(workdir=args.workdir, n_buckets=args.buckets,
                        segments=not args.no_segments,
+                       phenology=args.phenology,
                        compress=not args.no_compress),
         resume=not args.no_resume,
     )

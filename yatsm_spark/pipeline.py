@@ -46,6 +46,7 @@ class PipelineConfig:
     tiers: tuple[str, ...] = ("1m", "1h", "1d")
     compress: bool = True
     segments: bool = True
+    phenology: bool = False   # A3: append diurnal fields to segments
     chunk_points: int = 4096
 
 
@@ -131,7 +132,8 @@ def run_pipeline(
             prev = nxt
 
         if cfg.segments:
-            segs = change_scores(sparse, "turn_count", CONV_PARAMS, densify=True)
+            segs = change_scores(sparse, "turn_count", CONV_PARAMS, densify=True,
+                                 phenology=cfg.phenology)
             store.write_bucket(segs, "segments", b)
             rows["segments"] = spark.read.parquet(
                 os.path.join(store.path("segments"), f"bucket={b}")).count()
