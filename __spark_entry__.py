@@ -27,6 +27,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 REPO = os.path.dirname(os.path.abspath(__file__))
 TX_SF001 = os.path.join(REPO, "data", "transcripts_sf0.001.parquet")
 TX_SF01 = os.path.join(REPO, "data", "transcripts_sf0.01.parquet")
+#: Pure-numpy kernel-twin goldens (tools/make_goldens.py) — oracles for the
+#: sequential-kernel queries that have no SQL twin.
+GOLDEN_SEG = os.path.join(REPO, "data", "golden_segments_sf0.01.parquet")
+GOLDEN_CLS = os.path.join(REPO, "data", "golden_classify_sf0.01.parquet")
 
 ROLE_COUNTS_SQL = """
        count(*)::long AS turn_count,
@@ -198,12 +202,15 @@ def q_tx_interval_join(spark, sf_dir):
 
 
 def q_tx_segments(spark, sf_dir):
-    """W9 CCDC segments — sequential kernel, no SQL twin (rows-only check);
-    exact semantics pinned by tests/test_ccdc_kernel.py goldens.
+    """W9 CCDC segments. Oracle: a PURE-NUMPY twin (tools/make_goldens.py
+    drives kernel/ccdc.py with no Spark; lineage recomputed in DuckDB SQL)
+    persisted as data/golden_segments_sf0.01.parquet — the driver row is a
+    genuine Spark-vs-numpy differential over applyInPandas plumbing,
+    densify, ordering, and schema (round-2 VERDICT task 1).
 
-    `coef` (array<double>) is projected through round+to_json so the
-    driver's pandas canonicalizer can sort/hash it (lists are unhashable —
-    CORRECTNESS_r01 `tx_segments` err)."""
+    `coef` is flattened to coef_0..coef_3 raw doubles: both sides run the
+    same kernel bits on the same series, so values are BIT-identical — no
+    rounding needed (and none wanted: rounding modes could differ)."""
     from yatsm_spark.ingest import with_measures
     from yatsm_spark.operators.changescore import change_scores
     from yatsm_spark.operators.rollup import rollup_gapfilled
@@ -211,16 +218,23 @@ def q_tx_segments(spark, sf_dir):
     tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000300")
     filled = rollup_gapfilled(with_measures(tx), "1m")
     segs = change_scores(filled)
-    return segs.withColumn(
-        "coef", F.to_json(F.transform(F.col("coef"), lambda x: F.round(x, 6)))
-    )
+    return segs.select(
+        "conv_id", "segment_id", "start_ts", "end_ts", "break_ts",
+        *[F.element_at("coef", i + 1).alias(f"coef_{i}") for i in range(4)],
+        "rmse", "magnitude", "n_obs")
 
 
 def q_tx_classify(spark, sf_dir):
-    """P4 end-to-end (rows-only: a driver-fit ensemble has no SQL twin):
-    CCDC segments -> deterministic activity labels on half the convs ->
-    train the numpy forest -> classify EVERY segment. Model + predictions
-    are parallelism-invariant (seeded forest, sorted training sample)."""
+    """P4 end-to-end: CCDC segments -> deterministic activity labels on
+    half the convs -> train the numpy forest -> classify EVERY segment.
+    Oracle: the same forest driven outside Spark on the segments twin
+    (data/golden_classify_sf0.01.parquet, tools/make_goldens.py). Model +
+    predictions are parallelism-invariant (seeded forest, sorted training
+    sample), so class_proba is returned RAW — bit-identical both sides.
+
+    segs is cached: training AND prediction both traverse the CCDC
+    applyInPandas stage, which would otherwise execute twice per run
+    (round-2 VERDICT wrong #3)."""
     from yatsm_spark.ingest import with_measures
     from yatsm_spark.operators.changescore import change_scores
     from yatsm_spark.operators.classify import (
@@ -231,7 +245,7 @@ def q_tx_classify(spark, sf_dir):
     from yatsm_spark.operators.rollup import rollup_gapfilled
 
     tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
-    segs = change_scores(rollup_gapfilled(with_measures(tx), "1m"))
+    segs = change_scores(rollup_gapfilled(with_measures(tx), "1m")).cache()
     # labels: deterministic rule over raw conv activity, training half only
     labels = (
         tx.filter(F.col("conv_id") < "conv00000100")
@@ -243,8 +257,7 @@ def q_tx_classify(spark, sf_dir):
     feats = segment_features(segs)
     model = train_segment_classifier(feats, labels, n_trees=20, seed=11)
     pred = classify_segments(segs, model)
-    return pred.select("conv_id", "segment_id", "class",
-                       F.round("class_proba", 6).alias("class_proba"))
+    return pred.select("conv_id", "segment_id", "class", "class_proba")
 
 
 def q_tx_phenology(spark, sf_dir):
@@ -500,19 +513,17 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """mapInPandas feature extraction (stubbed decode) — rows-only check.
+    """REAL image decode path (round-2 VERDICT task 2): deterministic P6
+    PPM payloads per doc -> pure-numpy header parse + frombuffer decode ->
+    width/height/per-channel means via mapInPandas. The pixel function is
+    closed-form, so the oracle recomputes the identical means in SQL — a
+    genuine differential on the decode/reshape/channel-order logic. Means
+    are exact (integer sums < 2^53 in float64), no rounding needed."""
+    from yatsm_spark.operators.multimodal import image_features, synth_ppm_media
 
-    `feature` (array<float>) is hashed to a scalar (sha256 of its rounded
-    json) so the driver canonicalizer can sort/hash the frame
-    (CORRECTNESS_r01 `multimodal_features` err)."""
-    from yatsm_spark.operators.multimodal import as_media_table, extract_features
-
-    feats = extract_features(as_media_table(_t(spark, sf_dir, "documents")))
-    return feats.withColumn(
-        "feature",
-        F.sha2(F.to_json(F.transform(F.col("feature"),
-                                     lambda x: F.round(x.cast("double"), 6))), 256),
-    )
+    media = synth_ppm_media(_t(spark, sf_dir, "documents"))
+    return image_features(media).select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -938,6 +949,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprints": f"""
             SELECT doc_id::long AS doc_id, md5({norm}) AS fingerprint FROM documents
+        """,
+        "tx_segments": f"""
+            SELECT conv_id, segment_id::int AS segment_id,
+                   start_ts::timestamp AS start_ts, end_ts::timestamp AS end_ts,
+                   break_ts::timestamp AS break_ts,
+                   coef_0::double AS coef_0, coef_1::double AS coef_1,
+                   coef_2::double AS coef_2, coef_3::double AS coef_3,
+                   rmse::double AS rmse, magnitude::double AS magnitude,
+                   n_obs::int AS n_obs
+            FROM read_parquet('{GOLDEN_SEG}')
+        """,
+        "tx_classify": f"""
+            SELECT conv_id, segment_id::int AS segment_id, "class",
+                   class_proba::double AS class_proba
+            FROM read_parquet('{GOLDEN_CLS}')
+        """,
+        "multimodal_features": """
+            WITH d AS (SELECT doc_id::long AS media_id,
+                              (16 + doc_id % 7)::int AS width,
+                              (12 + doc_id % 5)::int AS height
+                       FROM documents),
+            px AS (SELECT media_id, width, height,
+                          unnest(generate_series(0, width*height - 1)) AS k
+                   FROM d)
+            SELECT media_id, width, height,
+                   avg(((media_id*31 + k*13) % 256)::double) AS mean_r,
+                   avg(((media_id*31 + 97 + k*13) % 256)::double) AS mean_g,
+                   avg(((media_id*31 + 194 + k*13) % 256)::double) AS mean_b
+            FROM px GROUP BY media_id, width, height
         """,
         "multimodal_meta": """
             SELECT doc_id::long AS media_id,

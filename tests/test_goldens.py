@@ -1,0 +1,28 @@
+"""Freshness pin for the committed kernel-twin goldens (tools/make_goldens.py).
+
+If kernel/ccdc.py, kernel/classify.py, CONV_PARAMS, or the committed sf0.01
+transcripts change, the stored golden parquets must be regenerated — the
+driver's tx_segments / tx_classify oracle rows read them. This test
+regenerates the twin in-process (pure numpy + DuckDB, no Spark) and
+asserts bit-equality with what's on disk.
+"""
+
+import os
+import sys
+
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+
+def test_goldens_are_fresh():
+    from make_goldens import classify_twin, segments_twin
+
+    segs = segments_twin("conv00000300")
+    stored = pd.read_parquet(os.path.join(REPO, "data", "golden_segments_sf0.01.parquet"))
+    pd.testing.assert_frame_equal(segs, stored, check_exact=True)
+
+    cls = classify_twin(segs)
+    stored_cls = pd.read_parquet(os.path.join(REPO, "data", "golden_classify_sf0.01.parquet"))
+    pd.testing.assert_frame_equal(cls, stored_cls, check_exact=True)

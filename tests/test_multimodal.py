@@ -1,0 +1,101 @@
+"""Multimodal decode path: pure-numpy PPM/BMP parsers + Spark plumbing.
+
+Round-2 VERDICT task 2: the decode step is no longer a stub — uncompressed
+formats parse with header reads + np.frombuffer; features (width/height/
+per-channel means) are closed-form recomputable, so the driver query
+`multimodal_features` now has a genuine SQL oracle.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from yatsm_spark.operators.multimodal import (
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+    image_features,
+    ppm_payload,
+    sniff_media_type,
+    synth_ppm_media,
+)
+
+
+def _expected_image(media_id: int) -> np.ndarray:
+    w = 16 + media_id % 7
+    h = 12 + media_id % 5
+    k = np.arange(w * h, dtype=np.int64)
+    img = np.empty((h * w, 3), dtype=np.uint8)
+    for c in range(3):
+        img[:, c] = ((media_id * 31 + c * 97 + k * 13) % 256).astype(np.uint8)
+    return img.reshape(h, w, 3)
+
+
+def _bmp_payload(img: np.ndarray, bottom_up: bool = True) -> bytes:
+    """Minimal 24-bit BI_RGB BMP encoder (test-side only)."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    bgr = img[:, :, ::-1]
+    ordered = bgr[::-1] if bottom_up else bgr
+    rows[:, : w * 3] = ordered.reshape(h, w * 3)
+    pixel_data = rows.tobytes()
+    data_off = 14 + 40
+    file_size = data_off + len(pixel_data)
+    file_header = b"BM" + struct.pack("<IHHI", file_size, 0, 0, data_off)
+    info_header = struct.pack("<IiiHHIIiiII", 40, w, h if bottom_up else -h,
+                              1, 24, 0, len(pixel_data), 2835, 2835, 0, 0)
+    return file_header + info_header + pixel_data
+
+
+@pytest.mark.parametrize("media_id", [0, 3, 17, 123456])
+def test_ppm_roundtrip(media_id):
+    img = decode_ppm(ppm_payload(media_id))
+    np.testing.assert_array_equal(img, _expected_image(media_id))
+
+
+def test_ppm_header_comments_and_whitespace():
+    img = _expected_image(5)
+    h, w = img.shape[:2]
+    payload = (f"P6 # binary pixmap\n# a comment line\n  {w}\t{h} # dims\n255\n"
+               .encode() + img.tobytes())
+    np.testing.assert_array_equal(decode_ppm(payload), img)
+
+
+@pytest.mark.parametrize("bottom_up", [True, False])
+@pytest.mark.parametrize("media_id", [2, 9])  # w%4 varies -> row padding paths
+def test_bmp_roundtrip(media_id, bottom_up):
+    img = _expected_image(media_id)
+    np.testing.assert_array_equal(decode_bmp(_bmp_payload(img, bottom_up)), img)
+
+
+def test_decode_image_dispatch_and_honest_failure():
+    np.testing.assert_array_equal(decode_image(ppm_payload(7)),
+                                  _expected_image(7))
+    img = _expected_image(7)
+    np.testing.assert_array_equal(decode_image(_bmp_payload(img)), img)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
+
+
+def test_image_features_spark(spark):
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    media = synth_ppm_media(docs)
+    feats = {r["media_id"]: r for r in image_features(media).collect()}
+    assert len(feats) == 40
+    for mid in (0, 11, 39):
+        img = _expected_image(mid)
+        r = feats[mid]
+        assert (r["width"], r["height"]) == (img.shape[1], img.shape[0])
+        means = img.reshape(-1, 3).astype(np.float64).mean(axis=0)
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == tuple(means)
+
+
+def test_sniff_media_type_detects_ppm_and_bmp(spark):
+    img = _expected_image(1)
+    rows = [(1, bytearray(ppm_payload(1))), (2, bytearray(_bmp_payload(img)))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r["media_type"]
+           for r in sniff_media_type(df).collect()}
+    assert got == {1: "image/x-portable-pixmap", 2: "image/bmp"}

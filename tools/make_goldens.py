@@ -1,0 +1,150 @@
+"""Generate pure-numpy twin goldens for the rows-only driver queries.
+
+    python tools/make_goldens.py
+
+Writes (committed to the repo so the driver's DuckDB oracle can read them):
+
+    data/golden_segments_sf0.01.parquet   — tx_segments twin
+    data/golden_classify_sf0.01.parquet   — tx_classify twin
+
+The twin drives the numpy kernels (kernel/ccdc.py, kernel/classify.py)
+directly with NO Spark in the loop: the rollup+gapfill lineage is
+recomputed in DuckDB SQL (the exact SQL shape the driver's green
+tx_gapfill_1m oracle row already pins), each conv's dense series is fit
+sequentially in plain pandas/numpy, and the forest is trained on the
+deterministically-sorted labeled sample. A driver hash match on
+tx_segments / tx_classify is therefore a genuine Spark-vs-numpy
+differential over applyInPandas plumbing, densification, group ordering,
+and output schema (round-2 VERDICT task 1).
+
+Regenerate whenever kernel/ccdc.py, kernel/classify.py, CONV_PARAMS, or
+the committed sf0.01 transcript table changes; tests/test_goldens.py
+pins freshness.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from dataclasses import asdict
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from yatsm_spark.kernel.ccdc import CCDCParams, ccdc_fit  # noqa: E402
+from yatsm_spark.kernel.classify import RandomForest  # noqa: E402
+
+TX = os.path.join(REPO, "data", "transcripts_sf0.01.parquet")
+N_COEF = 4  # harmonic_design(order=1): [1, t, cos, sin]
+
+GAPFILLED_1M_SQL = """
+    WITH t AS (SELECT * FROM read_parquet('{tx}/*.parquet')
+               WHERE conv_id < '{conv_max}'),
+    r AS (
+      SELECT conv_id,
+             to_timestamp((floor(epoch(ts)/60)*60)::bigint)::timestamp AS window_start,
+             count(*)::long AS turn_count
+      FROM t GROUP BY 1, 2),
+    spans AS (SELECT conv_id, min(window_start) mn, max(window_start) mx
+              FROM r GROUP BY conv_id),
+    grid AS (SELECT conv_id,
+                    unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS window_start
+             FROM spans)
+    SELECT g.conv_id, g.window_start,
+           coalesce(r.turn_count, 0)::long AS turn_count
+    FROM grid g LEFT JOIN r ON g.conv_id = r.conv_id
+         AND g.window_start = r.window_start
+    ORDER BY g.conv_id, g.window_start
+"""
+
+
+def _conv_params() -> CCDCParams:
+    # Shared CONFIG (not Spark plumbing) — must match the operator exactly.
+    from yatsm_spark.operators.changescore import CONV_PARAMS
+
+    return CCDCParams(**asdict(CONV_PARAMS))
+
+
+def _day_to_ts(day: float) -> pd.Timestamp:
+    return pd.Timestamp(round(day * 86400.0), unit="s")
+
+
+def segments_twin(conv_max: str, convs: set[str] | None = None) -> pd.DataFrame:
+    """Numpy-twin of q_tx_segments: dense 1m turn_count series per conv
+    (DuckDB), then kernel ccdc_fit per conv in input order."""
+    filled = duckdb.sql(GAPFILLED_1M_SQL.format(tx=TX, conv_max=conv_max)).df()
+    params = _conv_params()
+    rows = []
+    for conv_id, g in filled.groupby("conv_id", sort=True):
+        if convs is not None and conv_id not in convs:
+            continue
+        g = g.sort_values("window_start", kind="stable")
+        epochs = g["window_start"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        y = g["turn_count"].to_numpy(dtype=np.float64)
+        t = epochs / 86400.0
+        res = ccdc_fit(t, y, params)
+        for i, s in enumerate(res.segments):
+            row = {
+                "conv_id": conv_id,
+                "segment_id": np.int32(i),
+                "start_ts": _day_to_ts(s.start_day),
+                "end_ts": _day_to_ts(s.end_day),
+                "break_ts": _day_to_ts(s.break_day) if s.break_day else pd.NaT,
+            }
+            for j in range(N_COEF):
+                row[f"coef_{j}"] = float(s.coef[0][j])
+            row.update(rmse=float(s.rmse[0]), magnitude=float(s.magnitude[0]),
+                       n_obs=np.int32(s.n_obs))
+            rows.append(row)
+    out = pd.DataFrame(rows)
+    out["segment_id"] = out["segment_id"].astype(np.int32)
+    out["n_obs"] = out["n_obs"].astype(np.int32)
+    return out
+
+
+def classify_twin(segments: pd.DataFrame) -> pd.DataFrame:
+    """Numpy-twin of q_tx_classify on the conv<200 slice of the segments
+    twin: deterministic activity labels, sorted bounded sample, seeded
+    forest, predict every segment."""
+    segs = segments[segments["conv_id"] < "conv00000200"].reset_index(drop=True)
+    labels = duckdb.sql(f"""
+        SELECT conv_id,
+               CASE WHEN count(*) >= 400 THEN 'active' ELSE 'light' END AS label
+        FROM read_parquet('{TX}/*.parquet')
+        WHERE conv_id < 'conv00000100' GROUP BY conv_id
+    """).df()
+    fcols = [f"coef_{j}" for j in range(N_COEF)] + ["rmse", "magnitude", "n_obs"]
+    feats = segs[["conv_id", "segment_id"] + fcols].copy()
+    feats["n_obs"] = feats["n_obs"].astype(np.float64)
+    sample = feats.merge(labels, on="conv_id")
+    sample = sample.sort_values(["conv_id", "segment_id"], kind="stable").reset_index(drop=True)
+    model = RandomForest(n_trees=20, seed=11).fit(
+        sample[fcols].to_numpy(dtype=np.float64), sample["label"].to_numpy())
+    proba = model.predict_proba(feats[fcols].to_numpy(dtype=np.float64))
+    k = np.argmax(proba, axis=1)
+    return pd.DataFrame({
+        "conv_id": segs["conv_id"],
+        "segment_id": segs["segment_id"].astype(np.int32),
+        "class": model.classes_[k].astype(str),
+        "class_proba": proba[np.arange(len(k)), k],
+    })
+
+
+def main() -> None:
+    segs = segments_twin("conv00000300")
+    seg_path = os.path.join(REPO, "data", "golden_segments_sf0.01.parquet")
+    segs.to_parquet(seg_path, index=False)
+    print(f"wrote {seg_path}: {len(segs)} rows")
+
+    cls = classify_twin(segs)
+    cls_path = os.path.join(REPO, "data", "golden_classify_sf0.01.parquet")
+    cls.to_parquet(cls_path, index=False)
+    print(f"wrote {cls_path}: {len(cls)} rows")
+
+
+if __name__ == "__main__":
+    main()

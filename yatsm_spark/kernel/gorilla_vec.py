@@ -46,6 +46,11 @@ import numpy as np
 FLOAT_BLOCK_VER = 0xF2
 TS_BLOCK_VER = 0xF3
 INT_BLOCK_VER = 0xF4
+#: Pre-round-2 block streams used version byte 0x02 for BOTH float and ts
+#: blocks (disambiguated by which decoder is called — the layouts are
+#: otherwise identical). Kept as an accepted legacy byte so chunk tables
+#: persisted by old code still decode on resume (round-2 ADVICE).
+LEGACY_BLOCK_VER = 0x02
 
 _TS_WIDTHS = np.array([0, 7, 12, 64], dtype=np.int64)
 
@@ -115,7 +120,7 @@ def encode_floats_block(vals: np.ndarray) -> bytes:
 
 
 def decode_floats_block(data: bytes) -> np.ndarray:
-    assert data[0] == FLOAT_BLOCK_VER
+    assert data[0] in (FLOAT_BLOCK_VER, LEGACY_BLOCK_VER)
     n = int.from_bytes(data[1:5], "big")
     out = np.empty(n, dtype=np.uint64)
     if n == 0:
@@ -206,7 +211,7 @@ def encode_timestamps_block(ts: np.ndarray) -> bytes:
 
 
 def decode_timestamps_block(data: bytes) -> np.ndarray:
-    assert data[0] == TS_BLOCK_VER
+    assert data[0] in (TS_BLOCK_VER, LEGACY_BLOCK_VER)
     n = int.from_bytes(data[1:5], "big")
     out = np.empty(n, dtype=np.int64)
     if n == 0:

@@ -63,18 +63,35 @@ def train_segment_classifier(
     (a labeled set that big should be downsampled upstream, not silently
     truncated)."""
     fcols = feature_columns(feats)
+    pdf = _labeled_sample(feats, labels, label_col, on, max_train)
+    X = pdf[fcols].to_numpy(dtype=np.float64)
+    y = pdf[label_col].to_numpy()
+    return RandomForest(**forest_kw).fit(X, y)
+
+
+def _labeled_sample(feats: DataFrame, labels: DataFrame, label_col: str,
+                    on: str, max_train: int) -> pd.DataFrame:
+    """Bounded, deterministic labeled sample shared by train + crossval.
+
+    Raises (never silently truncates) when the sample exceeds max_train —
+    a limit() subset is parallelism-dependent and would break the module's
+    cross-cluster-size exactness discipline (round-2 ADVICE). Also raises
+    on duplicate labels per join key: a dup would duplicate sample rows
+    with ties broken by collect order (round-2 ADVICE)."""
+    fcols = feature_columns(feats)
     sample = feats.join(F.broadcast(labels), on).select(on, "segment_id", *fcols, label_col)
     pdf = sample.limit(max_train + 1).toPandas()
     if len(pdf) > max_train:
         raise ValueError(f"labeled sample exceeds max_train={max_train}")
     # Collect order depends on partitioning; the bootstrap draws by row
     # index, so sort on the stable key first — the fitted model is then
-    # identical at ANY parallelism (the engine's cross-cluster-size
-    # exactness discipline, SURVEY.md §7.5.1).
+    # identical at ANY parallelism (SURVEY.md §7.5.1). (on, segment_id)
+    # must therefore be a unique key of the sample.
     pdf = pdf.sort_values([on, "segment_id"], kind="stable").reset_index(drop=True)
-    X = pdf[fcols].to_numpy(dtype=np.float64)
-    y = pdf[label_col].to_numpy()
-    return RandomForest(**forest_kw).fit(X, y)
+    if pdf.duplicated([on, "segment_id"]).any():
+        raise ValueError(f"labels are not unique on {on!r}: the join duplicated "
+                         "segment rows, which would make the fit order-dependent")
+    return pdf
 
 
 def classify_segments(segments: DataFrame, model: RandomForest,
@@ -113,9 +130,7 @@ def crossval_report(feats: DataFrame, labels: DataFrame, label_col: str = "label
     """A4: k-fold crossvalidation accuracies of the segment classifier on
     the labeled sample (graft of yatsm/classifiers/diagnostics.py)."""
     fcols = feature_columns(feats)
-    pdf = (feats.join(F.broadcast(labels), on)
-           .select(on, "segment_id", *fcols, label_col).limit(max_train).toPandas())
-    pdf = pdf.sort_values([on, "segment_id"], kind="stable").reset_index(drop=True)
+    pdf = _labeled_sample(feats, labels, label_col, on, max_train)
     scores = kfold_scores(pdf[fcols].to_numpy(dtype=np.float64),
                           pdf[label_col].to_numpy(), k=k, **forest_kw)
     return pd.DataFrame({"fold": np.arange(k), "accuracy": scores})

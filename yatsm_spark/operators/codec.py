@@ -24,7 +24,7 @@ import struct
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 from yatsm_spark.kernel import gorilla as g_scalar
@@ -51,13 +51,13 @@ def encode_ints(v, null_mask=None):
 
 
 def decode_floats(data: bytes):
-    if data and data[0] == g_vec.FLOAT_BLOCK_VER:
+    if data and data[0] in (g_vec.FLOAT_BLOCK_VER, g_vec.LEGACY_BLOCK_VER):
         return g_vec.decode_floats_block(data)
     return g_scalar.decode_floats(data)
 
 
 def decode_timestamps(data: bytes):
-    if data and data[0] == g_vec.TS_BLOCK_VER:
+    if data and data[0] in (g_vec.TS_BLOCK_VER, g_vec.LEGACY_BLOCK_VER):
         return g_vec.decode_timestamps_block(data)
     return g_scalar.decode_timestamps(data)
 
@@ -70,6 +70,12 @@ def decode_series(data: bytes):
     return v, np.isnan(v)
 
 _SERIES = MEASURES + ["gap_filled"]
+
+#: Bumped whenever the persisted chunk byte layout changes; folded into the
+#: pipeline's per-bucket checkpoint fingerprint so a resumed workdir written
+#: by a different format re-encodes instead of mixing stream versions
+#: (round-2 ADVICE — legacy 0x02 streams also still decode, see gorilla_vec).
+CHUNK_FORMAT_VERSION = 3
 
 CHUNK_SCHEMA = T.StructType([
     T.StructField("conv_id", T.StringType(), False),
@@ -115,6 +121,20 @@ def encode_chunks(rollup: DataFrame, tier: str, chunk_points: int = 4096,
     count_cols = [m for m in MEASURES if m.endswith("_count")]
     stat_cols = [m for m in MEASURES if not m.endswith("_count")]
 
+    # Null stat slots are split into (coalesced long, notnull flag) BEFORE
+    # the Arrow boundary: Arrow->pandas turns a long column CONTAINING nulls
+    # into float64, which rounds values above 2^53 before the kernel ever
+    # sees them (round-2 ADVICE). With no nulls present the transfer stays
+    # int64 end to end; a non-integer measure now fails loudly at the cast
+    # in Catalyst instead of being truncated silently.
+    sel = [F.col("conv_id"), F.col("window_start"), F.col("gap_filled")]
+    for m in count_cols:
+        sel.append(F.coalesce(F.col(m), F.lit(0)).cast("long").alias(m))
+    for m in stat_cols:
+        sel.append(F.coalesce(F.col(m), F.lit(0)).cast("long").alias(m))
+        sel.append(F.col(m).isNotNull().alias(f"_nn_{m}"))
+    rollup = rollup.select(*sel)
+
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
         """Whole-conv numpy encode: every series is converted to
         (int64 values, null mask) ONCE per conv — int64-exact end to end,
@@ -132,9 +152,8 @@ def encode_chunks(rollup: DataFrame, tier: str, chunk_points: int = 4096,
             vals[c] = pdf[c].to_numpy(dtype=np.int64)[order]
             nulls[c] = None
         for c in stat_cols:
-            s = pdf[c]
-            nulls[c] = s.isna().to_numpy(dtype=bool)[order]
-            vals[c] = s.fillna(0).to_numpy(dtype=np.int64)[order]
+            vals[c] = pdf[c].to_numpy(dtype=np.int64)[order]
+            nulls[c] = (~pdf[f"_nn_{c}"].to_numpy(dtype=bool))[order]
         gap = pdf["gap_filled"].to_numpy(dtype=np.int64)[order]
         if densify:
             from yatsm_spark.kernel.gapfill import gapfill_slots

@@ -84,10 +84,14 @@ def minhash_candidates(docs: DataFrame, n_hashes: int = 8, bands: int = 4,
         for b in range(bands)
     ]
     banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
-    band_ok = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("bsz")).filter(
-        F.col("bsz") <= max_band_size
+    # Remove the OVER-cap keys with a broadcast anti-join: the hot-key set is
+    # tiny by construction (each key over the cap covers >max_band_size docs),
+    # while the keep-set is O(docs x bands) — broadcasting THAT would OOM at
+    # corpus scale (round-2 ADVICE).
+    band_hot = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("bsz")).filter(
+        F.col("bsz") > max_band_size
     )
-    banded = banded.join(F.broadcast(band_ok.select("band_key")), "band_key")
+    banded = banded.join(F.broadcast(band_hot.select("band_key")), "band_key", "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -111,10 +115,12 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, shingle_n: int 
     uncapped sizes silently underestimates J whenever the cap fires).
     """
     sh = word_shingles(docs, shingle_n, text_col).cache()
-    freq_ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= max_shingle_freq
+    # Stop-shingles (df > cap) are the SMALL set — broadcast-anti-join them
+    # out rather than broadcasting the corpus-sized keep-set (round-2 ADVICE).
+    stop = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") > max_shingle_freq
     )
-    shf = sh.join(F.broadcast(freq_ok.select("shingle")), "shingle")
+    shf = sh.join(F.broadcast(stop.select("shingle")), "shingle", "left_anti")
     sizes = shf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = shf.alias("a"), shf.alias("b")
     inter = (
@@ -123,10 +129,12 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, shingle_n: int 
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # sizes is per-doc (corpus-sized at scale): no broadcast hint — AQE picks
+    # broadcast at small SF and a shuffle join once it outgrows the threshold.
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("jaccard", F.round(
             F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
         .filter(F.col("jaccard") >= threshold)

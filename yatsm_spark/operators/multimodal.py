@@ -2,10 +2,16 @@
 
 Training-data-pipeline addition (task brief): image/audio/video travel as
 `binary` columns with typed metadata; decode / feature-extract run as
-Arrow-batched pandas UDFs over mapInPandas. The image/audio libs are NOT in
-this container, so the decode step is STUBBED (deterministic fake features
-+ NotImplementedError for real decode), while everything Spark-side —
-schema, batch shape, partitioning, UDF signature — is real and tested.
+Arrow-batched pandas UDFs over mapInPandas.
+
+Decode support (pure numpy, no third-party image libs in this container):
+uncompressed binary PPM (P6) and 24-bit uncompressed BMP are REAL header
+parses + `np.frombuffer` reshapes (round-2 VERDICT task 2); compressed
+formats (JPEG/PNG/...) raise NotImplementedError honestly. The embedding
+step (`extract_features`) remains a deterministic sha1-seeded stand-in for
+a model forward pass — no model weights ship in this container — while the
+image-feature path (`image_features`) computes REAL decoded statistics
+(width/height/per-channel means) and is oracle-checked by the driver.
 """
 
 from __future__ import annotations
@@ -33,7 +39,18 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 _MAGIC = {b"\xff\xd8\xff": "image/jpeg", b"\x89PNG": "image/png",
-          b"RIFF": "audio/wav", b"\x00\x00\x00": "video/mp4"}
+          b"RIFF": "audio/wav", b"\x00\x00\x00": "video/mp4",
+          b"P6": "image/x-portable-pixmap", b"BM": "image/bmp"}
+
+IMAGE_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("mean_r", T.DoubleType(), False),
+    T.StructField("mean_g", T.DoubleType(), False),
+    T.StructField("mean_b", T.DoubleType(), False),
+    T.StructField("sha1", T.StringType(), False),
+])
 
 
 def as_media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -57,9 +74,116 @@ def sniff_media_type(media: DataFrame) -> DataFrame:
     return media.withColumn("media_type", expr)
 
 
-def decode_image(payload: bytes) -> np.ndarray:  # pragma: no cover - stub
-    """REAL decode would go through PIL/libvips here; not in container."""
-    raise NotImplementedError("image decode requires PIL/libvips — not installed")
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8 RGB. Pure numpy: whitespace/
+    comment-aware header tokenizer + frombuffer reshape."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header = magic + 3 ASCII ints (w, h, maxval), '#' comments allowed,
+    # one whitespace byte terminates the maxval token before pixel data.
+    tokens, pos, tok = [], 2, b""
+    while len(tokens) < 3:
+        ch = payload[pos:pos + 1]
+        if not ch:
+            raise ValueError("truncated PPM header")
+        pos += 1
+        if ch == b"#":
+            while payload[pos:pos + 1] not in (b"\n", b""):
+                pos += 1
+        elif ch in b" \t\r\n":
+            if tok:
+                tokens.append(int(tok))
+                tok = b""
+        else:
+            tok += ch
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM supported")
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return px.reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed (BI_RGB) BMP -> (h, w, 3) uint8 RGB. Handles
+    4-byte row padding, bottom-up and top-down row order, BGR->RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit BI_RGB BMP supported")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride,
+                         offset=data_off).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return img[::-1] if bottom_up else img
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch on magic bytes. Compressed formats (JPEG/PNG) would need
+    PIL/libvips — not in this container — and raise honestly."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError("compressed image decode requires PIL/libvips — not installed")
+
+
+def synth_ppm_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic P6 payload per doc id (stands in for a blob-store
+    read): w = 16 + id%7, h = 12 + id%5, byte at channel c / pixel k
+    (row-major) = (id*31 + c*97 + k*13) % 256 — a closed form any engine
+    can recompute, making the decode path oracle-checkable end to end."""
+    ids = docs.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = [ppm_payload(int(i)) for i in pdf["media_id"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": payloads,
+                "media_type": "image/x-portable-pixmap",
+                "n_bytes": [len(p) for p in payloads],
+            })
+
+    return ids.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def ppm_payload(media_id: int) -> bytes:
+    w = 16 + media_id % 7
+    h = 12 + media_id % 5
+    k = np.arange(w * h, dtype=np.int64)
+    px = np.empty(w * h * 3, dtype=np.uint8)
+    for c in range(3):
+        px[c::3] = ((media_id * 31 + c * 97 + k * 13) % 256).astype(np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Decode every payload (PPM/BMP) and emit width/height/per-channel
+    means — mapInPandas, no shuffle. Means are exact-int sums / pixel count
+    (each byte < 256, so float64 sums are exact at any accumulation
+    order), bit-reproducible in any engine."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(payload)
+                img = decode_image(p)
+                h, w, _ = img.shape
+                s = img.reshape(-1, 3).astype(np.float64).sum(axis=0)
+                n = float(h * w)
+                rows.append((int(mid), w, h, s[0] / n, s[1] / n, s[2] / n,
+                             hashlib.sha1(p).hexdigest()))
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields])
+
+    return media.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> np.ndarray:

@@ -95,10 +95,12 @@ def lsh_candidate_pairs(embeddings: DataFrame, n_planes: int = 8,
     would go quadratic at 10^9 vectors. The standard fix is more planes /
     multi-probe for those regions; the cap bounds the damage meanwhile."""
     b = hyperplane_buckets(embeddings, n_planes, id_col, vec_col)
-    bucket_ok = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz")).filter(
-        F.col("bsz") <= max_bucket_size
+    # Anti-join out the (small) over-cap bucket set instead of broadcasting
+    # the keep-set, which grows with n_planes (round-2 ADVICE).
+    bucket_hot = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz")).filter(
+        F.col("bsz") > max_bucket_size
     )
-    b = b.join(F.broadcast(bucket_ok.select("bucket")), "bucket")
+    b = b.join(F.broadcast(bucket_hot.select("bucket")), "bucket", "left_anti")
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket"))

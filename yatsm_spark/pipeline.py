@@ -109,6 +109,12 @@ def run_pipeline(
             continue
         bm = spark.read.parquet(bdir)
         fp = _input_fingerprint(bm)
+        if cfg.compress:
+            # Format bump -> fingerprint mismatch -> bucket re-encodes on
+            # resume instead of leaving mixed-version chunk tables behind
+            # (legacy streams still decode; this keeps tables homogeneous).
+            from yatsm_spark.operators.codec import CHUNK_FORMAT_VERSION
+            fp = f"{fp}:cfv{CHUNK_FORMAT_VERSION}"
         if resume and ckpt.is_done("bucket", b, fp):
             continue
         t = time.time()
