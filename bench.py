@@ -28,6 +28,10 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPS = int(os.environ.get("BENCH_REPS", "1"))
+#: Optional master override, e.g. "local-cluster[8,4,12288]" for the
+#: process-isolated scaling probe (separate executor JVMs + heaps —
+#: tools/bench_scaling.py BENCH_ISOLATION=process). Default stays local[N].
+MASTER = os.environ.get("SPARK_GRAFT_MASTER", f"local[{CPUS}]")
 
 
 def sink(df):
@@ -43,8 +47,15 @@ def main():
     from yatsm_spark.operators.rollup import gapfill, rollup_from_turns
     from yatsm_spark.synth import transcripts_for_sf
 
-    spark = get_spark(app_name="yatsm-spark-bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=max(CPUS, 8))
+    extra = None
+    if MASTER.startswith("local-cluster"):
+        # Executors are separate JVMs: give each its own fixed heap (the
+        # thing a real N->4N scale-out holds constant) and shrink the
+        # driver (it only schedules here).
+        extra = {"spark.executor.memory": os.environ.get("SPARK_GRAFT_EXEC_MEM", "10g"),
+                 "spark.driver.memory": "8g"}
+    spark = get_spark(app_name="yatsm-spark-bench", master=MASTER,
+                      shuffle_partitions=max(CPUS, 8), extra_confs=extra)
 
     # Materialize bench transcripts once (deterministic; excluded from timing).
     tx = transcripts_for_sf(spark, SF_DIR, data_root=os.path.join(REPO, "data"))

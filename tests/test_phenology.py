@@ -35,6 +35,49 @@ def test_kernel_finds_known_peak_and_halfmax():
     assert m["peak_rate"] == pytest.approx(np.max(y), rel=0.05)
 
 
+def test_spline_beats_ma_on_low_count_outlier():
+    """The fixture round-2 VERDICT task 5 asks for: a noisy profile where
+    the spline and the moving average DISAGREE, with the spline's answer
+    asserted correct. One huge outlier observation in an otherwise barely-
+    sampled hour: the count-weighted spline discounts it (weight 1 vs
+    ~hundreds for the real bins) while the unweighted MA lets it displace
+    the true 14h peak."""
+    from yatsm_spark.kernel.phenology import diurnal_phenology
+
+    epochs, y = _diurnal_series(days=5, peak_hour=14, width=3.0, base=2.0, amp=20.0)
+    # drop all-but-one slot of hour 3, and make that one slot a spike
+    hours = (epochs % 86400) // 3600
+    keep = (hours != 3)
+    keep[int(np.flatnonzero(hours == 3)[0])] = True
+    epochs, y = epochs[keep], y[keep].copy()
+    y[(epochs % 86400) // 3600 == 3] = 500.0
+
+    spline = diurnal_phenology(epochs, y)                   # default smoother
+    ma = diurnal_phenology(epochs, y, smoother="ma")
+    assert ma["peak_hour"] in (2, 3, 4)  # fooled by the unweighted outlier
+    assert ma["peak_rate"] > 100
+    assert spline["peak_hour"] == 14     # count weights suppress it
+    assert spline["peak_rate"] == pytest.approx(22.0, rel=0.15)
+
+
+def test_spline_interpolates_empty_bins_periodically():
+    """Bins with no observations get spline-interpolated values (the
+    reference's periodic spline evaluates every DOY), including across the
+    23->0 wrap."""
+    from yatsm_spark.kernel.phenology import periodic_spline_smooth
+
+    profile = np.full(24, np.nan)
+    counts = np.zeros(24)
+    for h, v in ((22, 10.0), (0, 12.0), (6, 2.0), (12, 2.0)):
+        profile[h] = v
+        counts[h] = 100.0
+    sm = periodic_spline_smooth(profile, counts)
+    assert not np.isnan(sm).any()
+    # hour 23 sits between the 22h and 0h anchors, across the wrap
+    assert min(profile[22], profile[0]) - 1 < sm[23] < max(profile[22], profile[0]) + 1
+    assert sm[23] > sm[6]
+
+
 def test_kernel_flat_series_degenerates_gracefully():
     from yatsm_spark.kernel.phenology import diurnal_phenology
 

@@ -120,3 +120,61 @@ def test_monitor_scan_matches_scalar_reference():
                [(j, round(z, 9), round(m, 9)) for j, z, m in want_all], trial
         assert state_a[0] == state_b[0] and state_a[3] == state_b[3]
         assert abs(state_a[1] - state_b[1]) < 1e-6 and abs(state_a[2] - state_b[2]) < 1e-3
+
+
+def test_stream_tiers_reconcile_with_batch(spark, tmp_path):
+    """Round-2 VERDICT task 8: the STREAM-built 1m rollup, fed through the
+    same gapfill -> cascade(1h) -> cascade(1d) -> retention machinery, must
+    reproduce the batch pipeline's tiers bit-for-bit — not just the 1m rows.
+
+    A sentinel 'flush' turn per conv two minutes past the conv's max ts
+    pushes the event-time watermark past every real window so append mode
+    emits them all; sentinel windows are filtered from both sides."""
+    from pyspark.sql import functions as F
+
+    from yatsm_spark.operators.cascade import cascade
+    from yatsm_spark.operators.retention import evict
+    from yatsm_spark.operators.rollup import gapfill
+
+    tx = generate_transcripts(spark, 20, seed=23, max_turns=600)
+    flush = (
+        tx.groupBy("conv_id").agg(F.max("ts").alias("mts"), F.max("turn_idx").alias("mti"))
+        .select("conv_id", (F.col("mti") + 1).alias("turn_idx"),
+                F.lit("system").alias("role"), F.lit("flush").alias("text"),
+                F.lit(None).cast("string").alias("tool"),
+                (F.col("mts") + F.expr("INTERVAL 2 MINUTES")).alias("ts"))
+    )
+    src = str(tmp_path / "src_tiers")
+    tx.select(flush.columns).unionByName(flush).write.parquet(src)
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    q = (
+        stream_rollup_1m(stream, watermark="0 seconds")
+        .writeStream.format("memory").queryName("s_tiers")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    # sentinel windows (the per-conv max window) are the stream's flush rows
+    sent = flush.select("conv_id", F.date_trunc("minute", "ts").alias("window_start"))
+    # round-trip through pandas to strip the event-time watermark metadata
+    # the memory sink leaves on window_start (it breaks batch-side joins)
+    emitted = spark.createDataFrame(spark.sql("SELECT * FROM s_tiers").toPandas())
+    got_sparse = (emitted
+                  .join(sent, ["conv_id", "window_start"], "left_anti")
+                  .withColumn("gap_filled", F.lit(False)))
+    want_sparse = (rollup_from_turns(with_measures(spark.read.parquet(src)), "1m")
+                   .join(sent, ["conv_id", "window_start"], "left_anti"))
+
+    def tiers(sparse):
+        m1 = gapfill(sparse, "1m")
+        h1 = cascade(m1, "1m", "1h")
+        d1 = cascade(h1, "1h", "1d")
+        kept = evict(m1, "1m", "1h", ttl_seconds=2 * 86400)
+        return {"1m": m1, "1h": h1, "1d": d1, "retained": kept}
+
+    got_t, want_t = tiers(got_sparse), tiers(want_sparse)
+    for name in got_t:
+        g, w = got_t[name], want_t[name]
+        assert g.exceptAll(w).count() == 0, f"tier {name}: stream-only rows"
+        assert w.exceptAll(g).count() == 0, f"tier {name}: batch-only rows"

@@ -34,9 +34,21 @@ REPS = int(os.environ.get("BENCH_SCALE_REPS", "2"))
 WORK = os.environ.get("BENCH_WORK_DIR", "/dev/shm/yatsm_bench_work")
 
 
+#: BENCH_ISOLATION=process -> run each level as local-cluster[N/cpe, cpe, mem]:
+#: separate executor JVMs with their own fixed-size heaps (the closest
+#: single-box proxy to real executor scale-out; round-2 VERDICT task 3).
+ISOLATION = os.environ.get("BENCH_ISOLATION", "thread")
+CORES_PER_EXEC = int(os.environ.get("BENCH_CORES_PER_EXEC", "4"))
+EXEC_MEM_MB = int(os.environ.get("BENCH_EXEC_MEM_MB", "12288"))
+
+
 def run(cmd, cpus):
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR, SPARK_GRAFT_CPUS=str(cpus),
                BENCH_FULL_JOB="1", BENCH_REPS="2", BENCH_WORK_DIR=WORK)
+    if ISOLATION == "process" and cmd == "bench.py":
+        n_exec = max(1, cpus // CORES_PER_EXEC)
+        env["SPARK_GRAFT_MASTER"] = f"local-cluster[{n_exec},{CORES_PER_EXEC},{EXEC_MEM_MB}]"
+        env["SPARK_GRAFT_EXEC_MEM"] = f"{EXEC_MEM_MB * 5 // 6}m"
     p = subprocess.run([sys.executable, cmd], env=env, capture_output=True, text=True,
                        cwd=REPO, timeout=7200)
     if p.returncode != 0:
@@ -86,10 +98,18 @@ def main():
             ceiling = json.load(f)
 
     n_turns = results[hi_x][0]["n_turns"]
+    out_name = os.environ.get(
+        "BENCH_OUT",
+        "BASELINE_8_32.md" if ISOLATION != "process" else "SCALING_PROCESS.md")
+    iso_note = (
+        f"executor topology: local-cluster[N/{CORES_PER_EXEC},{CORES_PER_EXEC},{EXEC_MEM_MB}] — "
+        "separate executor JVMs, separate fixed heaps (process isolation)"
+        if ISOLATION == "process" else "executor topology: local[N] (threads, one JVM)")
     lines = [
-        "# BENCH/BASELINE_8_32.md — scaling + throughput evidence",
+        f"# BENCH/{out_name} — scaling + throughput evidence",
         "",
         f"Generated {time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())} by tools/bench_scaling.py.",
+        iso_note + ".",
         f"Input: deterministic transcripts for `{SF_DIR}` ({n_turns:,} turns), identical bytes for every run;",
         f"cold JVM per run; best of {REPS} reps (each the min of 2 in-JVM passes); job = FULL engine job "
         "(measures -> 1m/1h/1d tiers with gap-fill -> CCDC segments -> Gorilla chunks), tier tables on tmpfs",
@@ -148,7 +168,7 @@ def main():
         lines.append(f"| {k} | {v} |")
     lines.append("")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE_8_32.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         f.write("\n".join(lines))
     print(json.dumps({"effs": effs, "thr": thr, "tiers_match": tiers_match}))
     if not tiers_match:

@@ -60,6 +60,15 @@ def get_spark(
         master = f"local[{cpus}]"
     b = SparkSession.builder.appName(app_name).master(master)
     confs = dict(ENGINE_CONFS)
+    if master.startswith("local-cluster"):
+        # Executors are separate JVMs whose Python workers must import this
+        # package; on a real cluster that's `spark-submit --py-files` — for
+        # the process-isolated scaling probe, executorEnv.PYTHONPATH is the
+        # single-box equivalent.
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        prev = os.environ.get("PYTHONPATH", "")
+        confs.setdefault("spark.executorEnv.PYTHONPATH",
+                         repo + (os.pathsep + prev if prev else ""))
     # Local single-JVM mode: driver IS the executor — size the heap for the
     # thread count (must be set before the JVM starts; no-op afterwards).
     confs.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

@@ -17,10 +17,18 @@ HOUR-of-day (24 bins):
   pheno_cor       -> pheno_cor   (Pearson r of obs vs profile prediction)
   pheno_nobs      -> pheno_nobs
 
-The reference smooths with a scipy periodic spline; scipy is not in this
-container, so the smoother is a CIRCULAR moving average (window 3) — same
-role (suppress single-bin noise before peak/half-max extraction),
-documented divergence.
+The reference smooths with a scipy periodic smoothing spline. The default
+smoother here is the pure-numpy equivalent on the uniform 24-bin circle: a
+PERIODIC CUBIC SMOOTHING SPLINE in its discrete form — minimize
+
+    Σ_i w_i (f_i − p_i)² + λ Σ_i (f_{i−1} − 2 f_i + f_{i+1})²
+
+(w_i = per-bin observation counts; the second-difference penalty is the
+discrete ∫f″² of the cubic smoothing spline on a uniform periodic grid),
+solved exactly via one 24×24 linear solve. Bins with no observations get
+weight 0 and are spline-INTERPOLATED, exactly as the reference's periodic
+spline evaluates every DOY (round-2 VERDICT task 5). The round-2 circular
+moving average remains available behind ``smoother="ma"``.
 """
 
 from __future__ import annotations
@@ -40,12 +48,45 @@ def _circular_smooth(profile: np.ndarray, window: int = 3) -> np.ndarray:
         return np.nanmean(vals, axis=1)
 
 
+def periodic_spline_smooth(profile: np.ndarray, counts: np.ndarray,
+                           lam: float = 1.0) -> np.ndarray:
+    """Discrete periodic cubic smoothing spline over the 24-bin circle.
+
+    profile: per-bin means (NaN = empty bin); counts: per-bin observation
+    counts (the fit weights — a bin seen once pulls far less than a bin
+    seen hourly for months, matching the long-term-mean semantics of
+    `LongTermMeanPhenology.fit`). Weights are normalized to mean 1 over
+    observed bins so λ has a segment-length-independent meaning.
+
+    Deterministic: one dense np.linalg.solve of the SPD system
+    (diag(w) + λ·DᵀD), D the circular second-difference operator."""
+    n = len(profile)
+    obs = ~np.isnan(profile)
+    if not obs.any():
+        return np.full(n, np.nan)
+    vals = profile[obs]
+    if vals.max() == vals.min():
+        # constant series is the exact minimizer; skip the solve so the
+        # degenerate case stays bit-exact (no LAPACK rounding).
+        return np.full(n, float(vals[0]))
+    w = np.where(obs, np.asarray(counts, dtype=np.float64), 0.0)
+    w = w / w[w > 0].mean()
+    y = np.where(obs, profile, 0.0)
+    eye = np.eye(n)
+    D = np.roll(eye, 1, axis=1) - 2.0 * eye + np.roll(eye, -1, axis=1)
+    A = np.diag(w) + lam * (D.T @ D)
+    return np.linalg.solve(A, w * y)
+
+
 def diurnal_phenology(epoch_seconds: np.ndarray, y: np.ndarray,
+                      smoother: str = "spline", lam: float = 1.0,
                       smooth_window: int = 3) -> dict:
     """Long-term-mean diurnal metrics for one segment's slot series.
 
     epoch_seconds: slot timestamps (any tier); y: measure values (NaN =
-    missing). Returns dict of PHENO_FIELDS; all-NaN / empty input yields
+    missing). smoother: "spline" (periodic cubic smoothing spline, the
+    reference-parity default) or "ma" (round-2 circular moving average).
+    Returns dict of PHENO_FIELDS; all-NaN / empty input yields
     peak_hour = -1 sentinels (the reference leaves pheno fields zeroed for
     unfittable segments).
     """
@@ -63,7 +104,12 @@ def diurnal_phenology(epoch_seconds: np.ndarray, y: np.ndarray,
     cnts = np.bincount(hv, minlength=24).astype(np.float64)
     with np.errstate(invalid="ignore"):
         profile = np.where(cnts > 0, sums / np.maximum(cnts, 1), np.nan)
-    smooth = _circular_smooth(profile, smooth_window)
+    if smoother == "spline":
+        smooth = periodic_spline_smooth(profile, cnts, lam=lam)
+    elif smoother == "ma":
+        smooth = _circular_smooth(profile, smooth_window)
+    else:
+        raise ValueError(f"unknown smoother {smoother!r}")
 
     filled = np.where(np.isnan(smooth), -np.inf, smooth)
     peak_hour = int(np.argmax(filled))           # ties -> smallest hour
