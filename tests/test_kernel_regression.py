@@ -179,3 +179,49 @@ def test_lasso_shrinks_and_matches_sklearn_when_available():
         np.column_stack([np.ones(100), X[:, 1:]]), y
     ).coef_
     np.testing.assert_allclose(ours_no_int[1:], sk.coef_, atol=0.05)
+
+
+def test_glmnet_lasso_registry_and_scale_sensitivity():
+    """glmnet_Lasso20 penalizes STANDARDIZED coefficients: with a
+    mixed-scale design (trend in epoch-days ~1e4 vs unit harmonics) its
+    shrinkage pattern differs from the raw-scale Lasso, while on an
+    already-unit-variance design the two agree."""
+    from yatsm_spark.kernel.fit import GlmnetLasso, make_estimator
+
+    rng = np.random.RandomState(11)
+    n = 300
+    t = 20_000.0 + np.arange(n) / 100.0            # epoch-days, 3 cycles, huge offset
+    X = harmonic_design(t, order=1, period=1.0)    # [1, t, cos, sin]
+    y = 3.0 + 0.5 * np.sin(2 * np.pi * t) + rng.normal(0, 0.3, n)
+
+    g = make_estimator("glmnet_Lasso20")
+    g.fit(X, y)
+    assert g.predict(X).shape == y.shape
+    # moderate alpha: raw-scale Lasso kills the tiny-scale harmonic coefs
+    # long before it touches the huge-scale trend; glmnet shrinks evenly.
+    a = 0.3
+    raw = Lasso(alpha=a).fit(X, y).coef_
+    gln = GlmnetLasso(alpha=a).fit(X, y).coef_
+    assert abs(raw[3]) < 1e-9          # sin coef zeroed at raw scale
+    assert abs(gln[3]) > 0.05          # survives standardized penalty
+    # back-transform sanity: glmnet fit still predicts well
+    assert rmse(y, GlmnetLasso(alpha=0.001).fit(X, y).predict(X)) < 0.5
+
+    # unit-variance design: glmnet == plain lasso (same objective)
+    Z = np.column_stack([np.ones(n), rng.normal(0, 1, (n, 3))])
+    Z[:, 1:] = (Z[:, 1:] - Z[:, 1:].mean(0)) / Z[:, 1:].std(0)
+    yz = Z @ np.array([1.0, 2.0, 0.0, -1.5]) + rng.normal(0, 0.1, n)
+    np.testing.assert_allclose(GlmnetLasso(alpha=0.05).fit(Z, yz).coef_,
+                               Lasso(alpha=0.05).fit(Z, yz).coef_, atol=1e-4)
+
+
+def test_glmnet_lasso_alpha0_matches_ols():
+    rng = np.random.RandomState(7)
+    t = np.linspace(0.0, 10.0, 120)
+    X = harmonic_design(t, order=1, period=1.0)
+    y = 1.0 + 0.2 * t + 0.7 * np.cos(2 * np.pi * t) + rng.normal(0, 0.05, 120)
+    from yatsm_spark.kernel.fit import GlmnetLasso
+
+    g = GlmnetLasso(alpha=0.0, max_iter=5000).fit(X, y).coef_
+    o = OLS().fit(X, y).coef_
+    np.testing.assert_allclose(g, o, atol=1e-5)

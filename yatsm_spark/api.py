@@ -5,6 +5,7 @@ SURVEY.md §3) onto engine methods:
 
     yatsm line      -> Engine.run()            (pipeline.run_pipeline)
     yatsm pixel     -> Engine.explain_conv()   (single-series debug, §3.2)
+                       + Engine.plot_conv()    (SVG series/segment plot)
     yatsm map       -> Engine.snapshot_at()    (as-of J3 over segments)
     yatsm map pheno -> Engine.segments(phenology=True) + snapshot_at (A3)
     yatsm changemap -> Engine.changemap()      (W7 over segments)
@@ -72,6 +73,22 @@ class Engine:
             "series": with_derived_stats(filled),
             "segments": change_scores(filled),
         }
+
+    def plot_conv(self, conv_id: str, path: str | None = None,
+                  measure: str = "turn_count") -> str:
+        """`yatsm pixel --plot` analogue (SURVEY.md §3.2): render one
+        conversation's series + fitted segments + breaks as an SVG string
+        (dependency-free; see plot.py). Collect is bounded to one conv —
+        the conv_id predicate pushes down to the scan (S4)."""
+        from yatsm_spark.plot import render_conv_svg
+
+        parts = self.explain_conv(conv_id)
+        svg = render_conv_svg(parts["series"].toPandas(),
+                              parts["segments"].toPandas(), measure=measure)
+        if path:
+            with open(path, "w") as f:
+                f.write(svg)
+        return svg
 
     def snapshot_at(self, segments: DataFrame, at) -> DataFrame:
         """`yatsm map` analogue (J3): the segment active per conv at `at`."""

@@ -84,6 +84,74 @@ class Lasso:
         return np.asarray(X, dtype=np.float64) @ self.coef_
 
 
+class GlmnetLasso:
+    """glmnet-semantics Lasso: predictors are standardized to unit variance
+    (1/n denominator, glmnet's convention) BEFORE the L1 penalty applies,
+    then coefficients are back-transformed to the original scale.
+
+    Parity anchor: yatsm/regression/packaged.py ships BOTH
+    ``sklearn_Lasso20`` and ``glmnet_Lasso20`` pickles [M] — the two differ
+    exactly here: sklearn penalizes raw-scale coefficients, glmnet
+    penalizes standardized ones, so with a mixed-scale design (trend in
+    epoch-days vs unit-amplitude harmonics) the shrinkage pattern differs.
+    Implemented as coordinate descent on the standardized problem (reuses
+    the same soft-threshold loop shape as Lasso); no glmnet/Fortran dep."""
+
+    name = "GlmnetLasso"
+
+    def __init__(self, alpha: float = 20.0, max_iter: int = 1000, tol: float = 1e-8):
+        self.alpha = alpha
+        self.max_iter = max_iter
+        self.tol = tol
+        self.coef_: np.ndarray | None = None
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "GlmnetLasso":
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        n, k = X.shape
+        unpenalized = np.all(X == 1.0, axis=0)  # intercept-like columns
+        mean = X.mean(axis=0)
+        sd = X.std(axis=0)  # 1/n, glmnet convention
+        sd[(sd == 0) | unpenalized] = 1.0
+        mean[unpenalized] = 0.0
+        Xs = (X - mean) / sd
+        Xs[:, unpenalized] = 1.0
+
+        beta = np.zeros(k)
+        col_ss = (Xs ** 2).sum(axis=0)
+        col_ss[col_ss == 0] = 1.0
+        resid = y - Xs @ beta
+        thr = self.alpha * n  # objective 1/(2n)||y-Xs b||^2 + alpha ||b||_1
+        for _ in range(self.max_iter):
+            max_delta = 0.0
+            for j in range(k):
+                old = beta[j]
+                rho = Xs[:, j] @ resid + old * col_ss[j]
+                if unpenalized[j]:
+                    new = rho / col_ss[j]
+                else:
+                    new = np.sign(rho) * max(abs(rho) - thr, 0.0) / col_ss[j]
+                if new != old:
+                    resid += Xs[:, j] * (old - new)
+                    beta[j] = new
+                    max_delta = max(max_delta, abs(new - old))
+            if max_delta < self.tol:
+                break
+        # back-transform: b_j = bs_j / sd_j; fold centering into intercepts.
+        coef = beta / sd
+        coef[unpenalized] = beta[unpenalized]
+        shift = float((beta[~unpenalized] * mean[~unpenalized]
+                       / sd[~unpenalized]).sum()) if (~unpenalized).any() else 0.0
+        n_int = int(unpenalized.sum())
+        if n_int:
+            coef[unpenalized] -= shift / n_int
+        self.coef_ = coef
+        return self
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return np.asarray(X, dtype=np.float64) @ self.coef_
+
+
 class RLM:
     """Robust M-estimator wrapper over kernel.robust.rlm_fit.
 
@@ -108,6 +176,8 @@ class RLM:
 ESTIMATORS = {
     "OLS": OLS,
     "Lasso20": lambda: Lasso(alpha=20.0),
+    "sklearn_Lasso20": lambda: Lasso(alpha=20.0),   # reference pickle name
+    "glmnet_Lasso20": lambda: GlmnetLasso(alpha=20.0),
     "rlm_maxiter10": lambda: RLM(maxiter=10),
 }
 

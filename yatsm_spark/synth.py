@@ -172,7 +172,7 @@ def materialize_transcripts(
 
 #: conv counts per scale factor (FIXTURES.md §1: smoke 200 / correctness
 #: 2000 / bench 20000), keyed by the sf directory basename.
-SF_CONVS = {"sf0.001": 200, "sf0.01": 2_000, "sf0.1": 20_000}
+SF_CONVS = {"sf0.001": 200, "sf0.01": 2_000, "sf0.1": 20_000, "sf1.0": 200_000}
 
 
 def transcripts_for_sf(spark: SparkSession, sf_dir: str, data_root: str = "/root/repo/data") -> DataFrame:
@@ -183,7 +183,8 @@ def transcripts_for_sf(spark: SparkSession, sf_dir: str, data_root: str = "/root
     n = SF_CONVS.get(base, 2_000)
     # cap mega-convs at small scales to keep smoke/correctness fast (bench
     # scale keeps heavy skew to exercise salting/AQE)
-    max_turns = {"sf0.001": 1_000, "sf0.01": 1_500, "sf0.1": 20_000}.get(base, 1_500)
+    max_turns = {"sf0.001": 1_000, "sf0.01": 1_500, "sf0.1": 20_000,
+                 "sf1.0": 20_000}.get(base, 1_500)
     path = os.path.join(data_root, f"transcripts_{base}.parquet")
     materialize_transcripts(spark, path, n, max_turns=max_turns)
     return spark.read.parquet(path)
