@@ -504,6 +504,24 @@ def q_lsh_pairs(spark, sf_dir):
     return lsh_candidate_pairs(_t(spark, sf_dir, "embeddings"), n_planes=8)
 
 
+def q_ivf_assign(spark, sf_dir):
+    """IVF coarse assignment: (vec_id, cluster) against the deterministic
+    16-centroid codebook — the table the corpus would be bucketed by."""
+    from yatsm_spark.operators.similarity import ivf_assign
+
+    return ivf_assign(_t(spark, sf_dir, "embeddings"), n_centroids=16)
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k (nprobe=4 of 16 lists): the scale path next to the
+    brute-force cosine_topk baseline — candidates are ~nprobe/n_centroids
+    of the corpus, probes broadcast, corpus scan shuffle-free."""
+    from yatsm_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), query_ids=list(range(10)),
+                    k=5, n_centroids=16, nprobe=4)
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary payload plumbing: bytes + sha256 via the media table wrap."""
     from yatsm_spark.operators.multimodal import as_media_table
@@ -567,6 +585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fingerprints": q_fingerprints,
         "cosine_topk": q_cosine_topk,
+        "ivf_assign": q_ivf_assign,
+        "ivf_topk": q_ivf_topk,
         "lsh_buckets": q_lsh_buckets,
         "lsh_pairs": q_lsh_pairs,
         "multimodal_meta": q_multimodal_meta,
@@ -1030,6 +1050,23 @@ def _embedding_oracles() -> dict[str, str]:
                 f"i -> v[i] * cos((i-1) + {float(j * 1009)})))")
         planes.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
     bucket = " + ".join(planes)
+    # IVF twin: same codebook rule (16 lowest ids), same rounded-cosine
+    # argmax with lowest-cid tie-break as operators/similarity.ivf_index.
+    _IVF_CTES = """
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+                       FROM embeddings),
+            n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+                  FROM e),
+            c AS (SELECT vec_id::int AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+            asim AS (SELECT a.vec_id, c.cid,
+                            round(list_sum(list_transform(generate_series(1, len(a.v)),
+                                                          i -> a.v[i] * c.cv[i]))
+                                  / (a.nrm * c.cn), 6) AS csim
+                     FROM n a, c),
+            assign AS (SELECT vec_id, cid AS cluster FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+                FROM asim) WHERE rn = 1)"""
     return {
         "cosine_topk": f"""
             WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v
@@ -1039,6 +1076,29 @@ def _embedding_oracles() -> dict[str, str]:
               SELECT q.query_id, a.vec_id AS neighbor_id,
                      round({dot} / ({nrm.format(X='a')} * {nrm.format(X='q')}), 6) AS sim
               FROM e a, q WHERE a.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, sim, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, neighbor_id ASC) AS rank
+              FROM sims)
+            WHERE rank <= 5
+        """,
+        "ivf_assign": f"""
+            {_IVF_CTES}
+            SELECT vec_id, cluster FROM assign
+        """,
+        "ivf_topk": f"""
+            {_IVF_CTES},
+            probes AS (SELECT vec_id AS query_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+                FROM asim WHERE vec_id < 10) WHERE rn <= 4),
+            cand AS (SELECT p.query_id, a2.vec_id AS neighbor_id
+                     FROM probes p JOIN assign a2 ON a2.cluster = p.cid
+                     WHERE a2.vec_id <> p.query_id),
+            sims AS (SELECT c2.query_id, c2.neighbor_id,
+                            round({dot} / (a.nrm * q.nrm), 6) AS sim
+                     FROM cand c2 JOIN n a ON a.vec_id = c2.neighbor_id
+                                  JOIN n q ON q.vec_id = c2.query_id)
             SELECT query_id, neighbor_id, sim, rank FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id
                                            ORDER BY sim DESC, neighbor_id ASC) AS rank

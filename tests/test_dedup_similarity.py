@@ -78,3 +78,62 @@ def test_jaccard_sizes_use_capped_universe(spark):
         assert j == pytest.approx(inter / union, abs=1e-6), (a, b)
     # the pairs sharing only the stop-shingle must NOT appear at all
     assert (0, 2) not in got and (1, 3) not in got
+
+
+def _emb_corpus(spark, n=120, dim=16):
+    # deterministic synthetic embeddings with mild cluster structure
+    import math
+
+    rows = []
+    for i in range(n):
+        base = [math.cos(0.7 * (i % 8) + 0.13 * d) for d in range(dim)]
+        vec = [b + 0.05 * math.sin(1.3 * i + d) for d, b in enumerate(base)]
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in vec]))
+    return spark.createDataFrame(rows)
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    # nprobe == n_centroids probes every inverted list, so IVF must return
+    # the brute-force cosine_topk result EXACTLY (same rounding, same
+    # tie-break) — pins assignment/probe/candidate plumbing end to end.
+    from yatsm_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = _emb_corpus(spark)
+    qids = [3, 17, 42]
+    brute = {(r.query_id, r.rank): (r.neighbor_id, r.sim)
+             for r in cosine_topk(emb, qids, k=5).collect()}
+    full = {(r.query_id, r.rank): (r.neighbor_id, r.sim)
+            for r in ivf_topk(emb, qids, k=5, n_centroids=8, nprobe=8).collect()}
+    assert full == brute
+
+
+def test_ivf_partial_probe_recall(spark):
+    # nprobe=2 of 8 lists: every result must still be a TRUE cosine
+    # neighbor drawn from probed lists, and recall@5 on this clustered
+    # corpus should be high (the corpus clusters align with the codebook).
+    from yatsm_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = _emb_corpus(spark)
+    qids = [3, 17, 42]
+    brute = cosine_topk(emb, qids, k=5).collect()
+    approx = ivf_topk(emb, qids, k=5, n_centroids=8, nprobe=2).collect()
+    bset = {(r.query_id, r.neighbor_id) for r in brute}
+    aset = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(aset & bset) / len(bset)
+    assert recall >= 0.6, recall
+    # sims reported by IVF are exact cosines (not approximations)
+    bsim = {(r.query_id, r.neighbor_id): r.sim for r in brute}
+    for r in approx:
+        key = (r.query_id, r.neighbor_id)
+        if key in bsim:
+            assert r.sim == bsim[key]
+
+
+def test_ivf_assign_covers_corpus_once(spark):
+    from yatsm_spark.operators.similarity import ivf_assign
+
+    emb = _emb_corpus(spark)
+    a = ivf_assign(emb, n_centroids=8).collect()
+    assert len(a) == 120
+    assert len({r.vec_id for r in a}) == 120          # exactly one cluster each
+    assert {r.cluster for r in a} <= set(range(8))    # clusters are centroid ids

@@ -28,8 +28,13 @@ from yatsm_spark.conf import get_spark
 from yatsm_spark.synth import transcripts_for_sf
 
 cpus = int(os.environ["CPUS"])
-spark = get_spark(app_name="ceiling", master=f"local[{cpus}]",
-                  shuffle_partitions=max(cpus, 8))
+master = os.environ.get("CEILING_MASTER", f"local[{cpus}]")
+extra = None
+if master.startswith("local-cluster"):
+    extra = {"spark.executor.memory": os.environ.get("CEILING_EXEC_MEM", "10g"),
+             "spark.driver.memory": "8g"}
+spark = get_spark(app_name="ceiling", master=master,
+                  shuffle_partitions=max(cpus, 8), extra_confs=extra)
 tx = transcripts_for_sf(spark, os.environ["SF_DIR"],
                         data_root=os.path.join(os.environ["REPO"], "data"))
 best = None
@@ -60,14 +65,46 @@ for rep in range(2):
     spark.sparkContext.parallelize(range(128), 128).mapPartitions(_burn).count()
     dt = time.time() - t0
     cbest = dt if cbest is None else min(cbest, dt)
+
+# Shuffle-bound probe: fixed total bytes through ONE full-width exchange
+# (repartition by expression — no map-side reduction) and a noop sink.
+# In thread mode the exchange is in-process memory; with process-isolated
+# executors it is real serialize -> loopback socket -> deserialize, all
+# contending for the same DRAM. This probe isolates exactly that cost:
+# the engine's full job is a blend of scan + shuffle + compute, and only
+# this reference moves bytes between executors the way its rollup
+# exchanges do.
+shuffle_df = (spark.range(0, 120_000_000, 1, 256)
+              .selectExpr("id", "repeat('x', 32) AS payload",
+                          "id % 7777777 AS key"))
+sbest = None
+for rep in range(2):
+    t0 = time.time()
+    shuffle_df.repartition(F.col("key")).write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    sbest = dt if sbest is None else min(sbest, dt)
 print(json.dumps({"cpus": cpus, "wall_s": round(best, 3),
                   "cpu_wall_s": round(cbest, 3),
+                  "shuffle_wall_s": round(sbest, 3),
                   "rows": row["n"], "chars": int(row["chars"])}))
 """
 
 
+#: BENCH_ISOLATION=process mirrors tools/bench_scaling.py: each level runs
+#: as local-cluster[N/4, 4, mem] (separate executor JVMs) so the reference
+#: probes share the ENGINE run's exact topology — required to attribute a
+#: process-isolated efficiency drop to the one-box topology vs the engine.
+ISOLATION = os.environ.get("BENCH_ISOLATION", "thread")
+CORES_PER_EXEC = int(os.environ.get("BENCH_CORES_PER_EXEC", "4"))
+EXEC_MEM_MB = int(os.environ.get("BENCH_EXEC_MEM_MB", "12288"))
+
+
 def run(cpus: int) -> dict:
     env = dict(os.environ, REPO=REPO, CPUS=str(cpus), SF_DIR=SF_DIR)
+    if ISOLATION == "process":
+        n_exec = max(1, cpus // CORES_PER_EXEC)
+        env["CEILING_MASTER"] = f"local-cluster[{n_exec},{CORES_PER_EXEC},{EXEC_MEM_MB}]"
+        env["CEILING_EXEC_MEM"] = f"{EXEC_MEM_MB * 5 // 6}m"
     p = subprocess.run([sys.executable, "-c", _CHILD], env=env,
                        capture_output=True, text=True, timeout=1800)
     if p.returncode != 0:
@@ -82,7 +119,7 @@ def main():
         out[c] = run(c)
         print(f"local[{c}]: {out[c]['wall_s']}s "
               f"({out[c]['rows'] / out[c]['wall_s'] / 1e6:.1f}M rows/s)", file=sys.stderr)
-    effs, cpu_effs = {}, {}
+    effs, cpu_effs, sh_effs = {}, {}, {}
     for lo in levels:
         for hi in levels:
             if hi == 4 * lo and lo in out and hi in out:
@@ -90,10 +127,15 @@ def main():
                     (out[lo]["wall_s"] / out[hi]["wall_s"]) / 4, 3)
                 cpu_effs[f"{lo}->{hi}"] = round(
                     (out[lo]["cpu_wall_s"] / out[hi]["cpu_wall_s"]) / 4, 3)
-    payload = {"sf": SF_DIR, "walls": out, "ceiling_efficiency": effs,
-               "cpu_pure_efficiency": cpu_effs}
+                if "shuffle_wall_s" in out[lo] and "shuffle_wall_s" in out[hi]:
+                    sh_effs[f"{lo}->{hi}"] = round(
+                        (out[lo]["shuffle_wall_s"] / out[hi]["shuffle_wall_s"]) / 4, 3)
+    payload = {"sf": SF_DIR, "isolation": ISOLATION, "walls": out,
+               "ceiling_efficiency": effs, "cpu_pure_efficiency": cpu_effs,
+               "shuffle_efficiency": sh_effs}
+    out_name = "ceiling.json" if ISOLATION != "process" else "ceiling_process.json"
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "ceiling.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload))
 

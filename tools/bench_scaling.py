@@ -72,7 +72,8 @@ def main():
         # noise (this VM drifts ~15-25% on ~10-minute scales — measured).
         return min(x[key] for x in results[c])
 
-    thr = {c: med(c, "turns_rolled_per_sec") for c in levels}
+    # throughput pairs with the BEST wall (min across reps), so take max
+    thr = {c: max(x["turns_rolled_per_sec"] for x in results[c]) for c in levels}
     # Efficiency is a RATIO of two runs: compute it within the SAME outer
     # rep (temporally adjacent, same box state) and report the best rep —
     # mixing a healthy-box low-core run with a degraded-box high-core run
@@ -92,7 +93,9 @@ def main():
     tiers_match = hashes[lo_x]["tiers"] == hashes[hi_x]["tiers"]
 
     ceiling = None
-    cpath = os.path.join(REPO, "BENCH", "ceiling.json")
+    # reference probes must share the engine run's topology (thread vs process)
+    cpath = os.path.join(REPO, "BENCH",
+                         "ceiling.json" if ISOLATION != "process" else "ceiling_process.json")
     if os.path.exists(cpath):
         with open(cpath) as f:
             ceiling = json.load(f)

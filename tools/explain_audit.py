@@ -103,6 +103,12 @@ def main():
         ("left anti join (retained = fine MINUS evictable)", "LeftAnti", True),
         ("no cartesian product", "CartesianProduct", False),
     ])
+    audit("ivf_topk (IVF probe join)", qs["ivf_topk"](spark, SF_DIR), [
+        ("probe table broadcast (corpus side never shuffles for the join)",
+         "BroadcastHashJoin", True),
+        ("no cartesian product", "CartesianProduct", False),
+        ("codebook sims are JVM expressions, no Python", "EvalPython", False),
+    ])
     audit("minhash_pairs (LSH band join, capped)", qs["minhash_pairs"](spark, SF_DIR), [
         ("bucket-size cap applied via broadcast semi-side", "BroadcastHashJoin", True),
         ("no cartesian product", "CartesianProduct", False),

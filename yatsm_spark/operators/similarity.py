@@ -83,6 +83,108 @@ def hyperplane_buckets(
     return embeddings.select(F.col(id_col), bucket.cast("long").alias("bucket"))
 
 
+def ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer: assign every vector to its nearest centroid.
+
+    Returns ``(assigned, centroids)`` where ``assigned`` adds a ``cluster``
+    column and ``centroids`` is the collected codebook
+    ``[(cid, vec, norm), ...]`` (≤ ``n_centroids`` rows — bounded driver
+    collect, the FAISS shape: the coarse quantizer is tiny metadata shipped
+    to every task, NOT a join side). Assignment is a pure per-row argmax of
+    rounded cosine similarity against the literal codebook — zero shuffle
+    over the corpus, whole-stage-codegen JVM expressions only.
+
+    Centroid choice is deterministic (the ``n_centroids`` lowest ids): in
+    production the codebook comes from offline k-means on a sample exactly
+    as FAISS trains; codebook quality is orthogonal to the operator's
+    partition/probe structure, and a deterministic seed set keeps the
+    operator oracle-checkable. Ties in the argmax break to the lowest
+    centroid id (first max position).
+    """
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cents = (
+        embeddings.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).cast("int").alias("cid"), vec_d.alias("cv"),
+                _norm(vec_d).alias("cn"))
+        .collect()
+    )
+    centroids = sorted((r.cid, list(r.cv), float(r.cn)) for r in cents)
+    base = embeddings.select(
+        F.col(id_col), F.col(vec_col), vec_d.alias("v"), _norm(vec_d).alias("nrm"))
+    csims = F.array(*[
+        F.round(_dot(F.col("v"), F.array(*[F.lit(float(x)) for x in cv]))
+                / (F.col("nrm") * F.lit(cn)), 6)
+        for cid, cv, cn in centroids
+    ])
+    cid_arr = F.array(*[F.lit(cid) for cid, _, _ in centroids])
+    assigned = base.withColumn("csims", csims).withColumn(
+        "cluster",
+        F.element_at(cid_arr, F.array_position(F.col("csims"),
+                                               F.array_max("csims")).cast("int")))
+    return assigned, centroids
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster) inverted-file assignment — the table you'd partition /
+    bucket the corpus by so each probe reads only its clusters' files."""
+    assigned, _ = ivf_index(embeddings, n_centroids, id_col, vec_col)
+    return assigned.select(id_col, "cluster")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe each query's ``nprobe`` nearest
+    centroid lists and brute-force cosine only within them.
+
+    Scale shape: candidates are ``~nprobe/n_centroids`` of the corpus; the
+    probe table (queries × nprobe rows) is broadcast, so the corpus-side
+    scan stays shuffle-free and the only shuffle is the per-query top-k
+    window over candidates. With ``nprobe == n_centroids`` every list is
+    probed and the result is bit-identical to :func:`cosine_topk`
+    (pinned by ``tests/test_dedup_similarity.py``).
+    """
+    assigned, centroids = ivf_index(embeddings, n_centroids, id_col, vec_col)
+    cid_arr = F.array(*[F.lit(cid) for cid, _, _ in centroids])
+    probes = (
+        assigned.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+                F.col("nrm").alias("qn"), F.posexplode("csims").alias("pos", "csim"))
+        .withColumn("cid", F.element_at(cid_arr, (F.col("pos") + 1).cast("int")))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cid").asc())
+    probes = probes.withColumn("prn", F.row_number().over(w_probe)) \
+                   .filter(F.col("prn") <= nprobe)
+    cand = assigned.join(
+        F.broadcast(probes),
+        (F.col("cluster") == F.col("cid")) & (F.col(id_col) != F.col("query_id")))
+    sim = F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.select("query_id", F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_candidate_pairs(embeddings: DataFrame, n_planes: int = 8,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         max_bucket_size: int = 1000) -> DataFrame:
