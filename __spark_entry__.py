@@ -94,6 +94,19 @@ def q_tx_rollup_1m_salted(spark, sf_dir):
     return rollup_from_turns_salted(with_measures(_tx(spark, sf_dir)), "1m").drop("gap_filled")
 
 
+def q_tx_rollup_1m_adaptive(spark, sf_dir):
+    """A6 adaptive selective salting (sample-detected hot keys only) —
+    values bit-identical to the unsalted rollup regardless of which keys
+    the sample flags, so it shares tx_rollup_1m's oracle. Threshold tuned
+    down so the sf0.01 table actually exercises the hot path."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.rollup import rollup_from_turns_adaptive
+
+    return rollup_from_turns_adaptive(
+        with_measures(_tx(spark, sf_dir)), "1m",
+        hot_threshold=200, sample_fraction=0.05).drop("gap_filled")
+
+
 def q_tx_retention(spark, sf_dir):
     """Retention eviction (SURVEY.md §2.11): the RETAINED 1m rows after
     evicting slots older than 2 days (per-conv age) that sit at/below the
@@ -549,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graft core (transcripts)
         "tx_rollup_1m": q_tx_rollup_1m,
         "tx_rollup_1m_salted": q_tx_rollup_1m_salted,
+        "tx_rollup_1m_adaptive": q_tx_rollup_1m_adaptive,
         "tx_retention": q_tx_retention,
         "tx_gapfill_1m": q_tx_gapfill_1m,
         "tx_cascade_1h": q_tx_cascade_1h,
@@ -630,6 +644,10 @@ def oracle_sql() -> dict[str, str]:
             FROM {tx} GROUP BY 1, 2
         """,
         "tx_rollup_1m_salted": f"""
+            SELECT conv_id, {slot_m} AS window_start, {ROLE_COUNTS_SQL}
+            FROM {tx} GROUP BY 1, 2
+        """,
+        "tx_rollup_1m_adaptive": f"""
             SELECT conv_id, {slot_m} AS window_start, {ROLE_COUNTS_SQL}
             FROM {tx} GROUP BY 1, 2
         """,

@@ -183,3 +183,45 @@ def test_salted_rollup_identical_to_unsalted(spark, tx):
         b = rollup_from_turns_salted(m, tier, n_salts=8)
         assert a.exceptAll(b).count() == 0
         assert b.exceptAll(a).count() == 0
+
+
+def test_adaptive_rollup_identical_to_unsalted(spark, tx):
+    # Selective salting must be value-transparent for ANY detection
+    # outcome; force both regimes by sweeping the threshold:
+    # - aggressive (hot_threshold tiny, fat sample): most keys salted
+    # - conservative (hot_threshold huge): nothing salted, pure cold path
+    from yatsm_spark.operators.rollup import rollup_from_turns_adaptive
+
+    m = with_measures(tx)
+    a = rollup_from_turns(m, "1m")
+    for thr, frac in ((4, 0.5), (10**9, 0.001)):
+        b = rollup_from_turns_adaptive(m, "1m", n_salts=8,
+                                       hot_threshold=thr, sample_fraction=frac)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+
+def test_adaptive_rollup_detects_hot_keys(spark):
+    # One conv crams 20k turns into one minute; with a fat sample and low
+    # threshold the hot set must be non-empty and contain that key.
+    from pyspark.sql import functions as F
+
+    from yatsm_spark.operators.rollup import _slot
+
+    n = 20_000
+    hot = spark.range(0, n).select(
+        F.lit("conv_hot").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("x").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_seconds(F.lit(1_735_689_600) + (F.col("id") % 59)).alias("ts"),
+    )
+    keyed = with_measures(hot).withColumn("_ws", _slot(F.col("ts"), 60))
+    sample_hot = (
+        keyed.sample(fraction=0.05, seed=42)
+        .groupBy("conv_id", "_ws").agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= max(2, int(10_000 * 0.05 / 2)))
+        .collect()
+    )
+    assert len(sample_hot) == 1 and sample_hot[0].conv_id == "conv_hot"

@@ -46,6 +46,7 @@ from yatsm_spark.operators.changescore import change_scores  # noqa: E402
 from yatsm_spark.operators.codec import encode_chunks  # noqa: E402
 from yatsm_spark.operators.rollup import (  # noqa: E402
     rollup_from_turns,
+    rollup_from_turns_adaptive,
     rollup_from_turns_salted,
 )
 from yatsm_spark.synth import T0, WINDOW_S, transcripts_for_sf  # noqa: E402
@@ -152,6 +153,8 @@ def main():
         timed(variant, "rollup_1m_unsalted", lambda: sink(rollup_from_turns(m, "1m")))
         timed(variant, "rollup_1m_salted",
               lambda: sink(rollup_from_turns_salted(m, "1m")))
+        timed(variant, "rollup_1m_adaptive",
+              lambda: sink(rollup_from_turns_adaptive(m, "1m")))
         if variant == "megaconv":
             rollup_from_turns(m, "1m").write.mode("overwrite") \
                 .parquet(f"{WORK}/sparse_1m")
@@ -175,6 +178,10 @@ def main():
         "  spread; salting must).",
         "- **megaconv**: mega turns uniform over 30 days — one conv owns all",
         "  43,200 1m slots, stressing the group-by-conv applyInPandas kernels.",
+        "",
+        "rollup_1m_adaptive = sample-detected hot keys take the two-phase",
+        "salted path, cold keys the plain single-phase path (union) — the",
+        "straggler bound of salting without the all-keys two-phase tax.",
         "",
         "Worst stage per query = stage with the largest max task runtime",
         "(Spark REST taskSummary). The straggler bound the table demonstrates:",

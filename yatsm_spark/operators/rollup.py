@@ -124,6 +124,55 @@ def rollup_from_turns_salted(measures: DataFrame, tier: str = "1m",
     )
 
 
+def rollup_from_turns_adaptive(
+    measures: DataFrame,
+    tier: str = "1m",
+    n_salts: int = 16,
+    hot_threshold: int = 1_000_000,
+    sample_fraction: float = 0.001,
+) -> DataFrame:
+    """A6 with SELECTIVE salting: salt only detected hot keys.
+
+    The skew bench (BENCH/SKEW.md) shows the trade the always-salted
+    variant makes: with 10% of all turns behind one (conv, slot) key it
+    bounds the straggler (max task 44.8s -> 21.6s) but every COLD key pays
+    the two-phase tax (hotkey-variant wall 48 -> 63s). This variant takes
+    both ends: a ~0.1% sample finds keys whose estimated row count exceeds
+    ``hot_threshold`` (a key with h rows appears ~h*fraction times in the
+    sample; the cutoff is half that, so detection is robust for
+    h >= hot_threshold at fraction >= 2000/hot_threshold), the small hot
+    set is broadcast, hot rows take the two-phase (key, salt) path and
+    cold rows the plain single-phase path, unioned after. Cold keys thus
+    shuffle exactly once as before, and no single reduce key carries more
+    than ~1/n_salts of a hot key's rows.
+
+    Output VALUES are bit-identical to rollup_from_turns for any detection
+    outcome (all moments decomposable — same argument as the salted
+    variant); only the physical plan adapts. The sample is seeded but
+    partition-layout-dependent, so WHICH keys get salted may vary across
+    cluster sizes — the result never does (tested).
+    """
+    sec = TIERS[tier]
+    keyed = measures.withColumn("_ws", _slot(F.col("ts"), sec))
+    cutoff = max(2, int(hot_threshold * sample_fraction / 2))
+    hot = (
+        keyed.sample(fraction=sample_fraction, seed=42)
+        .groupBy("conv_id", "_ws")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= cutoff)
+        .select("conv_id", "_ws", F.lit(True).alias("_hot"))
+    )
+    flagged = keyed.join(F.broadcast(hot), ["conv_id", "_ws"], "left")
+    cold = (
+        flagged.filter(F.col("_hot").isNull())
+        .drop("_hot", "_ws")
+        .transform(lambda df: rollup_from_turns(df, tier))
+    )
+    hot_rows = flagged.filter(F.col("_hot").isNotNull()).drop("_hot", "_ws")
+    hot_rolled = rollup_from_turns_salted(hot_rows, tier, n_salts=n_salts)
+    return cold.unionByName(hot_rolled)
+
+
 def gapfill(rollup: DataFrame, tier: str = "1m") -> DataFrame:
     """W8: densify each conv's [min_slot, max_slot] span.
 

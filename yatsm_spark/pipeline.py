@@ -48,6 +48,12 @@ class PipelineConfig:
     segments: bool = True
     phenology: bool = False   # A3: append diurnal fields to segments
     chunk_points: int = 4096
+    #: rollup skew strategy: "none" (single-phase hash agg; map-side
+    #: partials already absorb ordinary zipf skew), "always" (two-phase
+    #: salt on every key), "adaptive" (sample-detected hot keys salted,
+    #: cold keys single-phase — see BENCH/SKEW.md). Values are
+    #: bit-identical across all three (tested).
+    salting: str = "none"
 
 
 @dataclass
@@ -122,7 +128,11 @@ def run_pipeline(
         # dense (gap-filled) tiers are generated post-shuffle on the write
         # path, and the kernels densify per conv in numpy. At bench skew
         # the dense tier is ~8x the sparse one — none of it is exchanged.
-        sparse = R.rollup_from_turns(bm, "1m").cache()
+        rollup_1m = {
+            "always": lambda df: R.rollup_from_turns_salted(df, "1m"),
+            "adaptive": lambda df: R.rollup_from_turns_adaptive(df, "1m"),
+        }.get(cfg.salting, lambda df: R.rollup_from_turns(df, "1m"))
+        sparse = rollup_1m(bm).cache()
         rows = {"rollup_1m_sparse": sparse.count()}
         store.write_bucket(R.gapfill(sparse, "1m"), "tier_1m", b)
         rows["rollup_1m"] = spark.read.parquet(
