@@ -535,6 +535,16 @@ def q_ivf_topk(spark, sf_dir):
                     k=5, n_centroids=16, nprobe=4)
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: LSH candidates + exact cosine
+    filter. Threshold 0.3 (not the 0.5 production default) because the
+    synthetic embeddings' max pairwise cosine is ~0.48 — the query must
+    exercise a non-empty emit path."""
+    from yatsm_spark.operators.similarity import embedding_near_dups
+
+    return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary payload plumbing: bytes + sha256 via the media table wrap."""
     from yatsm_spark.operators.multimodal import as_media_table
@@ -603,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "lsh_buckets": q_lsh_buckets,
         "lsh_pairs": q_lsh_pairs,
+        "embedding_near_dups": q_embedding_near_dups,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
     }
@@ -1128,6 +1139,24 @@ def _embedding_oracles() -> dict[str, str]:
                    ({bucket})::long AS bucket
             FROM (SELECT vec_id, list_transform(embedding, x -> x::double) AS v
                   FROM embeddings)
+        """,
+        "embedding_near_dups": f"""
+            WITH b0 AS (
+              SELECT vec_id, ({bucket})::long AS bucket
+              FROM (SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+                    FROM embeddings)),
+            bok AS (SELECT bucket FROM b0 GROUP BY bucket HAVING count(*) <= 1000),
+            b AS (SELECT b0.* FROM b0 JOIN bok USING (bucket)),
+            p AS (SELECT l.vec_id AS id_a, r.vec_id AS id_b
+                  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+            n AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+                  FROM embeddings),
+            s AS (SELECT p.id_a, p.id_b,
+                         round({dot.replace('q.v', 'b2.v')} /
+                               ({nrm.format(X='a')} * {nrm.format(X='b2')}), 6) AS sim
+                  FROM p JOIN n a ON a.vec_id = p.id_a
+                         JOIN n b2 ON b2.vec_id = p.id_b)
+            SELECT id_a, id_b, sim FROM s WHERE sim >= 0.3
         """,
         "lsh_pairs": f"""
             WITH b0 AS (

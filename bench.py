@@ -54,12 +54,33 @@ def main():
         # driver (it only schedules here).
         extra = {"spark.executor.memory": os.environ.get("SPARK_GRAFT_EXEC_MEM", "10g"),
                  "spark.driver.memory": "8g"}
+    # shuffle partitions: engine default (4x cores + AQE coalescing).
+    # Pinning this to the core count looked harmless at sf0.1 but made the
+    # tier phase superlinear at sf1.0 (791M turns): 32 reduce partitions
+    # meant ~GB-scale sort spills per partition. 4x cores keeps partitions
+    # spill-free as data grows while AQE coalesces them away when small.
+    # BENCH_SHUFFLE_PARTITIONS: explicit override for A/B probes.
+    sp = os.environ.get("BENCH_SHUFFLE_PARTITIONS")
     spark = get_spark(app_name="yatsm-spark-bench", master=MASTER,
-                      shuffle_partitions=max(CPUS, 8), extra_confs=extra)
+                      shuffle_partitions=int(sp) if sp else None,
+                      extra_confs=extra)
 
     # Materialize bench transcripts once (deterministic; excluded from timing).
     tx = transcripts_for_sf(spark, SF_DIR, data_root=os.path.join(REPO, "data"))
     n_turns = tx.count()
+
+    if not sp:
+        # Data-sized shuffle width (see conf.shuffle_partitions_for_bytes):
+        # runtime conf, so it can follow the input measured AFTER session
+        # startup. 2.6 GB/sf0.1 -> 32 (= cores), 27 GB/sf1.0 -> ~108.
+        from yatsm_spark.conf import shuffle_partitions_for_bytes
+
+        base = os.path.basename(SF_DIR.rstrip("/"))
+        tx_path = os.path.join(REPO, "data", f"transcripts_{base}.parquet")
+        n_bytes = sum(os.path.getsize(os.path.join(tx_path, f))
+                      for f in os.listdir(tx_path)) if os.path.isdir(tx_path) else 0
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(shuffle_partitions_for_bytes(n_bytes, CPUS)))
 
     queries: dict[str, float] = {}
 

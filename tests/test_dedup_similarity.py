@@ -137,3 +137,22 @@ def test_ivf_assign_covers_corpus_once(spark):
     assert len(a) == 120
     assert len({r.vec_id for r in a}) == 120          # exactly one cluster each
     assert {r.cluster for r in a} <= set(range(8))    # clusters are centroid ids
+
+
+def test_embedding_near_dups_exact_cosine_and_threshold(spark):
+    # Two identical vectors (sim 1.0) must pair; an orthogonal-ish vector
+    # must not cross the threshold even when it shares a bucket.
+    from yatsm_spark.operators.similarity import embedding_near_dups
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 2.0, 3.0, 4.0]),
+        Row(vec_id=1, embedding=[1.0, 2.0, 3.0, 4.0]),     # exact dup of 0
+        Row(vec_id=2, embedding=[1.0, 2.0, 3.0, 4.01]),    # near dup
+        Row(vec_id=3, embedding=[4.0, -3.0, 2.0, -1.0]),   # far
+    ]
+    out = {(r.id_a, r.id_b): r.sim
+           for r in embedding_near_dups(spark.createDataFrame(rows),
+                                        threshold=0.9).collect()}
+    assert out.get((0, 1)) == 1.0
+    assert (0, 2) in out and out[(0, 2)] > 0.999
+    assert all(3 not in pair for pair in out)

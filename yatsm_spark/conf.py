@@ -43,6 +43,23 @@ ENGINE_CONFS = {
 }
 
 
+def shuffle_partitions_for_bytes(n_bytes: int, cores: int,
+                                 target_bytes: int = 256 << 20) -> int:
+    """Size the shuffle width to the DATA, floored at the core count.
+
+    Measured A/B at local[32] (BENCH/BASELINE_8_32.md round-3 addendum):
+    78M turns (2.6 GB) runs 28% faster at 32 partitions than 128 (fewer,
+    fuller Arrow batches and sort runs), while 791M turns (27 GB) runs 36%
+    faster at 128 than 32 (a 32-wide reduce spills GB-scale sorts). One
+    constant cannot serve both; ~256 MB of input per reduce partition
+    lands on the measured winner at each scale and extrapolates to the
+    cluster rule of thumb (100 TB -> ~400k partitions across 1000
+    executors). AQE coalescing still shrinks small stages below the
+    floor at runtime.
+    """
+    return max(cores, min(32_768, int(n_bytes // target_bytes)))
+
+
 def get_spark(
     app_name: str = "yatsm-spark",
     master: str | None = None,

@@ -185,6 +185,39 @@ def ivf_topk(
     )
 
 
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.5,
+    n_planes: int = 8,
+    max_bucket_size: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (task-brief dedup family):
+    LSH candidate generation + EXACT cosine verification + threshold.
+
+    Scale shape: candidates come from the capped within-bucket join (never
+    the corpus self-join), then two id-equi-joins hydrate the vectors and
+    the cosine runs JVM-side per pair. Sign-LSH misses some true pairs by
+    design (the recall/cost trade); every EMITTED pair carries its exact
+    cosine, so precision at the threshold is 1.0.
+    """
+    pairs = lsh_candidate_pairs(embeddings, n_planes, id_col, vec_col,
+                                max_bucket_size).select("id_a", "id_b")
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(F.col(id_col), vec_d.alias("v"), _norm(vec_d).alias("nrm"))
+    a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                    F.col("nrm").alias("na"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                    F.col("nrm").alias("nb"))
+    sim = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def lsh_candidate_pairs(embeddings: DataFrame, n_planes: int = 8,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         max_bucket_size: int = 1000) -> DataFrame:

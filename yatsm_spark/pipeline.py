@@ -114,6 +114,15 @@ def run_pipeline(
             ckpt.commit(f"bucket", b, "empty", 0, 0.0)
             continue
         bm = spark.read.parquet(bdir)
+        # Data-sized shuffle width per bucket (conf.shuffle_partitions_for_bytes):
+        # a fixed width spills at 10x data and over-fragments at 0.1x.
+        from yatsm_spark.conf import shuffle_partitions_for_bytes
+        b_bytes = sum(os.path.getsize(os.path.join(bdir, f))
+                      for f in os.listdir(bdir) if f.endswith(".parquet"))
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions_for_bytes(
+                b_bytes, spark.sparkContext.defaultParallelism)))
         fp = _input_fingerprint(bm)
         if cfg.compress:
             # Format bump -> fingerprint mismatch -> bucket re-encodes on

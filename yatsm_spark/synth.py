@@ -165,7 +165,13 @@ def materialize_transcripts(
 
     if not os.path.exists(path):
         df = generate_transcripts(spark, n_convs, seed=seed, max_turns=max_turns)
-        df.repartition(max(1, n_convs // 2048 + 1)).write.mode("overwrite").parquet(path + ".tmp")
+        # Write with the generator's own partitioning (≤1024 contiguous conv
+        # slices, ~35 MB files at sf1.0). The earlier repartition() here was
+        # a full shuffle of the entire generated table just to reduce the
+        # file count — at 27 GB (sf1.0) it spilled ~40 GB of scratch, and a
+        # round-robin exchange over a nondeterministic-order upstream is
+        # also unsafe under task retries.
+        df.write.mode("overwrite").parquet(path + ".tmp")
         os.rename(path + ".tmp", path)
     return path
 
