@@ -31,6 +31,7 @@ TX_SF01 = os.path.join(REPO, "data", "transcripts_sf0.01.parquet")
 #: sequential-kernel queries that have no SQL twin.
 GOLDEN_SEG = os.path.join(REPO, "data", "golden_segments_sf0.01.parquet")
 GOLDEN_CLS = os.path.join(REPO, "data", "golden_classify_sf0.01.parquet")
+GOLDEN_CV = os.path.join(REPO, "data", "golden_crossval_sf0.01.parquet")
 
 ROLE_COUNTS_SQL = """
        count(*)::long AS turn_count,
@@ -271,6 +272,31 @@ def q_tx_classify(spark, sf_dir):
     model = train_segment_classifier(feats, labels, n_trees=20, seed=11)
     pred = classify_segments(segs, model)
     return pred.select("conv_id", "segment_id", "class", "class_proba")
+
+
+def q_tx_crossval(spark, sf_dir):
+    """A4 crossvalidation as a driver row: 5-fold held-out accuracies of
+    the segment classifier on the deterministic labeled sample. Oracle:
+    kernel kfold_scores driven outside Spark on the segments twin
+    (data/golden_crossval_sf0.01.parquet) — the differential covers the
+    Spark lineage (CCDC segments -> features -> bounded sorted sample);
+    the fold scores are exact doubles on both sides."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.changescore import change_scores
+    from yatsm_spark.operators.classify import crossval_report, segment_features
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
+    segs = change_scores(rollup_gapfilled(with_measures(tx), "1m"))
+    labels = (
+        tx.filter(F.col("conv_id") < "conv00000100")
+        .groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+        .select("conv_id",
+                F.when(F.col("n") >= 400, F.lit("active")).otherwise(F.lit("light"))
+                .alias("label"))
+    )
+    report = crossval_report(segment_features(segs), labels, k=5, n_trees=20)
+    return spark.createDataFrame(report)
 
 
 def q_tx_phenology(spark, sf_dir):
@@ -585,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_segments": q_tx_segments,
         "tx_phenology": q_tx_phenology,
         "tx_classify": q_tx_classify,
+        "tx_crossval": q_tx_crossval,
         "tx_codec_roundtrip": q_tx_codec_roundtrip,
         # events stream proxy
         "events_rollup_1m": q_events_rollup_1m,
@@ -1013,6 +1040,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, segment_id::int AS segment_id, "class",
                    class_proba::double AS class_proba
             FROM read_parquet('{GOLDEN_CLS}')
+        """,
+        "tx_crossval": f"""
+            SELECT fold::long AS fold, accuracy::double AS accuracy
+            FROM read_parquet('{GOLDEN_CV}')
         """,
         "multimodal_features": """
             WITH d AS (SELECT doc_id::long AS media_id,

@@ -26,3 +26,9 @@ def test_goldens_are_fresh():
     cls = classify_twin(segs)
     stored_cls = pd.read_parquet(os.path.join(REPO, "data", "golden_classify_sf0.01.parquet"))
     pd.testing.assert_frame_equal(cls, stored_cls, check_exact=True)
+
+    from make_goldens import crossval_twin
+
+    cv = crossval_twin(segs)
+    stored_cv = pd.read_parquet(os.path.join(REPO, "data", "golden_crossval_sf0.01.parquet"))
+    pd.testing.assert_frame_equal(cv, stored_cv, check_exact=True)

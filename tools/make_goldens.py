@@ -134,6 +134,29 @@ def classify_twin(segments: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def crossval_twin(segments: pd.DataFrame) -> pd.DataFrame:
+    """Numpy-twin of q_tx_crossval (A4): the SAME sorted labeled sample as
+    classify_twin, through kernel kfold_scores — differential over the
+    Spark lineage (segments -> features -> bounded sample collection)."""
+    from yatsm_spark.kernel.classify import kfold_scores
+
+    segs = segments[segments["conv_id"] < "conv00000200"].reset_index(drop=True)
+    labels = duckdb.sql(f"""
+        SELECT conv_id,
+               CASE WHEN count(*) >= 400 THEN 'active' ELSE 'light' END AS label
+        FROM read_parquet('{TX}/*.parquet')
+        WHERE conv_id < 'conv00000100' GROUP BY conv_id
+    """).df()
+    fcols = [f"coef_{j}" for j in range(N_COEF)] + ["rmse", "magnitude", "n_obs"]
+    feats = segs[["conv_id", "segment_id"] + fcols].copy()
+    feats["n_obs"] = feats["n_obs"].astype(np.float64)
+    sample = feats.merge(labels, on="conv_id")
+    sample = sample.sort_values(["conv_id", "segment_id"], kind="stable").reset_index(drop=True)
+    scores = kfold_scores(sample[fcols].to_numpy(dtype=np.float64),
+                          sample["label"].to_numpy(), k=5, n_trees=20)
+    return pd.DataFrame({"fold": np.arange(5), "accuracy": scores})
+
+
 def main() -> None:
     segs = segments_twin("conv00000300")
     seg_path = os.path.join(REPO, "data", "golden_segments_sf0.01.parquet")
@@ -144,6 +167,11 @@ def main() -> None:
     cls_path = os.path.join(REPO, "data", "golden_classify_sf0.01.parquet")
     cls.to_parquet(cls_path, index=False)
     print(f"wrote {cls_path}: {len(cls)} rows")
+
+    cv = crossval_twin(segs)
+    cv_path = os.path.join(REPO, "data", "golden_crossval_sf0.01.parquet")
+    cv.to_parquet(cv_path, index=False)
+    print(f"wrote {cv_path}: {len(cv)} rows")
 
 
 if __name__ == "__main__":
