@@ -172,10 +172,20 @@ def ccdc_fit(t: np.ndarray, Y: np.ndarray, params: CCDCParams | None = None) -> 
     X_full = harmonic_design(t, order=p.harmonic_order, period=p.period, trend=p.trend)
     fast_ols = p.estimator == "OLS"
 
+    # While no noise deletion has happened, act == arange(n) and window
+    # positions ARE indices: basic slices (views) replace fancy-index
+    # copies in the training slide's hottest path. Flag flips permanently
+    # at the first np.delete. Views are read-only here (the trend path
+    # copies before mutating), so results are unchanged.
+    act_arange = True
+
     def fit_window(pos_lo, pos_hi):
         """Fit all series on act positions [pos_lo, pos_hi]; returns
         (X, coefs, rmses)."""
-        idx = act[pos_lo : pos_hi + 1]
+        if act_arange:
+            idx = slice(pos_lo, pos_hi + 1)
+        else:
+            idx = act[pos_lo : pos_hi + 1]
         Xw = X_full[idx]
         Yw = Y[:, idx]
         if fast_ols:
@@ -187,7 +197,13 @@ def ccdc_fit(t: np.ndarray, Y: np.ndarray, params: CCDCParams | None = None) -> 
             # exact algebra a_global = a_centered - slope * c. One solve
             # covers every series (vectorized RHS), ~3x faster than lstsq.
             if p.trend:
-                c = t[idx].mean()
+                # arr.sum()/arr.size is np.mean minus the wrapper: same
+                # pairwise umr_sum, same divide — bit-identical, and this
+                # runs a few hundred thousand times per large conv group
+                # (mean's _count_reduce_items machinery was ~20% of
+                # fit_window in profile).
+                ts = t[idx]
+                c = ts.sum() / ts.size
                 Xc = Xw.copy()
                 Xc[:, 1] = Xw[:, 1] - c
             else:
@@ -200,7 +216,8 @@ def ccdc_fit(t: np.ndarray, Y: np.ndarray, params: CCDCParams | None = None) -> 
                 cf = np.vstack([np.linalg.lstsq(Xc, Yw[b], rcond=None)[0]
                                 for b in range(n_series)])
             resid = Yw - cf @ Xc.T
-            rm = np.sqrt(np.mean(resid ** 2, axis=1))
+            sq = resid ** 2
+            rm = np.sqrt(sq.sum(axis=1) / sq.shape[1])
             if p.trend:
                 cf = cf.copy()
                 cf[:, 0] = cf[:, 0] - cf[:, 1] * c
@@ -397,6 +414,7 @@ def ccdc_fit(t: np.ndarray, Y: np.ndarray, params: CCDCParams | None = None) -> 
                 # same global position (model unchanged ⇒ later scores
                 # unchanged; restart keeps predecessor bookkeeping exact).
                 act = np.delete(act, i + p_)
+                act_arange = False
                 i = i + p_
                 continue
             # short run fizzled (< consecutive): absorb into the segment
