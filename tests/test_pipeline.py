@@ -89,3 +89,21 @@ def test_unchanged_input_resume_skips_everything(spark, tx, tmp_path_factory):
     run_pipeline(spark, tx, cfg, resume=False)
     m = run_pipeline(spark, tx, cfg, resume=True)
     assert len(m.buckets) == 0
+
+
+def test_adaptive_salting_pipeline_tiers_identical(spark, tx, tmp_path_factory):
+    # The salting knob changes only the physical agg plan; every tier a
+    # pipeline writes must be bit-identical across strategies.
+    w_none = str(tmp_path_factory.mktemp("p_salt_none"))
+    w_adpt = str(tmp_path_factory.mktemp("p_salt_adaptive"))
+    run_pipeline(spark, tx, PipelineConfig(workdir=w_none, n_buckets=2,
+                                           compress=False, segments=False),
+                 resume=False)
+    run_pipeline(spark, tx, PipelineConfig(workdir=w_adpt, n_buckets=2,
+                                           compress=False, segments=False,
+                                           salting="adaptive"),
+                 resume=False)
+    for tier in ("tier_1m", "tier_1h", "tier_1d"):
+        a = _table(spark, w_none, tier)
+        b = _table(spark, w_adpt, tier)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, tier
