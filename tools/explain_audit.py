@@ -103,6 +103,15 @@ def main():
         ("left anti join (retained = fine MINUS evictable)", "LeftAnti", True),
         ("no cartesian product", "CartesianProduct", False),
     ])
+    audit("tx_rollup_1m_adaptive (selective salting)", qs["tx_rollup_1m_adaptive"](spark, SF_DIR), [
+        ("hot-key set broadcast to the flagging join", "BroadcastHashJoin", True),
+        ("both paths partially aggregated map-side", "partial_count", True),
+        ("no Python anywhere", "EvalPython", False),
+    ])
+    audit("embedding_near_dups (LSH + exact cosine)", qs["embedding_near_dups"](spark, SF_DIR), [
+        ("no cartesian product (bucketed candidates only)", "CartesianProduct", False),
+        ("no Python anywhere", "EvalPython", False),
+    ])
     audit("ivf_topk (IVF probe join)", qs["ivf_topk"](spark, SF_DIR), [
         ("probe table broadcast (corpus side never shuffles for the join)",
          "BroadcastHashJoin", True),
