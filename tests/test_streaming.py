@@ -178,3 +178,70 @@ def test_stream_tiers_reconcile_with_batch(spark, tmp_path):
         g, w = got_t[name], want_t[name]
         assert g.exceptAll(w).count() == 0, f"tier {name}: stream-only rows"
         assert w.exceptAll(g).count() == 0, f"tier {name}: batch-only rows"
+
+
+def test_watermark_drops_late_data_across_microbatches(spark, tmp_path):
+    # Three files processed as SEQUENTIAL micro-batches (maxFilesPerTrigger=1,
+    # mtime-ordered). Spark's watermark is a state-retention bound, not an
+    # input filter: a late row is only GUARANTEED dropped once its window's
+    # state has been evicted (emitted). Batch 0 loads minutes 0..30; batch 1
+    # (an on-time row) runs with the advanced watermark and evicts+emits all
+    # windows below it; batch 2 replays an event into minute 5 — its window
+    # is gone, so the row must be dropped (numRowsDroppedByWatermark) and
+    # the already-emitted minute-5 point must stay final (count 1, emitted
+    # exactly once). This is the streaming half of the tier-finality
+    # contract: a finalized rollup point never changes after emission.
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    import pandas as pd
+
+    base = pd.Timestamp("2025-01-01 00:00:00")
+    turns = [{"conv_id": "c1", "turn_idx": i, "role": "user", "text": "x",
+              "tool": None, "ts": base + pd.Timedelta(minutes=i)}
+             for i in range(31)]                       # minutes 0..30, 1/min
+    ontime = [{"conv_id": "c1", "turn_idx": 50, "role": "user", "text": "y",
+               "tool": None, "ts": base + pd.Timedelta(minutes=30, seconds=30)}]
+    late = [{"conv_id": "c1", "turn_idx": 99, "role": "user", "text": "late",
+             "tool": None, "ts": base + pd.Timedelta(minutes=5)}]
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+
+    def _write(rows, path):
+        # write via Spark so the parquet physical types match the stream's
+        # read schema exactly (pandas writes ns-INT64 ts / typeless nulls)
+        tmp = path + ".d"
+        spark.createDataFrame(pd.DataFrame(rows), TRANSCRIPT_SCHEMA) \
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], path)
+        shutil.rmtree(tmp)
+
+    now = _time.time()
+    for k, rows in enumerate((turns, ontime, late)):
+        p = os.path.join(src, f"f{k}.parquet")
+        _write(rows, p)
+        os.utime(p, (now - 60 + 30 * k, now - 60 + 30 * k))  # strict mtime order
+
+    stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (
+        stream_rollup_1m(stream, watermark="2 minutes")
+        .writeStream.format("memory").queryName("s_late")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    dropped = sum(p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+                  for p in q.recentProgress)
+    assert dropped == 1        # exactly the replayed minute-5 event
+
+    got = spark.sql(
+        "SELECT window_start, turn_count FROM s_late ORDER BY window_start"
+    ).toPandas()
+    m5 = got[got.window_start == base + pd.Timedelta(minutes=5)]
+    assert len(m5) == 1                        # emitted exactly once
+    assert int(m5.turn_count.iloc[0]) == 1     # late replay never re-counted
+    assert got.window_start.is_unique          # no append-mode re-emit anywhere

@@ -39,7 +39,16 @@ def stream_measures(stream: DataFrame) -> DataFrame:
 def stream_rollup_1m(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Watermarked 1m tumbling rollup. Append-mode ready: rows emit once
     the watermark passes the window end — the streaming high-watermark that
-    feeds the same cascade/eviction machinery as batch."""
+    feeds the same cascade/eviction machinery as batch.
+
+    Late-data contract (pinned by
+    tests/test_streaming.py::test_watermark_drops_late_data_across_microbatches):
+    Spark's watermark is a state-RETENTION bound, not an input filter. A
+    straggler that arrives while its window's state is still live (same
+    micro-batch as the eviction) is absorbed into the emitted point; one
+    that arrives after the window was emitted is dropped
+    (numRowsDroppedByWatermark) and the emitted point never changes —
+    finalized tier points are immutable, exactly the batch tier contract."""
     m = stream_measures(stream).withWatermark("ts", watermark)
     return (
         m.groupBy("conv_id", F.window("ts", "1 minute").alias("w"))
