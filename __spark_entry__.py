@@ -108,6 +108,24 @@ def q_tx_rollup_1m_adaptive(spark, sf_dir):
         hot_threshold=200, sample_fraction=0.05).drop("gap_filled")
 
 
+def q_tx_reconcile_merge(spark, sf_dir):
+    """Late-arrival delta merge (continuous-aggregate incremental
+    maintenance): every 7th turn is withheld as 'late', the tier is built
+    from the rest, the late turns are rolled up separately and merged.
+    Oracle = plain rollup over ALL turns — merge(rollup(base),
+    rollup(late)) must be bit-identical to rollup(base ∪ late)."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.cascade import merge_rollups
+    from yatsm_spark.operators.rollup import rollup_from_turns
+
+    tx = _tx(spark, sf_dir)
+    base = tx.filter(F.col("turn_idx") % 7 != 0)
+    late = tx.filter(F.col("turn_idx") % 7 == 0)
+    tier = rollup_from_turns(with_measures(base), "1m").drop("gap_filled")
+    delta = rollup_from_turns(with_measures(late), "1m").drop("gap_filled")
+    return merge_rollups(tier, delta)
+
+
 def q_tx_retention(spark, sf_dir):
     """Retention eviction (SURVEY.md §2.11): the RETAINED 1m rows after
     evicting slots older than 2 days (per-conv age) that sit at/below the
@@ -599,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_rollup_1m": q_tx_rollup_1m,
         "tx_rollup_1m_salted": q_tx_rollup_1m_salted,
         "tx_rollup_1m_adaptive": q_tx_rollup_1m_adaptive,
+        "tx_reconcile_merge": q_tx_reconcile_merge,
         "tx_retention": q_tx_retention,
         "tx_gapfill_1m": q_tx_gapfill_1m,
         "tx_cascade_1h": q_tx_cascade_1h,
@@ -686,6 +705,10 @@ def oracle_sql() -> dict[str, str]:
             FROM {tx} GROUP BY 1, 2
         """,
         "tx_rollup_1m_adaptive": f"""
+            SELECT conv_id, {slot_m} AS window_start, {ROLE_COUNTS_SQL}
+            FROM {tx} GROUP BY 1, 2
+        """,
+        "tx_reconcile_merge": f"""
             SELECT conv_id, {slot_m} AS window_start, {ROLE_COUNTS_SQL}
             FROM {tx} GROUP BY 1, 2
         """,

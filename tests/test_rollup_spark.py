@@ -225,3 +225,29 @@ def test_adaptive_rollup_detects_hot_keys(spark):
         .collect()
     )
     assert len(sample_hot) == 1 and sample_hot[0].conv_id == "conv_hot"
+
+
+def test_merge_rollups_equals_direct(spark, tx):
+    # merge(rollup(base), rollup(late)) == rollup(base ∪ late), including
+    # late rows landing in previously gap-filled (all-null-stat) slots.
+    from pyspark.sql import functions as F
+
+    from yatsm_spark.operators.cascade import merge_rollups
+
+    base = tx.filter(F.col("turn_idx") % 5 != 0)
+    late = tx.filter(F.col("turn_idx") % 5 == 0)
+    # sparse form
+    direct = rollup_from_turns(with_measures(tx), "1m").drop("gap_filled")
+    merged = merge_rollups(
+        rollup_from_turns(with_measures(base), "1m").drop("gap_filled"),
+        rollup_from_turns(with_measures(late), "1m").drop("gap_filled"))
+    assert direct.exceptAll(merged).count() == 0
+    assert merged.exceptAll(direct).count() == 0
+    # gap-filled tier + sparse delta: gap rows hit by the delta become real
+    tier_f = gapfill(rollup_from_turns(with_measures(base), "1m"), "1m")
+    merged_f = merge_rollups(
+        tier_f, rollup_from_turns(with_measures(late), "1m"))
+    hit = merged_f.filter((F.col("turn_count") > 0) & ~F.col("gap_filled"))
+    direct_sparse = rollup_from_turns(with_measures(tx), "1m").drop("gap_filled")
+    # every real merged row must match the direct rollup exactly
+    assert (hit.drop("gap_filled").exceptAll(direct_sparse).count() == 0)

@@ -59,6 +59,49 @@ def cascade(fine: DataFrame, from_tier: str, to_tier: str) -> DataFrame:
     )
 
 
+def merge_rollups(tier: DataFrame, delta: DataFrame) -> DataFrame:
+    """Late-arrival delta merge (continuous-aggregate incremental
+    maintenance): combine an existing tier with a rollup of LATE turns at
+    the same tier, without touching raw history.
+
+    This is the batch-side answer to stragglers that arrive after a tier
+    point was finalized (the streaming side drops them —
+    streaming/stream_rollup.py late-data contract): roll up ONLY the late
+    turns, then merge. union + one hash agg on the tier key; every moment
+    is decomposable, so ``merge(rollup(base), rollup(late))`` is
+    bit-identical to ``rollup(base ∪ late)`` (tested, and oracle-checked
+    as ``tx_reconcile_merge``). At 10^12-turn scale the delta is tiny
+    relative to the tier, and only touched (conv, slot) keys change —
+    exactly the TimescaleDB-style continuous-aggregate refresh shape.
+
+    Accepts sparse or gap-filled inputs; a gap row merged with a real
+    delta row becomes real (counts add; sum/min/max ignore the gap row's
+    null stats)."""
+    has_gap = "gap_filled" in tier.columns
+    if has_gap and "gap_filled" not in delta.columns:
+        delta = delta.withColumn("gap_filled", F.lit(False))
+    cols = ["conv_id", "window_start", *MEASURES] + (["gap_filled"] if has_gap else [])
+    merged = (
+        tier.select(*cols).unionByName(delta.select(*cols))
+        .groupBy("conv_id", "window_start")
+        .agg(
+            F.sum("turn_count").alias("turn_count"),
+            F.sum("token_len_sum").alias("token_len_sum"),
+            F.min("token_len_min").alias("token_len_min"),
+            F.max("token_len_max").alias("token_len_max"),
+            F.sum("token_len_sumsq").alias("token_len_sumsq"),
+            F.sum("tool_call_count").alias("tool_call_count"),
+            F.sum("role_user_count").alias("role_user_count"),
+            F.sum("role_assistant_count").alias("role_assistant_count"),
+            F.sum("role_other_count").alias("role_other_count"),
+            *([(F.sum((~F.col("gap_filled")).cast("int")) == 0).alias("gap_filled")]
+              if has_gap else []),
+        )
+        .select(*cols)
+    )
+    return merged
+
+
 def build_tiers(rollup_1m_filled: DataFrame) -> dict[str, DataFrame]:
     """Full cascade from the gap-filled 1m tier."""
     h1 = cascade(rollup_1m_filled, "1m", "1h")
