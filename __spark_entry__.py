@@ -32,6 +32,7 @@ TX_SF01 = os.path.join(REPO, "data", "transcripts_sf0.01.parquet")
 GOLDEN_SEG = os.path.join(REPO, "data", "golden_segments_sf0.01.parquet")
 GOLDEN_CLS = os.path.join(REPO, "data", "golden_classify_sf0.01.parquet")
 GOLDEN_CV = os.path.join(REPO, "data", "golden_crossval_sf0.01.parquet")
+GOLDEN_MULTI = os.path.join(REPO, "data", "golden_segments_multi_sf0.01.parquet")
 
 ROLE_COUNTS_SQL = """
        count(*)::long AS turn_count,
@@ -290,6 +291,31 @@ def q_tx_classify(spark, sf_dir):
     model = train_segment_classifier(feats, labels, n_trees=20, seed=11)
     pred = classify_segments(segs, model)
     return pred.select("conv_id", "segment_id", "class", "class_proba")
+
+
+def q_tx_segments_multi(spark, sf_dir):
+    """Multi-band W9 (reference CCDCesque fits every band, tests pooled):
+    joint [turn_count, tool_call_count] fit per conv. Oracle: the numpy
+    twin driven outside Spark (data/golden_segments_multi_sf0.01.parquet)
+    — a true Spark-vs-numpy differential over the multi-measure
+    applyInPandas path. Per-band arrays flattened to scalar columns for
+    the driver's value hash."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.changescore import change_scores_multi
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000100")
+    filled = rollup_gapfilled(with_measures(tx), "1m")
+    segs = change_scores_multi(filled, ["turn_count", "tool_call_count"])
+    cols = [F.col("conv_id"), F.col("segment_id"),
+            F.col("start_ts"), F.col("end_ts"), F.col("break_ts")]
+    for b in range(2):
+        for j in range(4):
+            cols.append(F.col("coefs")[b][j].alias(f"coef_{b}_{j}"))
+        cols.append(F.col("rmse")[b].alias(f"rmse_{b}"))
+        cols.append(F.col("magnitude")[b].alias(f"magnitude_{b}"))
+    cols.append(F.col("n_obs"))
+    return segs.select(*cols)
 
 
 def q_tx_crossval(spark, sf_dir):
@@ -628,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_asof": q_tx_asof,
         "tx_interval_join": q_tx_interval_join,
         "tx_segments": q_tx_segments,
+        "tx_segments_multi": q_tx_segments_multi,
         "tx_phenology": q_tx_phenology,
         "tx_classify": q_tx_classify,
         "tx_crossval": q_tx_crossval,
@@ -1067,6 +1094,15 @@ def oracle_sql() -> dict[str, str]:
         "tx_crossval": f"""
             SELECT fold::long AS fold, accuracy::double AS accuracy
             FROM read_parquet('{GOLDEN_CV}')
+        """,
+        "tx_segments_multi": f"""
+            SELECT conv_id, segment_id::int AS segment_id, start_ts, end_ts, break_ts,
+                   coef_0_0, coef_0_1, coef_0_2, coef_0_3,
+                   rmse_0, magnitude_0,
+                   coef_1_0, coef_1_1, coef_1_2, coef_1_3,
+                   rmse_1, magnitude_1,
+                   n_obs::int AS n_obs
+            FROM read_parquet('{GOLDEN_MULTI}')
         """,
         "multimodal_features": """
             WITH d AS (SELECT doc_id::long AS media_id,

@@ -113,3 +113,49 @@ def test_sparse_densify_paths_equal_dense(spark, filled):
     db = gapfill(cascade(sparse, "1m", "1h"), "1h")
     assert da.exceptAll(db).count() == 0
     assert db.exceptAll(da).count() == 0
+
+
+def test_multi_single_measure_equals_scalar_operator(spark, filled):
+    # change_scores_multi(["turn_count"]) must reproduce change_scores
+    # exactly — same boundaries, coef (as the only band), rmse, magnitude.
+    from yatsm_spark.operators.changescore import change_scores_multi
+
+    a = change_scores(filled, "turn_count", CONV_PARAMS).toPandas() \
+        .sort_values(["conv_id", "segment_id"]).reset_index(drop=True)
+    b = change_scores_multi(filled, ["turn_count"], CONV_PARAMS).toPandas() \
+        .sort_values(["conv_id", "segment_id"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    for col in ("conv_id", "segment_id", "start_ts", "end_ts", "n_obs"):
+        assert (a[col] == b[col]).all(), col
+    for i in range(len(a)):
+        assert list(a["coef"].iloc[i]) == list(b["coefs"].iloc[i][0])
+        assert a["rmse"].iloc[i] == b["rmse"].iloc[i][0]
+        assert a["magnitude"].iloc[i] == b["magnitude"].iloc[i][0]
+
+
+def test_multi_breaks_on_selected_test_index_only(spark):
+    # Stable turn rate throughout; tool_call_count jumps 0 -> ~all at
+    # minute 240 of 480. Testing band 1 (tools) must break; testing band 0
+    # (turns) must not — the reference's test_indices semantics through
+    # the Spark operator.
+    from pyspark.sql import functions as F
+
+    from yatsm_spark.operators.changescore import change_scores_multi
+
+    n = 480
+    rows = spark.range(0, n).select(
+        F.lit("c1").alias("conv_id"),
+        F.timestamp_seconds(F.lit(1_735_689_600) + F.col("id") * 60).alias("window_start"),
+        (F.lit(5) + (F.col("id") % 2)).cast("long").alias("turn_count"),
+        F.when(F.col("id") >= 240, (F.lit(4) + (F.col("id") % 2)))
+         .otherwise(F.lit(0)).cast("long").alias("tool_call_count"),
+    )
+    broke = change_scores_multi(rows, ["turn_count", "tool_call_count"],
+                                CONV_PARAMS, test_indices=[1]).toPandas()
+    quiet = change_scores_multi(rows, ["turn_count", "tool_call_count"],
+                                CONV_PARAMS, test_indices=[0]).toPandas()
+    assert broke["break_ts"].notna().sum() >= 1
+    assert quiet["break_ts"].notna().sum() == 0
+    # per-band outputs: 2 coef vectors / rmses / magnitudes per segment
+    assert all(len(c) == 2 for c in broke["coefs"])
+    assert all(len(r) == 2 for r in broke["rmse"])

@@ -32,3 +32,10 @@ def test_goldens_are_fresh():
     cv = crossval_twin(segs)
     stored_cv = pd.read_parquet(os.path.join(REPO, "data", "golden_crossval_sf0.01.parquet"))
     pd.testing.assert_frame_equal(cv, stored_cv, check_exact=True)
+
+    from make_goldens import segments_multi_twin
+
+    multi = segments_multi_twin("conv00000100")
+    stored_multi = pd.read_parquet(
+        os.path.join(REPO, "data", "golden_segments_multi_sf0.01.parquet"))
+    pd.testing.assert_frame_equal(multi, stored_multi, check_exact=True)

@@ -106,6 +106,63 @@ def segments_twin(conv_max: str, convs: set[str] | None = None) -> pd.DataFrame:
     return out
 
 
+GAPFILLED_MULTI_SQL = """
+    WITH t AS (SELECT * FROM read_parquet('{tx}/*.parquet')
+               WHERE conv_id < '{conv_max}'),
+    r AS (
+      SELECT conv_id,
+             to_timestamp((floor(epoch(ts)/60)*60)::bigint)::timestamp AS window_start,
+             count(*)::long AS turn_count,
+             count(tool)::long AS tool_call_count
+      FROM t GROUP BY 1, 2),
+    spans AS (SELECT conv_id, min(window_start) mn, max(window_start) mx
+              FROM r GROUP BY conv_id),
+    grid AS (SELECT conv_id,
+                    unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS window_start
+             FROM spans)
+    SELECT g.conv_id, g.window_start,
+           coalesce(r.turn_count, 0)::long AS turn_count,
+           coalesce(r.tool_call_count, 0)::long AS tool_call_count
+    FROM grid g LEFT JOIN r ON g.conv_id = r.conv_id
+         AND g.window_start = r.window_start
+    ORDER BY g.conv_id, g.window_start
+"""
+
+
+def segments_multi_twin(conv_max: str) -> pd.DataFrame:
+    """Numpy-twin of q_tx_segments_multi: joint [turn_count,
+    tool_call_count] fit per conv, per-band outputs flattened to scalar
+    columns (coef_{band}_{j}, rmse_{band}, magnitude_{band})."""
+    filled = duckdb.sql(GAPFILLED_MULTI_SQL.format(tx=TX, conv_max=conv_max)).df()
+    params = _conv_params()
+    rows = []
+    for conv_id, g in filled.groupby("conv_id", sort=True):
+        g = g.sort_values("window_start", kind="stable")
+        epochs = g["window_start"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        Y = np.vstack([g["turn_count"].to_numpy(dtype=np.float64),
+                       g["tool_call_count"].to_numpy(dtype=np.float64)])
+        res = ccdc_fit(epochs / 86400.0, Y, params)
+        for i, s in enumerate(res.segments):
+            row = {
+                "conv_id": conv_id,
+                "segment_id": np.int32(i),
+                "start_ts": _day_to_ts(s.start_day),
+                "end_ts": _day_to_ts(s.end_day),
+                "break_ts": _day_to_ts(s.break_day) if s.break_day else pd.NaT,
+            }
+            for b in range(2):
+                for j in range(N_COEF):
+                    row[f"coef_{b}_{j}"] = float(s.coef[b][j])
+                row[f"rmse_{b}"] = float(s.rmse[b])
+                row[f"magnitude_{b}"] = float(s.magnitude[b])
+            row["n_obs"] = np.int32(s.n_obs)
+            rows.append(row)
+    out = pd.DataFrame(rows)
+    out["segment_id"] = out["segment_id"].astype(np.int32)
+    out["n_obs"] = out["n_obs"].astype(np.int32)
+    return out
+
+
 def classify_twin(segments: pd.DataFrame) -> pd.DataFrame:
     """Numpy-twin of q_tx_classify on the conv<200 slice of the segments
     twin: deterministic activity labels, sorted bounded sample, seeded
@@ -172,6 +229,11 @@ def main() -> None:
     cv_path = os.path.join(REPO, "data", "golden_crossval_sf0.01.parquet")
     cv.to_parquet(cv_path, index=False)
     print(f"wrote {cv_path}: {len(cv)} rows")
+
+    multi = segments_multi_twin("conv00000100")
+    multi_path = os.path.join(REPO, "data", "golden_segments_multi_sf0.01.parquet")
+    multi.to_parquet(multi_path, index=False)
+    print(f"wrote {multi_path}: {len(multi)} rows")
 
 
 if __name__ == "__main__":

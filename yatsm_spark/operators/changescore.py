@@ -58,6 +58,23 @@ PHENO_SEGMENT_SCHEMA = T.StructType(
     ]
 )
 
+#: Multi-measure (multi-band) segment schema: one coef vector / rmse /
+#: magnitude PER measure, in the caller's measure order — the graft of the
+#: reference's multi-band record arrays (CCDCesque fits every band, tests
+#: on test_indices; yatsm/algorithms/ccdc.py [M]).
+MULTI_SEGMENT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("segment_id", T.IntegerType(), False),
+    T.StructField("start_ts", T.TimestampType(), False),
+    T.StructField("end_ts", T.TimestampType(), False),
+    T.StructField("break_ts", T.TimestampType(), True),
+    T.StructField("coefs", T.ArrayType(T.ArrayType(T.DoubleType())), False),
+    T.StructField("rmse", T.ArrayType(T.DoubleType()), False),
+    T.StructField("magnitude", T.ArrayType(T.DoubleType()), False),
+    T.StructField("n_obs", T.IntegerType(), False),
+])
+
+
 #: Graft defaults: 1m turn-rate series, daily harmonic, >=2h training span.
 CONV_PARAMS = CCDCParams(
     consecutive=5,
@@ -179,3 +196,75 @@ def change_scores(
         return pd.DataFrame(rows)
 
     return filled.groupBy("conv_id").applyInPandas(fit_conv, schema)
+
+
+def change_scores_multi(
+    filled: DataFrame,
+    measures: list[str],
+    params: CCDCParams | None = None,
+    densify: bool = False,
+    step_seconds: int = 60,
+    test_indices: list[int] | None = None,
+) -> DataFrame:
+    """Multi-band W9: fit EVERY measure's series jointly per conv; break
+    when the pooled score over ``test_indices`` (default: all measures)
+    exceeds the threshold — the reference's multi-band CCDCesque semantics
+    (all bands share observation dates; break tests pool test bands).
+
+    Observation alignment: after optional in-kernel densify (count
+    measures 0-fill, float measures NaN on gap slots), any slot where ANY
+    measure is NaN is dropped for every series — bands share dates exactly
+    as the reference's acquisition-aligned raster bands do.
+
+    Output carries one coef vector / rmse / magnitude per measure
+    (MULTI_SEGMENT_SCHEMA), segment boundaries shared across measures.
+    Same scale shape as change_scores: one conv-key shuffle of
+    2+len(measures) pruned columns, whole conv per Arrow group.
+    """
+    from dataclasses import replace as _dc_replace
+
+    p = params or CONV_PARAMS
+    if test_indices is not None:
+        p = _dc_replace(p, test_indices=tuple(test_indices))
+    p_dict = asdict(p)
+    filled = filled.select("conv_id", "window_start", *measures)
+
+    def fit_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("window_start", kind="stable")
+        epochs = pdf["window_start"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        cols = {}
+        for m in measures:
+            a = pdf[m].to_numpy(dtype=np.float64, na_value=np.nan)
+            if m.endswith("_count") and not np.isnan(a).any():
+                cols[m] = a.astype(np.int64)
+            else:
+                cols[m] = a
+        if densify and len(epochs):
+            from yatsm_spark.kernel.gapfill import gapfill_slots
+
+            dense = gapfill_slots(epochs, cols, step=step_seconds)
+            epochs = dense["slot_epoch"]
+            cols = {m: dense[m] for m in measures}
+        Y = np.vstack([np.asarray(cols[m], dtype=np.float64) for m in measures])
+        t = epochs / 86400.0
+        ok = ~np.isnan(Y).any(axis=0)
+        t, Y = t[ok], Y[:, ok]
+        res = ccdc_fit(t, Y, CCDCParams(**p_dict))
+        rows = []
+        for i, s in enumerate(res.segments):
+            rows.append({
+                "conv_id": pdf["conv_id"].iloc[0],
+                "segment_id": i,
+                "start_ts": _day_to_ts(s.start_day),
+                "end_ts": _day_to_ts(s.end_day),
+                "break_ts": _day_to_ts(s.break_day) if s.break_day else None,
+                "coefs": [list(map(float, s.coef[b])) for b in range(len(measures))],
+                "rmse": [float(x) for x in s.rmse],
+                "magnitude": [float(x) for x in s.magnitude],
+                "n_obs": int(s.n_obs),
+            })
+        if not rows:
+            return pd.DataFrame(columns=[f.name for f in MULTI_SEGMENT_SCHEMA.fields])
+        return pd.DataFrame(rows)
+
+    return filled.groupBy("conv_id").applyInPandas(fit_conv, MULTI_SEGMENT_SCHEMA)
