@@ -42,6 +42,14 @@ class Engine:
     def segments(self, params=CONV_PARAMS, phenology: bool = False) -> DataFrame:
         return change_scores(self.rollup("1m"), params=params, phenology=phenology)
 
+    def segments_multi(self, measures: list[str], params=CONV_PARAMS,
+                       test_indices: list[int] | None = None) -> DataFrame:
+        """Multi-band fit (reference CCDCesque multi-band semantics)."""
+        from yatsm_spark.operators.changescore import change_scores_multi
+
+        return change_scores_multi(self.rollup("1m"), measures, params=params,
+                                   test_indices=test_indices)
+
     def phenology(self) -> DataFrame:
         """A3 relational form: per-conv diurnal long-term-mean stats."""
         from yatsm_spark.operators.phenology import diurnal_stats
