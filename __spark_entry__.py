@@ -615,6 +615,27 @@ def q_embedding_near_dups(spark, sf_dir):
     return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Nearest-neighbor resize to 8x8 over real decoded PPM pixels; the
+    oracle recomputes the resized means from the synth closed form over
+    the identical integer source-index set. sha1 (not SQL-derivable) is
+    dropped for the compare but pinned in tests/test_multimodal.py."""
+    from yatsm_spark.operators.multimodal import resize_images, synth_ppm_media
+
+    media = synth_ppm_media(_t(spark, sf_dir, "documents"))
+    return resize_images(media, 8, 8).drop("sha1")
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Frame sampling (every 2nd frame) over the synthetic raw-frame video
+    container: real header parse + frame slicing in mapInPandas; per-frame
+    channel means oracle-checked from the closed form."""
+    from yatsm_spark.operators.multimodal import sample_frames, synth_video_media
+
+    media = synth_video_media(_t(spark, sf_dir, "documents"))
+    return sample_frames(media, every_k=2).drop("sha1")
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary payload plumbing: bytes + sha256 via the media table wrap."""
     from yatsm_spark.operators.multimodal import as_media_table
@@ -688,6 +709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1103,6 +1126,40 @@ def oracle_sql() -> dict[str, str]:
                    rmse_1, magnitude_1,
                    n_obs::int AS n_obs
             FROM read_parquet('{GOLDEN_MULTI}')
+        """,
+        "multimodal_resize": """
+            WITH d AS (SELECT doc_id::long AS media_id,
+                              (16 + doc_id % 7)::bigint AS w,
+                              (12 + doc_id % 5)::bigint AS h
+                       FROM documents),
+            ox AS (SELECT unnest(generate_series(0, 7))::bigint AS ox),
+            oy AS (SELECT unnest(generate_series(0, 7))::bigint AS oy),
+            px AS (SELECT media_id,
+                          ((oy.oy * h) // 8) * w + ((ox.ox * w) // 8) AS k
+                   FROM d, ox, oy)
+            SELECT media_id, 8 AS width, 8 AS height,
+                   avg(((media_id*31 + k*13) % 256)::double) AS mean_r,
+                   avg(((media_id*31 + 97 + k*13) % 256)::double) AS mean_g,
+                   avg(((media_id*31 + 194 + k*13) % 256)::double) AS mean_b
+            FROM px GROUP BY media_id
+        """,
+        "multimodal_frames": """
+            WITH d AS (SELECT doc_id::long AS media_id,
+                              (8 + doc_id % 5)::bigint AS w,
+                              (6 + doc_id % 3)::bigint AS h,
+                              (4 + doc_id % 4)::bigint AS n_frames
+                       FROM documents),
+            fr AS (SELECT media_id, w, h,
+                          unnest(generate_series(0, n_frames - 1, 2))::int AS frame_idx
+                   FROM d),
+            px AS (SELECT media_id, frame_idx,
+                          unnest(generate_series(0, w*h - 1))::bigint AS k
+                   FROM fr)
+            SELECT media_id, frame_idx,
+                   avg(((media_id*31 + frame_idx*59 + k*13) % 256)::double) AS mean_r,
+                   avg(((media_id*31 + frame_idx*59 + 97 + k*13) % 256)::double) AS mean_g,
+                   avg(((media_id*31 + frame_idx*59 + 194 + k*13) % 256)::double) AS mean_b
+            FROM px GROUP BY media_id, frame_idx
         """,
         "multimodal_features": """
             WITH d AS (SELECT doc_id::long AS media_id,

@@ -99,3 +99,51 @@ def test_sniff_media_type_detects_ppm_and_bmp(spark):
     got = {r["media_id"]: r["media_type"]
            for r in sniff_media_type(df).collect()}
     assert got == {1: "image/x-portable-pixmap", 2: "image/bmp"}
+
+
+def test_resize_identity_matches_image_features(spark):
+    # Resizing to the SOURCE dims is the identity: means and sha1 must
+    # equal the unresized decode for a fixed-size id set (ids with w=16,
+    # h=12: id % 7 == 0 and id % 5 == 0 -> id % 35 == 0).
+    from pyspark.sql import Row
+
+    from yatsm_spark.operators.multimodal import (
+        image_features,
+        resize_images,
+        synth_ppm_media,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=i, text="t") for i in (0, 35, 70)])
+    media = synth_ppm_media(docs)
+    plain = {r.media_id: r for r in image_features(media).collect()}
+    rz = {r.media_id: r for r in resize_images(media, 16, 12).collect()}
+    import hashlib
+
+    from yatsm_spark.operators.multimodal import decode_image, ppm_payload
+
+    for mid, r in rz.items():
+        p = plain[mid]
+        assert (r.mean_r, r.mean_g, r.mean_b) == (p.mean_r, p.mean_g, p.mean_b)
+        # identity resize = the decoded pixel buffer, byte for byte
+        want = hashlib.sha1(decode_image(ppm_payload(mid)).tobytes()).hexdigest()
+        assert r.sha1 == want
+
+
+def test_sample_frames_rule_and_determinism(spark):
+    from pyspark.sql import Row
+
+    from yatsm_spark.operators.multimodal import sample_frames, synth_video_media
+
+    docs = spark.createDataFrame([Row(doc_id=i, text="t") for i in range(8)])
+    media = synth_video_media(docs)
+    out = sample_frames(media, every_k=2).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r.frame_idx)
+    for mid, idxs in by_id.items():
+        n_frames = 4 + mid % 4
+        assert sorted(idxs) == list(range(0, n_frames, 2))
+    # bit-determinism across runs
+    again = sample_frames(media, every_k=2).collect()
+    assert {(r.media_id, r.frame_idx, r.sha1) for r in out} == \
+           {(r.media_id, r.frame_idx, r.sha1) for r in again}

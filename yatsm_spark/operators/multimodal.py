@@ -212,3 +212,112 @@ def extract_features(media: DataFrame, dim: int = 8, batch_hint: int = 1024) -> 
             })
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize over REAL decoded pixels (task-brief
+    'resize' step), mapInPandas with no shuffle.
+
+    Source index per output pixel is pure integer math —
+    ``sx = (ox * w) // out_w`` — so the resized image, its per-channel
+    means, and its sha1 are bit-reproducible in any engine; the driver
+    oracle recomputes the means from the synth pixel closed form over the
+    same index set (``multimodal_resize``). Emits IMAGE_FEATURE_SCHEMA
+    with width/height = the OUTPUT dims and sha1 of the RESIZED buffer.
+    """
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                h, w, _ = img.shape
+                sy = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                sx = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                resized = img[sy][:, sx]
+                s = resized.reshape(-1, 3).astype(np.float64).sum(axis=0)
+                n = float(out_h * out_w)
+                rows.append((int(mid), out_w, out_h, s[0] / n, s[1] / n, s[2] / n,
+                             hashlib.sha1(resized.tobytes()).hexdigest()))
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields])
+
+    return media.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+#: Synthetic uncompressed video container: b"VID0" + u16 n_frames + u16 w
+#: + u16 h (little-endian), then n_frames raw frames of w*h*3 bytes. The
+#: same closed-form pixel rule as synth_ppm_media extended with a frame
+#: term, so frame sampling is oracle-checkable end to end.
+VIDEO_MAGIC = b"VID0"
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("mean_r", T.DoubleType(), False),
+    T.StructField("mean_g", T.DoubleType(), False),
+    T.StructField("mean_b", T.DoubleType(), False),
+    T.StructField("sha1", T.StringType(), False),
+])
+
+
+def video_payload(media_id: int) -> bytes:
+    w = 8 + media_id % 5
+    h = 6 + media_id % 3
+    n_frames = 4 + media_id % 4
+    k = np.arange(w * h, dtype=np.int64)
+    frames = []
+    for f in range(n_frames):
+        px = np.empty(w * h * 3, dtype=np.uint8)
+        for c in range(3):
+            px[c::3] = ((media_id * 31 + f * 59 + c * 97 + k * 13) % 256).astype(np.uint8)
+        frames.append(px.tobytes())
+    head = VIDEO_MAGIC + bytes([n_frames & 0xFF, n_frames >> 8,
+                                w & 0xFF, w >> 8, h & 0xFF, h >> 8])
+    return head + b"".join(frames)
+
+
+def synth_video_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic video payload per doc id (the blob-store
+    stand-in for the frame-sampling path)."""
+    ids = docs.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = [video_payload(int(i)) for i in pdf["media_id"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": payloads,
+                "media_type": "video/x-raw-frames",
+                "n_bytes": [len(p) for p in payloads],
+            })
+
+    return ids.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame sampling (task-brief 'frame-sample' step): REAL container
+    parse (header + fixed-size raw frames), keep every ``every_k``-th
+    frame, emit per-frame channel means + sha1. mapInPandas, no shuffle;
+    one output row per sampled frame (explode happens inside the Arrow
+    batch, so a long video never leaves its partition)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(payload)
+                if p[:4] != VIDEO_MAGIC:
+                    raise ValueError(f"not a VID0 payload for media_id={mid}")
+                n_frames = p[4] | (p[5] << 8)
+                w = p[6] | (p[7] << 8)
+                h = p[8] | (p[9] << 8)
+                fsz = w * h * 3
+                for f in range(0, n_frames, every_k):
+                    raw = p[10 + f * fsz: 10 + (f + 1) * fsz]
+                    px = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                    rows.append((int(mid), f,
+                                 px[0::3].mean(), px[1::3].mean(), px[2::3].mean(),
+                                 hashlib.sha1(raw).hexdigest()))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
