@@ -636,6 +636,16 @@ def q_multimodal_frames(spark, sf_dir):
     return sample_frames(media, every_k=2).drop("sha1")
 
 
+def q_multimodal_audio(spark, sf_dir):
+    """Real RIFF/PCM WAV decode (header walk + frombuffer): sample rate,
+    length, duration, mean, RMS per clip — all recomputable in SQL from
+    the synth sample closed form."""
+    from yatsm_spark.operators.multimodal import audio_features, synth_wav_media
+
+    media = synth_wav_media(_t(spark, sf_dir, "documents"))
+    return audio_features(media).drop("sha1")
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary payload plumbing: bytes + sha256 via the media table wrap."""
     from yatsm_spark.operators.multimodal import as_media_table
@@ -710,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_audio": q_multimodal_audio,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
     }
@@ -1142,6 +1153,20 @@ def oracle_sql() -> dict[str, str]:
                    avg(((media_id*31 + 97 + k*13) % 256)::double) AS mean_g,
                    avg(((media_id*31 + 194 + k*13) % 256)::double) AS mean_b
             FROM px GROUP BY media_id
+        """,
+        "multimodal_audio": """
+            WITH d AS (SELECT doc_id::long AS media_id,
+                              (800 + (doc_id % 5) * 160)::bigint AS n
+                       FROM documents),
+            sm AS (SELECT media_id, n,
+                          ((media_id*31 + unnest(generate_series(0, n - 1))*13) % 4096
+                           - 2048)::double AS x
+                   FROM d)
+            SELECT media_id, 8000 AS sample_rate, n::int AS n_samples,
+                   (n / 8000.0) AS duration_s,
+                   sum(x) / n AS mean,
+                   sqrt(sum(x*x) / n) AS rms
+            FROM sm GROUP BY media_id, n
         """,
         "multimodal_frames": """
             WITH d AS (SELECT doc_id::long AS media_id,

@@ -147,3 +147,38 @@ def test_sample_frames_rule_and_determinism(spark):
     again = sample_frames(media, every_k=2).collect()
     assert {(r.media_id, r.frame_idx, r.sha1) for r in out} == \
            {(r.media_id, r.frame_idx, r.sha1) for r in again}
+
+
+def test_wav_roundtrip_and_rejections(spark):
+    from pyspark.sql import Row
+
+    import numpy as np
+    import pytest as _pytest
+
+    from yatsm_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+        synth_wav_media,
+        wav_payload,
+    )
+
+    # real decode returns the exact synthesized samples
+    rate, x = decode_wav(wav_payload(7))
+    assert rate == 8000 and len(x) == 800 + (7 % 5) * 160
+    i = np.arange(len(x), dtype=np.int64)
+    assert (x == (((7 * 31 + i * 13) % 4096) - 2048).astype(np.int16)).all()
+
+    # hostile payloads raise honestly
+    with _pytest.raises(NotImplementedError):
+        decode_wav(b"OggS" + b"\x00" * 64)
+
+    docs = spark.createDataFrame([Row(doc_id=i, text="t") for i in range(6)])
+    out = audio_features(synth_wav_media(docs)).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r.duration_s == r.n_samples / 8000.0
+        # exact against a direct driver-side decode of the same payload
+        _, want = decode_wav(wav_payload(r.media_id))
+        wf = want.astype(np.float64)
+        assert r.mean == wf.sum() / len(wf)
+        assert r.rms == float(np.sqrt((wf * wf).sum() / len(wf)))

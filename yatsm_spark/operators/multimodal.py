@@ -321,3 +321,100 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("sample_rate", T.IntegerType(), False),
+    T.StructField("n_samples", T.IntegerType(), False),
+    T.StructField("duration_s", T.DoubleType(), False),
+    T.StructField("mean", T.DoubleType(), False),
+    T.StructField("rms", T.DoubleType(), False),
+    T.StructField("sha1", T.StringType(), False),
+])
+
+
+def wav_payload(media_id: int, rate: int = 8000) -> bytes:
+    """Deterministic 16-bit PCM mono WAV: sample i =
+    ((id*31 + i*13) % 4096) - 2048 — closed form, so the decoded stats
+    are recomputable in SQL."""
+    n = 800 + (media_id % 5) * 160
+    i = np.arange(n, dtype=np.int64)
+    samples = (((media_id * 31 + i * 13) % 4096) - 2048).astype("<i2")
+    data = samples.tobytes()
+    hdr = (b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little")          # PCM
+           + (1).to_bytes(2, "little")          # mono
+           + rate.to_bytes(4, "little")
+           + (rate * 2).to_bytes(4, "little")   # byte rate
+           + (2).to_bytes(2, "little")          # block align
+           + (16).to_bytes(2, "little")         # bits
+           + b"data" + len(data).to_bytes(4, "little"))
+    return hdr + data
+
+
+def synth_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic WAV payload per doc id (blob-store stand-in for the
+    audio decode path)."""
+    ids = docs.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = [wav_payload(int(i)) for i in pdf["media_id"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": payloads,
+                "media_type": "audio/wav",
+                "n_bytes": [len(p) for p in payloads],
+            })
+
+    return ids.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """REAL RIFF/PCM parse: returns (sample_rate, int16 mono samples).
+    Pure numpy header walk + frombuffer — no audio libs needed for
+    uncompressed PCM; compressed codecs raise honestly."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("only RIFF/WAVE payloads are decodable here")
+    pos, rate, bits, channels = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        sz = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            if fmt != 1:
+                raise NotImplementedError(f"compressed WAV fmt {fmt}")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            if bits != 16 or channels != 1:
+                raise NotImplementedError("only 16-bit mono PCM supported")
+            return rate, np.frombuffer(body, dtype="<i2")
+        pos += 8 + sz + (sz & 1)
+    raise ValueError("no data chunk")
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode every WAV payload and emit rate / length / duration / mean /
+    RMS — mapInPandas, no shuffle. Sums are exact (int16 values, squares
+    <= 2^22, counts <= 2^11 per clip => integer sums far below 2^53), so
+    mean and RMS are bit-reproducible in any engine."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(payload)
+                rate, x = decode_wav(p)
+                xf = x.astype(np.float64)
+                n = len(x)
+                rows.append((int(mid), int(rate), n, n / float(rate),
+                             xf.sum() / n, float(np.sqrt((xf * xf).sum() / n)),
+                             hashlib.sha1(p).hexdigest()))
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields])
+
+    return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
