@@ -1082,6 +1082,9 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": """
             SELECT doc_id::long AS doc_id, length(text)::long AS n_chars,
                    len(string_split_regex(trim(text), '\\s+'))::long AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))::long
+                       AS n_bpe_tokens,
                    ceil(length(text) / 4.0)::long AS n_bpe_est
             FROM documents
         """,

@@ -30,15 +30,25 @@ def _count_word(col, word: str):
     ).cast("long")
 
 
+#: GPT-2-style BPE pre-tokenizer pattern (contractions | space+letters |
+#: space+digits | space+other | whitespace runs) — the standard "BPE-ish
+#: regex"; counting its matches approximates subword token counts far
+#: better than chars/4 on prose. Kept to classes both Java regex (Spark)
+#: and RE2 (DuckDB oracle) interpret identically.
+BPE_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace token count + BPE-ish subword estimate (chars/4, the
-    common rule of thumb) + char count."""
+    """Whitespace token count + BPE-ish counts (GPT-2 pre-tokenizer regex
+    match count, and the chars/4 rule of thumb) + char count. Pure
+    Catalyst — regexp_count runs JVM-side inside codegen."""
     t = F.col(text_col)
     ws_tokens = F.size(F.split(F.trim(t), r"\s+"))
     return docs.select(
         "doc_id",
         F.length(t).alias("n_chars"),
         ws_tokens.cast("long").alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_REGEX)).cast("long").alias("n_bpe_tokens"),
         F.ceil(F.length(t) / F.lit(4.0)).cast("long").alias("n_bpe_est"),
     )
 
