@@ -38,7 +38,9 @@ def main():
     from yatsm_spark.conf import get_spark
 
     only = set(sys.argv[1:])
-    spark = get_spark(master="local[16]")
+    # ORACLE_CPUS: run the identical sweep at another parallelism to pin
+    # cross-parallelism value-identity of every query (not just the tiers).
+    spark = get_spark(master=f"local[{os.environ.get('ORACLE_CPUS', '16')}]")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
