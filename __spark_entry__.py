@@ -33,6 +33,7 @@ GOLDEN_SEG = os.path.join(REPO, "data", "golden_segments_sf0.01.parquet")
 GOLDEN_CLS = os.path.join(REPO, "data", "golden_classify_sf0.01.parquet")
 GOLDEN_CV = os.path.join(REPO, "data", "golden_crossval_sf0.01.parquet")
 GOLDEN_MULTI = os.path.join(REPO, "data", "golden_segments_multi_sf0.01.parquet")
+GOLDEN_KM = os.path.join(REPO, "data", "golden_kmeans_sf0.01.parquet")
 
 ROLE_COUNTS_SQL = """
        count(*)::long AS turn_count,
@@ -605,6 +606,58 @@ def q_ivf_topk(spark, sf_dir):
                     k=5, n_centroids=16, nprobe=4)
 
 
+def q_ivf_assign_b256(spark, sf_dir):
+    """IVF assignment through the BROADCAST-codebook path at a codebook
+    size (256×64 = 16 k doubles) past the literal-inlining threshold —
+    the round-3 VERDICT scale fix: the codebook ships as a broadcast numpy
+    matrix into a vectorized mapInPandas (sequential-fold arithmetic,
+    bit-equal to the literal expressions), so plan size stays O(1) at a
+    production 4096×768 codebook."""
+    from yatsm_spark.operators.similarity import ivf_assign
+
+    return ivf_assign(_t(spark, sf_dir, "embeddings"), n_centroids=256,
+                      method="broadcast")
+
+
+def q_ivf_topk_b256(spark, sf_dir):
+    """IVF ANN top-k over 256 lists (nprobe=32) via the broadcast-codebook
+    assignment — the same probe/candidate relational shape as ivf_topk,
+    fed by the scale-true assignment path."""
+    from yatsm_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), query_ids=list(range(10)),
+                    k=5, n_centroids=256, nprobe=32, method="broadcast")
+
+
+def q_kmeans_codebook(spark, sf_dir):
+    """Seeded distributed Lloyd's k-means codebook (8 centroids, 3
+    iterations) in long format (cid, pos, val, n_members). Oracle: a
+    Spark-free numpy twin (tools/make_goldens.py kmeans_twin) — every
+    float op (sequential-fold cosine assignment, vec_id-ordered member
+    sums) happens in a fixed order on both sides, so values are
+    BIT-identical and returned raw."""
+    from yatsm_spark.operators.similarity import kmeans_codebook_table
+
+    return kmeans_codebook_table(spark, _t(spark, sf_dir, "embeddings"),
+                                 n_centroids=8, n_iters=3, seed=0, sample_mod=1)
+
+
+def q_ivf_topk_kmeans(spark, sf_dir):
+    """IVF ANN top-k over a TRAINED codebook: k-means (8 centroids, 3
+    iters) -> broadcast assignment -> probe 2 lists. Oracle: DuckDB
+    rebuilds the codebook from the kmeans golden parquet (itself pinned
+    bit-exact by the kmeans_codebook row + tests/test_goldens.py) and
+    recomputes assignment/probes/top-k relationally — a full differential
+    over the train-then-serve path."""
+    from yatsm_spark.operators.similarity import ivf_topk, train_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = [(cid, vec, nrm) for cid, vec, nrm, _n in
+          train_kmeans(emb, n_centroids=8, n_iters=3, seed=0, sample_mod=1)]
+    return ivf_topk(emb, query_ids=list(range(10)), k=5, n_centroids=8,
+                    nprobe=2, method="broadcast", codebook=cb)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs: LSH candidates + exact cosine
     filter. Threshold 0.3 (not the 0.5 production default) because the
@@ -715,6 +768,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,
+        "ivf_assign_b256": q_ivf_assign_b256,
+        "ivf_topk_b256": q_ivf_topk_b256,
+        "kmeans_codebook": q_kmeans_codebook,
+        "ivf_topk_kmeans": q_ivf_topk_kmeans,
         "lsh_buckets": q_lsh_buckets,
         "lsh_pairs": q_lsh_pairs,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1254,14 +1311,29 @@ def _embedding_oracles() -> dict[str, str]:
                 f"i -> v[i] * cos((i-1) + {float(j * 1009)})))")
         planes.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
     bucket = " + ".join(planes)
-    # IVF twin: same codebook rule (16 lowest ids), same rounded-cosine
-    # argmax with lowest-cid tie-break as operators/similarity.ivf_index.
-    _IVF_CTES = """
+    # IVF twin: same codebook rule (n lowest ids — or the kmeans golden
+    # parquet for the trained-codebook row), same rounded-cosine argmax
+    # with lowest-cid tie-break as operators/similarity.ivf_index. The
+    # SAME CTE text oracles the literal path (ivf_assign/ivf_topk) and
+    # the broadcast mapInPandas path (the *_b256 rows): the broadcast
+    # path's sequential-fold numpy is bit-equal to the literal
+    # expressions by construction (kernel/vecmath.py).
+    def _ivf_ctes(n_centroids: int, golden_codebook: str | None = None) -> str:
+        if golden_codebook is None:
+            c_cte = (f"c AS (SELECT vec_id::int AS cid, v AS cv, nrm AS cn "
+                     f"FROM n WHERE vec_id < {n_centroids})")
+        else:
+            c_cte = f"""c0 AS (SELECT cid::int AS cid, list(val ORDER BY pos) AS cv
+                   FROM read_parquet('{golden_codebook}') GROUP BY cid),
+            c AS (SELECT cid, cv,
+                         sqrt(list_sum(list_transform(cv, x -> x*x))) AS cn
+                  FROM c0)"""
+        return f"""
             WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v
                        FROM embeddings),
             n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
                   FROM e),
-            c AS (SELECT vec_id::int AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+            {c_cte},
             asim AS (SELECT a.vec_id, c.cid,
                             round(list_sum(list_transform(generate_series(1, len(a.v)),
                                                           i -> a.v[i] * c.cv[i]))
@@ -1271,6 +1343,30 @@ def _embedding_oracles() -> dict[str, str]:
                 SELECT vec_id, cid, row_number() OVER (
                     PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
                 FROM asim) WHERE rn = 1)"""
+
+    def _ivf_topk_sql(n_centroids: int, nprobe: int,
+                      golden_codebook: str | None = None) -> str:
+        return f"""
+            {_ivf_ctes(n_centroids, golden_codebook)},
+            probes AS (SELECT vec_id AS query_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+                FROM asim WHERE vec_id < 10) WHERE rn <= {nprobe}),
+            cand AS (SELECT p.query_id, a2.vec_id AS neighbor_id
+                     FROM probes p JOIN assign a2 ON a2.cluster = p.cid
+                     WHERE a2.vec_id <> p.query_id),
+            sims AS (SELECT c2.query_id, c2.neighbor_id,
+                            round({dot} / (a.nrm * q.nrm), 6) AS sim
+                     FROM cand c2 JOIN n a ON a.vec_id = c2.neighbor_id
+                                  JOIN n q ON q.vec_id = c2.query_id)
+            SELECT query_id, neighbor_id, sim, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, neighbor_id ASC) AS rank
+              FROM sims)
+            WHERE rank <= 5
+        """
+
+    _IVF_CTES = _ivf_ctes(16)
     return {
         "cosine_topk": f"""
             WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v
@@ -1290,25 +1386,17 @@ def _embedding_oracles() -> dict[str, str]:
             {_IVF_CTES}
             SELECT vec_id, cluster FROM assign
         """,
-        "ivf_topk": f"""
-            {_IVF_CTES},
-            probes AS (SELECT vec_id AS query_id, cid FROM (
-                SELECT vec_id, cid, row_number() OVER (
-                    PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
-                FROM asim WHERE vec_id < 10) WHERE rn <= 4),
-            cand AS (SELECT p.query_id, a2.vec_id AS neighbor_id
-                     FROM probes p JOIN assign a2 ON a2.cluster = p.cid
-                     WHERE a2.vec_id <> p.query_id),
-            sims AS (SELECT c2.query_id, c2.neighbor_id,
-                            round({dot} / (a.nrm * q.nrm), 6) AS sim
-                     FROM cand c2 JOIN n a ON a.vec_id = c2.neighbor_id
-                                  JOIN n q ON q.vec_id = c2.query_id)
-            SELECT query_id, neighbor_id, sim, rank FROM (
-              SELECT *, row_number() OVER (PARTITION BY query_id
-                                           ORDER BY sim DESC, neighbor_id ASC) AS rank
-              FROM sims)
-            WHERE rank <= 5
+        "ivf_topk": _ivf_topk_sql(16, 4),
+        "ivf_assign_b256": f"""
+            {_ivf_ctes(256)}
+            SELECT vec_id, cluster FROM assign
         """,
+        "ivf_topk_b256": _ivf_topk_sql(256, 32),
+        "kmeans_codebook": f"""
+            SELECT cid, pos, val, n_members
+            FROM read_parquet('{GOLDEN_KM}')
+        """,
+        "ivf_topk_kmeans": _ivf_topk_sql(8, 2, GOLDEN_KM),
         "lsh_buckets": f"""
             SELECT vec_id,
                    ({bucket})::long AS bucket

@@ -39,3 +39,10 @@ def test_goldens_are_fresh():
     stored_multi = pd.read_parquet(
         os.path.join(REPO, "data", "golden_segments_multi_sf0.01.parquet"))
     pd.testing.assert_frame_equal(multi, stored_multi, check_exact=True)
+
+    from make_goldens import kmeans_twin
+
+    km = kmeans_twin(n_centroids=8, n_iters=3, seed=0, sample_mod=1)
+    stored_km = pd.read_parquet(
+        os.path.join(REPO, "data", "golden_kmeans_sf0.01.parquet"))
+    pd.testing.assert_frame_equal(km, stored_km, check_exact=True)

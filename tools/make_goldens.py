@@ -39,6 +39,11 @@ from yatsm_spark.kernel.ccdc import CCDCParams, ccdc_fit  # noqa: E402
 from yatsm_spark.kernel.classify import RandomForest  # noqa: E402
 
 TX = os.path.join(REPO, "data", "transcripts_sf0.01.parquet")
+#: Driver-generated embeddings table at the correctness SF — the SAME file
+#: q_kmeans_codebook reads, so both sides of the differential see identical
+#: bytes. If the driver ever regenerates testdata with a new seed,
+#: tests/test_goldens.py fails loudly and the golden must be re-made.
+EMB = "/root/testdata/sf0.01/embeddings.parquet"
 N_COEF = 4  # harmonic_design(order=1): [1, t, cos, sin]
 
 GAPFILLED_1M_SQL = """
@@ -214,6 +219,56 @@ def crossval_twin(segments: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"fold": np.arange(5), "accuracy": scores})
 
 
+def kmeans_twin(n_centroids: int = 8, n_iters: int = 3, seed: int = 0,
+                sample_mod: int = 1) -> pd.DataFrame:
+    """Spark-free numpy twin of operators/similarity.train_kmeans on the
+    sf0.01 embeddings: same systematic sample, same lowest-id init, same
+    sequential-fold cosine assignment (kernel.vecmath — the identical IEEE
+    add sequence the broadcast mapInPandas path executes), same
+    vec_id-ordered member sum and per-component division. Long format
+    (cid, pos, val, n_members) matching kmeans_codebook_table, so a driver
+    hash match is a genuine differential over the distributed Lloyd's
+    plumbing (broadcast round-trip, groupBy(cluster) collect_list ordering,
+    empty-cluster handling)."""
+    from yatsm_spark.kernel.vecmath import cosine_sims_seqfold, seq_norm
+
+    df = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{EMB}') ORDER BY vec_id"
+    ).df()
+    ids = df["vec_id"].to_numpy(dtype=np.int64)
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    if sample_mod > 1:
+        keep = (ids % sample_mod) == (seed % sample_mod)
+        ids, V = ids[keep], V[keep]
+    if len(ids) < n_centroids:
+        raise ValueError("sample smaller than n_centroids")
+    C = V[:n_centroids].copy()  # rows already in vec_id order -> lowest ids
+    counts = np.zeros(n_centroids, dtype=np.int64)
+    for _ in range(n_iters):
+        sims, _ = cosine_sims_seqfold(V, C, seq_norm(C))
+        cl = np.argmax(sims, axis=1)  # first max = lowest cid, as Catalyst
+        counts = np.zeros(n_centroids, dtype=np.int64)
+        new_C = C.copy()
+        for cid in range(n_centroids):
+            members = np.nonzero(cl == cid)[0]  # ascending vec_id order
+            if len(members) == 0:
+                continue  # empty cluster keeps previous centroid
+            counts[cid] = len(members)
+            acc = np.zeros(V.shape[1], dtype=np.float64)
+            for i in members:
+                acc = acc + V[i]
+            new_C[cid] = acc / len(members)
+        C = new_C
+    rows = [{"cid": np.int32(cid), "pos": np.int32(pos),
+             "val": float(C[cid, pos]), "n_members": int(counts[cid])}
+            for cid in range(n_centroids) for pos in range(V.shape[1])]
+    out = pd.DataFrame(rows)
+    out["cid"] = out["cid"].astype(np.int32)
+    out["pos"] = out["pos"].astype(np.int32)
+    out["n_members"] = out["n_members"].astype(np.int64)
+    return out
+
+
 def main() -> None:
     segs = segments_twin("conv00000300")
     seg_path = os.path.join(REPO, "data", "golden_segments_sf0.01.parquet")
@@ -234,6 +289,11 @@ def main() -> None:
     multi_path = os.path.join(REPO, "data", "golden_segments_multi_sf0.01.parquet")
     multi.to_parquet(multi_path, index=False)
     print(f"wrote {multi_path}: {len(multi)} rows")
+
+    km = kmeans_twin(n_centroids=8, n_iters=3, seed=0, sample_mod=1)
+    km_path = os.path.join(REPO, "data", "golden_kmeans_sf0.01.parquet")
+    km.to_parquet(km_path, index=False)
+    print(f"wrote {km_path}: {len(km)} rows")
 
 
 if __name__ == "__main__":

@@ -77,15 +77,17 @@ def get_spark(
         master = f"local[{cpus}]"
     b = SparkSession.builder.appName(app_name).master(master)
     confs = dict(ENGINE_CONFS)
-    if master.startswith("local-cluster"):
-        # Executors are separate JVMs whose Python workers must import this
-        # package; on a real cluster that's `spark-submit --py-files` — for
-        # the process-isolated scaling probe, executorEnv.PYTHONPATH is the
-        # single-box equivalent.
-        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        prev = os.environ.get("PYTHONPATH", "")
-        confs.setdefault("spark.executorEnv.PYTHONPATH",
-                         repo + (os.pathsep + prev if prev else ""))
+    # Python workers (mapInPandas/applyInPandas) must import this package
+    # regardless of the consumer's cwd: driver-side sys.path edits don't
+    # reach worker processes, so export the repo root on PYTHONPATH — env
+    # for same-box workers (must happen before the JVM starts), executorEnv
+    # for local-cluster executors. On a real cluster this is superseded by
+    # `spark-submit --py-files yatsm_spark.zip`.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prev = os.environ.get("PYTHONPATH", "")
+    if repo not in prev.split(os.pathsep):
+        os.environ["PYTHONPATH"] = repo + (os.pathsep + prev if prev else "")
+    confs.setdefault("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     # Local single-JVM mode: driver IS the executor — size the heap for the
     # thread count (must be set before the JVM starts; no-op afterwards).
     confs.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
