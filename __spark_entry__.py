@@ -319,6 +319,76 @@ def q_tx_segments_multi(spark, sf_dir):
     return segs.select(*cols)
 
 
+def q_tx_commission_omission(spark, sf_dir):
+    """P1+P2 (with P3 fields) as a driver row: CCDC segments -> commission
+    Chow merge (crit 3.0) -> omission Rec-CUSUM score + robust refit per
+    surviving segment, all in one applyInPandas pass. Oracle: the
+    Spark-free numpy twin (tools/make_goldens.py postprocess_twin,
+    data/golden_postprocess_sf0.01.parquet) — same kernel bits on the same
+    series, so every double is bit-identical and returned raw."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.changescore import change_scores_post
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
+    filled = rollup_gapfilled(with_measures(tx), "1m")
+    post = change_scores_post(filled, commission_crit=3.0)
+    return post.select(
+        "conv_id", "segment_id", "start_ts", "end_ts", "break_ts",
+        *[F.element_at("coef", i + 1).alias(f"coef_{i}") for i in range(4)],
+        "rmse", "magnitude", "n_obs", "omission_score",
+        *[F.element_at("robust_coef", i + 1).alias(f"robust_coef_{i}")
+          for i in range(4)],
+        "robust_rmse")
+
+
+def q_tx_refit(spark, sf_dir):
+    """P3 alone (commission merging off): robust refit + omission score
+    aligned 1:1 with the original change_scores segments — pins the
+    merge-disabled code path against the same twin machinery
+    (data/golden_refit_sf0.01.parquet)."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.changescore import change_scores_post
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
+    filled = rollup_gapfilled(with_measures(tx), "1m")
+    post = change_scores_post(filled, commission_crit=None)
+    return post.select(
+        "conv_id", "segment_id", "start_ts", "end_ts", "break_ts",
+        *[F.element_at("coef", i + 1).alias(f"coef_{i}") for i in range(4)],
+        "rmse", "magnitude", "n_obs", "omission_score",
+        *[F.element_at("robust_coef", i + 1).alias(f"robust_coef_{i}")
+          for i in range(4)],
+        "robust_rmse")
+
+
+def q_tx_segments_pheno(spark, sf_dir):
+    """A3 per-segment form: change_scores(phenology=True) — the
+    spline-smoothed long-term-mean diurnal fields appended per segment.
+    Oracle: the numpy twin (data/golden_pheno_segments_sf0.01.parquet).
+    NaN-able doubles (peak_rate on empty profiles, pheno_cor on
+    zero-variance segments) are mapped NaN->NULL identically on both
+    sides so the value hash never sees a NaN."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.changescore import change_scores
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
+    filled = rollup_gapfilled(with_measures(tx), "1m")
+    segs = change_scores(filled, phenology=True)
+
+    def _denan(c):
+        return F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(F.col(c)).alias(c)
+
+    return segs.select(
+        "conv_id", "segment_id", "start_ts", "end_ts", "break_ts",
+        *[F.element_at("coef", i + 1).alias(f"coef_{i}") for i in range(4)],
+        "rmse", "magnitude", "n_obs",
+        "peak_hour", _denan("peak_rate"), "rise_hour", "fall_hour",
+        _denan("pheno_cor"), "pheno_nobs")
+
+
 def q_tx_crossval(spark, sf_dir):
     """A4 crossvalidation as a driver row: 5-fold held-out accuracies of
     the segment classifier on the deterministic labeled sample. Oracle:
@@ -739,6 +809,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_interval_join": q_tx_interval_join,
         "tx_segments": q_tx_segments,
         "tx_segments_multi": q_tx_segments_multi,
+        "tx_segments_pheno": q_tx_segments_pheno,
+        "tx_commission_omission": q_tx_commission_omission,
+        "tx_refit": q_tx_refit,
         "tx_phenology": q_tx_phenology,
         "tx_classify": q_tx_classify,
         "tx_crossval": q_tx_crossval,
@@ -1179,6 +1252,41 @@ def oracle_sql() -> dict[str, str]:
                    rmse::double AS rmse, magnitude::double AS magnitude,
                    n_obs::int AS n_obs
             FROM read_parquet('{GOLDEN_SEG}')
+        """,
+        "tx_commission_omission": f"""
+            SELECT conv_id, segment_id::int AS segment_id,
+                   start_ts::timestamp AS start_ts, end_ts::timestamp AS end_ts,
+                   break_ts::timestamp AS break_ts,
+                   coef_0, coef_1, coef_2, coef_3,
+                   rmse, magnitude, n_obs::int AS n_obs,
+                   omission_score,
+                   robust_coef_0, robust_coef_1, robust_coef_2, robust_coef_3,
+                   robust_rmse
+            FROM read_parquet('{os.path.join(REPO, "data", "golden_postprocess_sf0.01.parquet")}')
+        """,
+        "tx_refit": f"""
+            SELECT conv_id, segment_id::int AS segment_id,
+                   start_ts::timestamp AS start_ts, end_ts::timestamp AS end_ts,
+                   break_ts::timestamp AS break_ts,
+                   coef_0, coef_1, coef_2, coef_3,
+                   rmse, magnitude, n_obs::int AS n_obs,
+                   omission_score,
+                   robust_coef_0, robust_coef_1, robust_coef_2, robust_coef_3,
+                   robust_rmse
+            FROM read_parquet('{os.path.join(REPO, "data", "golden_refit_sf0.01.parquet")}')
+        """,
+        "tx_segments_pheno": f"""
+            SELECT conv_id, segment_id::int AS segment_id,
+                   start_ts::timestamp AS start_ts, end_ts::timestamp AS end_ts,
+                   break_ts::timestamp AS break_ts,
+                   coef_0, coef_1, coef_2, coef_3,
+                   rmse, magnitude, n_obs::int AS n_obs,
+                   peak_hour::int AS peak_hour,
+                   CASE WHEN isnan(peak_rate) THEN NULL ELSE peak_rate END AS peak_rate,
+                   rise_hour::int AS rise_hour, fall_hour::int AS fall_hour,
+                   CASE WHEN isnan(pheno_cor) THEN NULL ELSE pheno_cor END AS pheno_cor,
+                   pheno_nobs::int AS pheno_nobs
+            FROM read_parquet('{os.path.join(REPO, "data", "golden_pheno_segments_sf0.01.parquet")}')
         """,
         "tx_classify": f"""
             SELECT conv_id, segment_id::int AS segment_id, "class",

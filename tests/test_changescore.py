@@ -159,3 +159,37 @@ def test_multi_breaks_on_selected_test_index_only(spark):
     # per-band outputs: 2 coef vectors / rmses / magnitudes per segment
     assert all(len(c) == 2 for c in broke["coefs"])
     assert all(len(r) == 2 for r in broke["rmse"])
+
+
+def test_postprocess_operator_aligns_and_merges(spark, filled):
+    # P1-P3 through Spark: with merging off, segments align 1:1 with
+    # change_scores (same boundaries, same base fit) and every row gains
+    # omission/refit fields; with merging on, the segment count can only
+    # shrink and boundaries still tile each conv's span.
+    from yatsm_spark.operators.changescore import change_scores_post
+
+    base = change_scores(filled, "turn_count", CONV_PARAMS).toPandas()
+    nomerge = change_scores_post(filled, "turn_count", CONV_PARAMS,
+                                 commission_crit=None).toPandas()
+    key = ["conv_id", "segment_id"]
+    b = base.sort_values(key, kind="stable").reset_index(drop=True)
+    n = nomerge.sort_values(key, kind="stable").reset_index(drop=True)
+    assert len(b) == len(n)
+    for col in ["conv_id", "segment_id", "start_ts", "end_ts", "rmse", "n_obs"]:
+        assert (b[col].to_numpy() == n[col].to_numpy()).all(), col
+    assert n["omission_score"].notna().all()
+    assert n["robust_rmse"].notna().all()
+    assert all(len(c) == 4 for c in n["robust_coef"])
+    # robust refit must differ from OLS somewhere (different estimator)
+    assert any(list(rc) != list(c) for rc, c in zip(n["robust_coef"], n["coef"]))
+
+    merged = change_scores_post(filled, "turn_count", CONV_PARAMS,
+                                commission_crit=3.0).toPandas()
+    per_conv_m = merged.groupby("conv_id").size()
+    per_conv_n = nomerge.groupby("conv_id").size()
+    assert (per_conv_m <= per_conv_n.loc[per_conv_m.index]).all()
+    # spans survive merging: first start / last end per conv unchanged
+    for conv, g in merged.groupby("conv_id"):
+        g0 = nomerge[nomerge.conv_id == conv]
+        assert g["start_ts"].min() == g0["start_ts"].min()
+        assert g["end_ts"].max() == g0["end_ts"].max()

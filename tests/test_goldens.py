@@ -40,6 +40,23 @@ def test_goldens_are_fresh():
         os.path.join(REPO, "data", "golden_segments_multi_sf0.01.parquet"))
     pd.testing.assert_frame_equal(multi, stored_multi, check_exact=True)
 
+    from make_goldens import pheno_segments_twin, postprocess_twin
+
+    post = postprocess_twin("conv00000200", crit=3.0)
+    stored_post = pd.read_parquet(
+        os.path.join(REPO, "data", "golden_postprocess_sf0.01.parquet"))
+    pd.testing.assert_frame_equal(post, stored_post, check_exact=True)
+
+    refit = postprocess_twin("conv00000200", crit=None)
+    stored_refit = pd.read_parquet(
+        os.path.join(REPO, "data", "golden_refit_sf0.01.parquet"))
+    pd.testing.assert_frame_equal(refit, stored_refit, check_exact=True)
+
+    pheno = pheno_segments_twin("conv00000200")
+    stored_pheno = pd.read_parquet(
+        os.path.join(REPO, "data", "golden_pheno_segments_sf0.01.parquet"))
+    pd.testing.assert_frame_equal(pheno, stored_pheno, check_exact=True)
+
     from make_goldens import kmeans_twin
 
     km = kmeans_twin(n_centroids=8, n_iters=3, seed=0, sample_mod=1)

@@ -245,3 +245,62 @@ def test_watermark_drops_late_data_across_microbatches(spark, tmp_path):
     assert len(m5) == 1                        # emitted exactly once
     assert int(m5.turn_count.iloc[0]) == 1     # late replay never re-counted
     assert got.window_start.is_unique          # no append-mode re-emit anywhere
+
+
+def test_online_monitor_vs_batch_segmenter_differential():
+    # Round-3 VERDICT next #4: replay one series through BOTH the streaming
+    # monitor state machine (monitor_scan — the exact kernel
+    # applyInPandasWithState executes) and the batch CCDC segmenter, and
+    # pin their relationship precisely.
+    #
+    # Same-event contract: for a step shift at slot S (after both are
+    # warmed up), batch CCDC reports break_day AT slot S (the first
+    # post-break observation), while the online monitor alerts at slot
+    # S + consecutive - 1 (the row that CONFIRMS the run) — the monitor is
+    # causal and cannot alert before seeing the full consecutive run, so
+    # the fixed offset IS the expected divergence, not a bug.
+    #
+    # Warm-up divergence: a shift inside the monitor's min_train window is
+    # absorbed into its baseline (no alert, by design); batch CCDC slides
+    # its training window past the unstable span and fits one clean
+    # segment (no break either) — both quiet, for different reasons.
+    import numpy as np
+    from dataclasses import asdict
+
+    from yatsm_spark.kernel.ccdc import CCDCParams, ccdc_fit
+    from yatsm_spark.operators.changescore import CONV_PARAMS
+    from yatsm_spark.streaming.stream_rollup import monitor_scan
+
+    p = CCDCParams(**asdict(CONV_PARAMS))
+    n, shift_at, consecutive = 1500, 900, 5
+    epochs = np.arange(n) * 60 + 1_700_000_000
+    t = epochs / 86400.0
+    noise = (1.5 * np.sin(2 * np.pi * np.arange(n) / 7)
+             + 1.0 * np.sin(2 * np.pi * np.arange(n) / 11))
+
+    def slots(res):
+        return [round((s.break_day * 86400 - 1_700_000_000) / 60)
+                for s in res.segments if s.break_day]
+
+    # 1) shift after warm-up: one event, fixed offset between the surfaces
+    rates = 10.0 + noise
+    rates[shift_at:] += 25.0
+    alerts, _ = monitor_scan(rates, (0, 0.0, 0.0, 0), threshold=p.threshold,
+                             consecutive=consecutive, min_train=60)
+    assert [a[0] for a in alerts] == [shift_at + consecutive - 1]
+    assert slots(ccdc_fit(t, rates, p)) == [shift_at]
+
+    # 2) shift inside monitor warm-up: both surfaces stay quiet
+    early = 10.0 + noise
+    early[30:] += 25.0
+    alerts_w, _ = monitor_scan(early, (0, 0.0, 0.0, 0), threshold=p.threshold,
+                               consecutive=consecutive, min_train=60)
+    assert alerts_w == []
+    assert slots(ccdc_fit(t, early, p)) == []
+
+    # 3) stable series: no alert, no break
+    stable = 10.0 + noise
+    alerts_s, _ = monitor_scan(stable, (0, 0.0, 0.0, 0), threshold=p.threshold,
+                               consecutive=consecutive, min_train=60)
+    assert alerts_s == []
+    assert slots(ccdc_fit(t, stable, p)) == []

@@ -219,6 +219,92 @@ def crossval_twin(segments: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"fold": np.arange(5), "accuracy": scores})
 
 
+def postprocess_twin(conv_max: str, crit: float | None) -> pd.DataFrame:
+    """Numpy-twin of q_tx_commission_omission / q_tx_refit (P1-P3): the
+    segments_twin lineage, then kernel commission merge (when crit is not
+    None), omission Rec-CUSUM scores, and the robust refit per surviving
+    segment — all Spark-free, so a driver hash match is a differential
+    over the applyInPandas postprocess plumbing."""
+    from yatsm_spark.kernel.postprocess import (
+        commission_test,
+        omission_scores,
+        refit_segments,
+    )
+
+    filled = duckdb.sql(GAPFILLED_1M_SQL.format(tx=TX, conv_max=conv_max)).df()
+    params = _conv_params()
+    rows = []
+    for conv_id, g in filled.groupby("conv_id", sort=True):
+        g = g.sort_values("window_start", kind="stable")
+        epochs = g["window_start"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        y = g["turn_count"].to_numpy(dtype=np.float64)
+        t = epochs / 86400.0
+        segs = ccdc_fit(t, y, params).segments
+        if crit is not None:
+            segs = commission_test(t, y, segs, params, crit=crit)
+        om = omission_scores(t, y, segs, params)
+        rf = refit_segments(t, y, segs, params, estimator="rlm_maxiter10")
+        for i, s in enumerate(segs):
+            row = {
+                "conv_id": conv_id,
+                "segment_id": np.int32(i),
+                "start_ts": _day_to_ts(s.start_day),
+                "end_ts": _day_to_ts(s.end_day),
+                "break_ts": _day_to_ts(s.break_day) if s.break_day else pd.NaT,
+            }
+            for j in range(N_COEF):
+                row[f"coef_{j}"] = float(s.coef[0][j])
+            row.update(rmse=float(s.rmse[0]), magnitude=float(s.magnitude[0]),
+                       n_obs=np.int32(s.n_obs),
+                       omission_score=float(om[i]))
+            for j in range(N_COEF):
+                row[f"robust_coef_{j}"] = float(rf[i]["coef"][0][j])
+            row["robust_rmse"] = float(rf[i]["rmse"][0])
+            rows.append(row)
+    out = pd.DataFrame(rows)
+    out["segment_id"] = out["segment_id"].astype(np.int32)
+    out["n_obs"] = out["n_obs"].astype(np.int32)
+    return out
+
+
+def pheno_segments_twin(conv_max: str) -> pd.DataFrame:
+    """Numpy-twin of q_tx_segments_pheno: the segments_twin lineage plus
+    the spline-smoothed diurnal phenology fields per segment
+    (kernel/phenology.py) — pins the PHENO_SEGMENT field-append path
+    end to end (round-3 VERDICT next #3)."""
+    from yatsm_spark.kernel.phenology import diurnal_phenology
+
+    filled = duckdb.sql(GAPFILLED_1M_SQL.format(tx=TX, conv_max=conv_max)).df()
+    params = _conv_params()
+    rows = []
+    for conv_id, g in filled.groupby("conv_id", sort=True):
+        g = g.sort_values("window_start", kind="stable")
+        epochs = g["window_start"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        y = g["turn_count"].to_numpy(dtype=np.float64)
+        t = epochs / 86400.0
+        for i, s in enumerate(ccdc_fit(t, y, params).segments):
+            row = {
+                "conv_id": conv_id,
+                "segment_id": np.int32(i),
+                "start_ts": _day_to_ts(s.start_day),
+                "end_ts": _day_to_ts(s.end_day),
+                "break_ts": _day_to_ts(s.break_day) if s.break_day else pd.NaT,
+            }
+            for j in range(N_COEF):
+                row[f"coef_{j}"] = float(s.coef[0][j])
+            row.update(rmse=float(s.rmse[0]), magnitude=float(s.magnitude[0]),
+                       n_obs=np.int32(s.n_obs))
+            seg = (t >= s.start_day) & (t <= s.end_day)
+            row.update(diurnal_phenology(
+                np.round(t[seg] * 86400.0).astype(np.int64), y[seg]))
+            rows.append(row)
+    out = pd.DataFrame(rows)
+    for c in ("segment_id", "n_obs", "peak_hour", "rise_hour", "fall_hour",
+              "pheno_nobs"):
+        out[c] = out[c].astype(np.int32)
+    return out
+
+
 def kmeans_twin(n_centroids: int = 8, n_iters: int = 3, seed: int = 0,
                 sample_mod: int = 1) -> pd.DataFrame:
     """Spark-free numpy twin of operators/similarity.train_kmeans on the
@@ -289,6 +375,21 @@ def main() -> None:
     multi_path = os.path.join(REPO, "data", "golden_segments_multi_sf0.01.parquet")
     multi.to_parquet(multi_path, index=False)
     print(f"wrote {multi_path}: {len(multi)} rows")
+
+    post = postprocess_twin("conv00000200", crit=3.0)
+    post_path = os.path.join(REPO, "data", "golden_postprocess_sf0.01.parquet")
+    post.to_parquet(post_path, index=False)
+    print(f"wrote {post_path}: {len(post)} rows")
+
+    refit = postprocess_twin("conv00000200", crit=None)
+    refit_path = os.path.join(REPO, "data", "golden_refit_sf0.01.parquet")
+    refit.to_parquet(refit_path, index=False)
+    print(f"wrote {refit_path}: {len(refit)} rows")
+
+    pheno = pheno_segments_twin("conv00000200")
+    pheno_path = os.path.join(REPO, "data", "golden_pheno_segments_sf0.01.parquet")
+    pheno.to_parquet(pheno_path, index=False)
+    print(f"wrote {pheno_path}: {len(pheno)} rows")
 
     km = kmeans_twin(n_centroids=8, n_iters=3, seed=0, sample_mod=1)
     km_path = os.path.join(REPO, "data", "golden_kmeans_sf0.01.parquet")

@@ -198,6 +198,96 @@ def change_scores(
     return filled.groupBy("conv_id").applyInPandas(fit_conv, schema)
 
 
+#: P1-P3 post-processing fields appended per (possibly merged) segment:
+#: omission Rec-CUSUM score + robust-refit coef/rmse — the graft of the
+#: reference's postprocess record transforms (commission_test /
+#: omission_test / refit_record, yatsm/algorithms/postprocess.py [M]) as
+#: a field append, SURVEY.md §2.10.
+POST_SEGMENT_SCHEMA = T.StructType(
+    SEGMENT_SCHEMA.fields + [
+        T.StructField("omission_score", T.DoubleType(), False),
+        T.StructField("robust_coef", T.ArrayType(T.DoubleType()), False),
+        T.StructField("robust_rmse", T.DoubleType(), False),
+    ]
+)
+
+
+def change_scores_post(
+    filled: DataFrame,
+    measure: str = "turn_count",
+    params: CCDCParams | None = None,
+    commission_crit: float | None = 3.0,
+    refit_estimator: str = "rlm_maxiter10",
+    densify: bool = False,
+    step_seconds: int = 60,
+) -> DataFrame:
+    """P1-P3 over the segments of :func:`change_scores`, in ONE grouped-map
+    pass: fit the conv, optionally merge false breaks (commission Chow
+    test, ``commission_crit``; ``None`` skips merging so the output rows
+    align 1:1 with change_scores), then append the omission Rec-CUSUM
+    score and a robust refit (coef + rmse under ``refit_estimator``) per
+    surviving segment.
+
+    Scale shape is identical to change_scores — the post-processing reuses
+    the conv's already-shuffled, already-densified series in-kernel, so
+    P1-P3 cost zero extra exchanges (the reference's record-array field
+    appends have the same property). Raw doubles out: both sides of the
+    driver differential (tools/make_goldens.py postprocess_twin) run the
+    same kernel bits on the same series, so values are bit-identical."""
+    from yatsm_spark.kernel.postprocess import (
+        commission_test,
+        omission_scores,
+        refit_segments,
+    )
+
+    p = params or CONV_PARAMS
+    p_dict = asdict(p)
+    filled = filled.select("conv_id", "window_start", measure)
+
+    def fit_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("window_start", kind="stable")
+        y = pdf[measure].to_numpy(dtype=np.float64, na_value=np.nan)
+        epochs = pdf["window_start"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        if densify and len(epochs):
+            from yatsm_spark.kernel.gapfill import gapfill_slots
+
+            counts_like = measure.endswith("_count")
+            vals = y.astype(np.int64) if counts_like and not np.isnan(y).any() else y
+            dense = gapfill_slots(epochs, {"y": vals}, step=step_seconds)
+            epochs = dense["slot_epoch"]
+            y = dense["y"].astype(np.float64)
+        t = epochs / 86400.0
+        ok = ~np.isnan(y)
+        t, y = t[ok], y[ok]
+        kp = CCDCParams(**p_dict)
+        segs = ccdc_fit(t, y, kp).segments
+        if commission_crit is not None:
+            segs = commission_test(t, y, segs, kp, crit=commission_crit)
+        om = omission_scores(t, y, segs, kp)
+        rf = refit_segments(t, y, segs, kp, estimator=refit_estimator)
+        rows = []
+        for i, s in enumerate(segs):
+            rows.append({
+                "conv_id": pdf["conv_id"].iloc[0],
+                "segment_id": i,
+                "start_ts": _day_to_ts(s.start_day),
+                "end_ts": _day_to_ts(s.end_day),
+                "break_ts": _day_to_ts(s.break_day) if s.break_day else None,
+                "coef": list(map(float, s.coef[0])),
+                "rmse": float(s.rmse[0]),
+                "magnitude": float(s.magnitude[0]),
+                "n_obs": int(s.n_obs),
+                "omission_score": float(om[i]),
+                "robust_coef": list(map(float, rf[i]["coef"][0])),
+                "robust_rmse": float(rf[i]["rmse"][0]),
+            })
+        if not rows:
+            return pd.DataFrame(columns=[f.name for f in POST_SEGMENT_SCHEMA.fields])
+        return pd.DataFrame(rows)
+
+    return filled.groupBy("conv_id").applyInPandas(fit_conv, POST_SEGMENT_SCHEMA)
+
+
 def change_scores_multi(
     filled: DataFrame,
     measures: list[str],
