@@ -870,7 +870,7 @@ def oracle_sql() -> dict[str, str]:
     shingles = """
         WITH words AS (
           SELECT doc_id,
-                 string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
+                 string_split(lower(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS ws
           FROM documents
         ), sh AS (
           SELECT DISTINCT doc_id,
@@ -879,7 +879,7 @@ def oracle_sql() -> dict[str, str]:
         )
     """
 
-    norm = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+    norm = "lower(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
 
     hex4 = ("((position(substr(md5(word),1,1) IN '0123456789abcdef')-1)*4096"
             " + (position(substr(md5(word),2,1) IN '0123456789abcdef')-1)*256"
@@ -1199,7 +1199,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": f"""
             WITH w AS (
               SELECT DISTINCT doc_id,
-                     unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS word
+                     unnest(string_split(lower(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) AS word
               FROM documents),
             h AS (SELECT doc_id, {hex4} AS hv FROM w),
             bits AS (
@@ -1211,9 +1211,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": """
             SELECT doc_id::long AS doc_id, length(text)::long AS n_chars,
-                   len(string_split_regex(trim(text), '\\s+'))::long AS n_ws_tokens,
+                   len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))::long AS n_ws_tokens,
                    len(regexp_extract_all(text,
-                       '''(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))::long
+                       '''(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\x0B\\f\\r]+'))::long
                        AS n_bpe_tokens,
                    ceil(length(text) / 4.0)::long AS n_bpe_est
             FROM documents
@@ -1222,9 +1222,9 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (
               SELECT doc_id, text,
                      length(text)::long AS n_chars_q,
-                     len(string_split_regex(trim(text), '\\s+'))::long AS n_words,
+                     len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))::long AS n_words,
                      length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::long AS n_alpha,
-                     length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::long AS n_punct,
+                     length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'))::long AS n_punct,
                      ((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', '')))//5
                       + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', '')))//5
                       + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', '')))//4

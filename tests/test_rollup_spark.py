@@ -251,3 +251,40 @@ def test_merge_rollups_equals_direct(spark, tx):
     direct_sparse = rollup_from_turns(with_measures(tx), "1m").drop("gap_filled")
     # every real merged row must match the direct rollup exactly
     assert (hit.drop("gap_filled").exceptAll(direct_sparse).count() == 0)
+
+
+def test_merge_rollups_redensifies_span_extension(spark, tx):
+    # Round-3 ADVICE: a late delta row OUTSIDE the existing span extends it;
+    # with tier_name passed, merge_rollups re-gapfills so the W8 dense-span
+    # invariant holds for downstream density-assuming consumers.
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from yatsm_spark.operators.cascade import merge_rollups
+
+    conv = tx.select("conv_id").first().conv_id
+    one = tx.filter(F.col("conv_id") == conv)
+    tier_f = gapfill(rollup_from_turns(with_measures(one), "1m"), "1m")
+    span_max = tier_f.agg(F.max("window_start")).first()[0]
+    # a late turn 5 minutes past the current span end
+    late = one.limit(1).withColumn(
+        "ts", F.lit(pd.Timestamp(span_max) + pd.Timedelta(minutes=5)))
+    delta = rollup_from_turns(with_measures(late), "1m")
+
+    stale = merge_rollups(tier_f, delta)                     # no re-densify
+    dense = merge_rollups(tier_f, delta, tier_name="1m")     # re-densified
+
+    def holes(df):
+        n = df.count()
+        span = df.agg(
+            (F.unix_timestamp(F.max("window_start"))
+             - F.unix_timestamp(F.min("window_start"))) / 60 + 1).first()[0]
+        return int(span) - n
+
+    assert holes(stale) > 0       # documented violation without tier_name
+    assert holes(dense) == 0      # dense again
+    # the re-densify must not disturb real rows: stale ⊆ dense exactly
+    assert stale.exceptAll(dense).count() == 0
+    # and every added row is a flagged zero-count gap row
+    added = dense.exceptAll(stale)
+    assert added.filter((F.col("turn_count") != 0) | ~F.col("gap_filled")).count() == 0

@@ -221,7 +221,12 @@ def decode_timestamps_block(data: bytes) -> np.ndarray:
         return out
     first_delta = np.uint64(int.from_bytes(data[13:21], "big")).astype(np.int64)
     if n == 2:
-        out[1] = out[0] + first_delta
+        # Contract: delta reconstruction is two's-complement modulo 2^64 —
+        # at int64 extremes the add WRAPS and the round-trip is still
+        # bit-exact (encode computed the delta under the same wraparound).
+        # numpy warns on scalar int overflow; the wrap is intentional.
+        with np.errstate(over="ignore"):
+            out[1] = out[0] + first_delta
         return out
     bits = np.unpackbits(np.frombuffer(data[21:], dtype=np.uint8))
     m = n - 2
@@ -236,6 +241,9 @@ def decode_timestamps_block(data: bytes) -> np.ndarray:
     dod = _unzigzag(z)
     deltas = np.empty(n - 1, dtype=np.int64)
     deltas[0] = first_delta
-    np.cumsum(np.concatenate([[first_delta], dod]), out=deltas)
-    out[1:] = out[0] + np.cumsum(deltas)
+    # Same modulo-2^64 contract as the n == 2 path: cumsum/add may wrap at
+    # int64 extremes and MUST (two's-complement delta reconstruction).
+    with np.errstate(over="ignore"):
+        np.cumsum(np.concatenate([[first_delta], dod]), out=deltas)
+        out[1:] = out[0] + np.cumsum(deltas)
     return out

@@ -59,7 +59,8 @@ def cascade(fine: DataFrame, from_tier: str, to_tier: str) -> DataFrame:
     )
 
 
-def merge_rollups(tier: DataFrame, delta: DataFrame) -> DataFrame:
+def merge_rollups(tier: DataFrame, delta: DataFrame,
+                  tier_name: str | None = None) -> DataFrame:
     """Late-arrival delta merge (continuous-aggregate incremental
     maintenance): combine an existing tier with a rollup of LATE turns at
     the same tier, without touching raw history.
@@ -76,7 +77,18 @@ def merge_rollups(tier: DataFrame, delta: DataFrame) -> DataFrame:
 
     Accepts sparse or gap-filled inputs; a gap row merged with a real
     delta row becomes real (counts add; sum/min/max ignore the gap row's
-    null stats)."""
+    null stats).
+
+    Dense-span invariant (round-3 ADVICE): a late delta row OUTSIDE the
+    conv's existing [min, max] span extends the span, so a gap-filled
+    input is only dense again after re-gapfilling. Pass ``tier_name``
+    (e.g. "1m") to re-densify the merged result in-place — existing
+    ``gap_filled`` flags are preserved and only the NEW holes are
+    emitted, so the extra cost is the sparse-row window, not a dense
+    rebuild. Without ``tier_name`` the merged output of a gap-filled
+    input MAY VIOLATE the dense-span invariant and must be re-gapfilled
+    before density-assuming consumers (cascade / change_scores on
+    'filled' input)."""
     has_gap = "gap_filled" in tier.columns
     if has_gap and "gap_filled" not in delta.columns:
         delta = delta.withColumn("gap_filled", F.lit(False))
@@ -99,6 +111,13 @@ def merge_rollups(tier: DataFrame, delta: DataFrame) -> DataFrame:
         )
         .select(*cols)
     )
+    if has_gap and tier_name is not None:
+        from yatsm_spark.operators.rollup import gapfill
+
+        # gapfill preserves an existing gap_filled column on real rows and
+        # only emits rows for holes between consecutive present slots, so
+        # re-densifying after a span-extending merge is incremental.
+        return gapfill(merged, tier_name)
     return merged
 
 

@@ -23,7 +23,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-_NORM = lambda c: F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+# Explicit class (not \s): Java includes U+000B in \s, RE2 (oracle) does
+# not — see operators/textstats.py WS_CLASS (round-3 ADVICE).
+_NORM = lambda c: F.lower(F.regexp_replace(F.trim(c), "[ \\t\\n\\x0B\\f\\r]+", " "))
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -30,12 +30,23 @@ def _count_word(col, word: str):
     ).cast("long")
 
 
+#: Explicit whitespace class shared with the DuckDB oracle SQL: Java's \s
+#: includes U+000B (vertical tab) while RE2's does not, so every pattern
+#: spells the class out and both engines tokenize \x0B-bearing text
+#: identically (round-3 ADVICE).
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
+_WS_CHARS = " \\t\\n\\x0B\\f\\r"
+
 #: GPT-2-style BPE pre-tokenizer pattern (contractions | space+letters |
-#: space+digits | space+other | whitespace runs) — the standard "BPE-ish
-#: regex"; counting its matches approximates subword token counts far
-#: better than chars/4 on prose. Kept to classes both Java regex (Spark)
-#: and RE2 (DuckDB oracle) interpret identically.
-BPE_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+#: space+digits | space+other | whitespace runs); counting its matches
+#: approximates subword token counts far better than chars/4 on prose.
+#: Two deliberate deviations from the exact GPT-2 pattern, both because
+#: the oracle engine's RE2 must agree: whitespace is the explicit class
+#: above (not \s), and GPT-2's `\s+(?!\S)` branch is omitted (RE2 has no
+#: lookahead), so runs of multiple spaces tokenize as ONE whitespace
+#: token here where GPT-2 splits the last space onto the next word.
+BPE_REGEX = ("'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+"
+             f"| ?[^{_WS_CHARS}\\p{{L}}\\p{{N}}]+|{WS_CLASS}+")
 
 
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -43,7 +54,7 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     match count, and the chars/4 rule of thumb) + char count. Pure
     Catalyst — regexp_count runs JVM-side inside codegen."""
     t = F.col(text_col)
-    ws_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    ws_tokens = F.size(F.split(F.trim(t), WS_CLASS + "+"))
     return docs.select(
         "doc_id",
         F.length(t).alias("n_chars"),
@@ -58,9 +69,9 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     keep/drop flag (Gopher/C4-style threshold rules, simplified)."""
     t = F.col(text_col)
     n_chars = F.length(t)
-    n_words = F.size(F.split(F.trim(t), r"\s+")).cast("long")
+    n_words = F.size(F.split(F.trim(t), WS_CLASS + "+")).cast("long")
     n_alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", ""))
-    n_punct = F.length(F.regexp_replace(t, r"[a-zA-Z0-9\s]", ""))
+    n_punct = F.length(F.regexp_replace(t, f"[a-zA-Z0-9{_WS_CHARS}]", ""))
     n_stop = sum(_count_word(t, w) for w in LANG_MARKERS["en"])
     mean_word_len = (n_alpha.cast("double") / F.greatest(n_words, F.lit(1)))
     return docs.select(
@@ -97,5 +108,5 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text —
     the exact-dedup key (near-dup keys live in operators/dedup.py)."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), WS_CLASS + "+", " "))
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))

@@ -88,6 +88,11 @@ def run_pipeline(
     store = ParquetStorage(cfg.workdir, cfg.n_buckets)
     ckpt = CheckpointManager(cfg.workdir)
     metrics = PipelineMetrics()
+    # The bucket loop sets a DATA-SIZED shuffle width per bucket; that is a
+    # session-global conf, so remember the caller's value and restore it on
+    # every exit path — otherwise the last bucket's width leaks into
+    # whatever the caller runs next on this SparkSession (round-3 ADVICE).
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions", None)
 
     # --- stage 0: bucketed staging of per-turn measures ---------------------
     # One full-input pass; partitionBy(bucket) so each bucket job reads only
@@ -107,74 +112,80 @@ def run_pipeline(
         ckpt.commit("staging", -1, stage_fp, n, (time.time() - t) * 1000)
     metrics.staged_turns = spark.read.parquet(store.path(staging)).count()
 
-    # --- per-bucket stage graph ---------------------------------------------
-    for b in range(cfg.n_buckets):
-        bdir = os.path.join(store.path(staging), f"bucket={b}")
-        if not os.path.exists(bdir):
-            ckpt.commit(f"bucket", b, "empty", 0, 0.0)
-            continue
-        bm = spark.read.parquet(bdir)
-        # Data-sized shuffle width per bucket (conf.shuffle_partitions_for_bytes):
-        # a fixed width spills at 10x data and over-fragments at 0.1x.
-        from yatsm_spark.conf import shuffle_partitions_for_bytes
-        b_bytes = sum(os.path.getsize(os.path.join(bdir, f))
-                      for f in os.listdir(bdir) if f.endswith(".parquet"))
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(shuffle_partitions_for_bytes(
-                b_bytes, spark.sparkContext.defaultParallelism)))
-        fp = _input_fingerprint(bm)
-        if cfg.compress:
-            # Format bump -> fingerprint mismatch -> bucket re-encodes on
-            # resume instead of leaving mixed-version chunk tables behind
-            # (legacy streams still decode; this keeps tables homogeneous).
-            from yatsm_spark.operators.codec import CHUNK_FORMAT_VERSION
-            fp = f"{fp}:cfv{CHUNK_FORMAT_VERSION}"
-        if resume and ckpt.is_done("bucket", b, fp):
-            continue
-        t = time.time()
-        # Sparse-first dataflow: every shuffle moves only REAL slots; the
-        # dense (gap-filled) tiers are generated post-shuffle on the write
-        # path, and the kernels densify per conv in numpy. At bench skew
-        # the dense tier is ~8x the sparse one — none of it is exchanged.
-        rollup_1m = {
-            "always": lambda df: R.rollup_from_turns_salted(df, "1m"),
-            "adaptive": lambda df: R.rollup_from_turns_adaptive(df, "1m"),
-        }.get(cfg.salting, lambda df: R.rollup_from_turns(df, "1m"))
-        sparse = rollup_1m(bm).cache()
-        rows = {"rollup_1m_sparse": sparse.count()}
-        store.write_bucket(R.gapfill(sparse, "1m"), "tier_1m", b)
-        rows["rollup_1m"] = spark.read.parquet(
-            os.path.join(store.path("tier_1m"), f"bucket={b}")).count()
-
-        prev = sparse
-        for tier_from, tier_to in (("1m", "1h"), ("1h", "1d")):
-            if tier_to not in cfg.tiers:
+    try:
+        # --- per-bucket stage graph ---------------------------------------------
+        for b in range(cfg.n_buckets):
+            bdir = os.path.join(store.path(staging), f"bucket={b}")
+            if not os.path.exists(bdir):
+                ckpt.commit(f"bucket", b, "empty", 0, 0.0)
                 continue
-            nxt = cascade(prev, tier_from, tier_to).cache()
-            rows[f"rollup_{tier_to}"] = nxt.count()
-            store.write_bucket(R.gapfill(nxt, tier_to), f"tier_{tier_to}", b)
-            prev = nxt
+            bm = spark.read.parquet(bdir)
+            # Data-sized shuffle width per bucket (conf.shuffle_partitions_for_bytes):
+            # a fixed width spills at 10x data and over-fragments at 0.1x.
+            from yatsm_spark.conf import shuffle_partitions_for_bytes
+            b_bytes = sum(os.path.getsize(os.path.join(bdir, f))
+                          for f in os.listdir(bdir) if f.endswith(".parquet"))
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(shuffle_partitions_for_bytes(
+                    b_bytes, spark.sparkContext.defaultParallelism)))
+            fp = _input_fingerprint(bm)
+            if cfg.compress:
+                # Format bump -> fingerprint mismatch -> bucket re-encodes on
+                # resume instead of leaving mixed-version chunk tables behind
+                # (legacy streams still decode; this keeps tables homogeneous).
+                from yatsm_spark.operators.codec import CHUNK_FORMAT_VERSION
+                fp = f"{fp}:cfv{CHUNK_FORMAT_VERSION}"
+            if resume and ckpt.is_done("bucket", b, fp):
+                continue
+            t = time.time()
+            # Sparse-first dataflow: every shuffle moves only REAL slots; the
+            # dense (gap-filled) tiers are generated post-shuffle on the write
+            # path, and the kernels densify per conv in numpy. At bench skew
+            # the dense tier is ~8x the sparse one — none of it is exchanged.
+            rollup_1m = {
+                "always": lambda df: R.rollup_from_turns_salted(df, "1m"),
+                "adaptive": lambda df: R.rollup_from_turns_adaptive(df, "1m"),
+            }.get(cfg.salting, lambda df: R.rollup_from_turns(df, "1m"))
+            sparse = rollup_1m(bm).cache()
+            rows = {"rollup_1m_sparse": sparse.count()}
+            store.write_bucket(R.gapfill(sparse, "1m"), "tier_1m", b)
+            rows["rollup_1m"] = spark.read.parquet(
+                os.path.join(store.path("tier_1m"), f"bucket={b}")).count()
 
-        if cfg.segments:
-            segs = change_scores(sparse, "turn_count", CONV_PARAMS, densify=True,
-                                 phenology=cfg.phenology)
-            store.write_bucket(segs, "segments", b)
-            rows["segments"] = spark.read.parquet(
-                os.path.join(store.path("segments"), f"bucket={b}")).count()
+            prev = sparse
+            for tier_from, tier_to in (("1m", "1h"), ("1h", "1d")):
+                if tier_to not in cfg.tiers:
+                    continue
+                nxt = cascade(prev, tier_from, tier_to).cache()
+                rows[f"rollup_{tier_to}"] = nxt.count()
+                store.write_bucket(R.gapfill(nxt, tier_to), f"tier_{tier_to}", b)
+                prev = nxt
 
-        if cfg.compress:
-            chunks = encode_chunks(sparse, "1m", cfg.chunk_points, densify=True)
-            store.write_bucket(chunks, "chunks_1m", b)
-            rows["chunks_1m"] = spark.read.parquet(
-                os.path.join(store.path("chunks_1m"), f"bucket={b}")).count()
+            if cfg.segments:
+                segs = change_scores(sparse, "turn_count", CONV_PARAMS, densify=True,
+                                     phenology=cfg.phenology)
+                store.write_bucket(segs, "segments", b)
+                rows["segments"] = spark.read.parquet(
+                    os.path.join(store.path("segments"), f"bucket={b}")).count()
 
-        sparse.unpersist()
-        m = ckpt.commit("bucket", b, fp, rows.get("rollup_1m", 0),
-                        (time.time() - t) * 1000, **rows)
-        metrics.buckets.append(m)
-        if fail_after_bucket is not None and b >= fail_after_bucket:
-            raise RuntimeError(f"injected failure after bucket {b}")
+            if cfg.compress:
+                chunks = encode_chunks(sparse, "1m", cfg.chunk_points, densify=True)
+                store.write_bucket(chunks, "chunks_1m", b)
+                rows["chunks_1m"] = spark.read.parquet(
+                    os.path.join(store.path("chunks_1m"), f"bucket={b}")).count()
+
+            sparse.unpersist()
+            m = ckpt.commit("bucket", b, fp, rows.get("rollup_1m", 0),
+                            (time.time() - t) * 1000, **rows)
+            metrics.buckets.append(m)
+            if fail_after_bucket is not None and b >= fail_after_bucket:
+                raise RuntimeError(f"injected failure after bucket {b}")
+    finally:
+        # Restore the caller's shuffle width on every exit path
+        # (including the injected-failure raise used by resume tests).
+        if prev_shuffle is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
     metrics.wall_s = time.time() - t0
     return metrics
