@@ -363,6 +363,28 @@ def q_tx_refit(spark, sf_dir):
         "robust_rmse")
 
 
+#: Prediction date for q_tx_predict — inside the synthetic transcript span.
+PREDICT_AT = "2026-02-01T12:00:00"
+
+
+def q_tx_predict(spark, sf_dir):
+    """`yatsm map predict DATE` surface (S8/§3.3): ŷ = X(d)·coef per
+    segment via changescore.predict_at — the design row X(d) is built
+    driver-side with the SAME kernel code that produced the coefficients
+    and folded JVM-side in array order. Oracle: the identical
+    left-associated sum over the segments-twin golden with X(d) literals
+    computed by the same kernel call; rounded 6dp on both sides."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.changescore import change_scores, predict_at
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000300")
+    segs = change_scores(rollup_gapfilled(with_measures(tx), "1m"))
+    pred = predict_at(segs, PREDICT_AT)
+    return pred.select("conv_id", "segment_id",
+                       F.round("predicted", 6).alias("predicted"))
+
+
 def q_tx_segments_pheno(spark, sf_dir):
     """A3 per-segment form: change_scores(phenology=True) — the
     spline-smoothed long-term-mean diurnal fields appended per segment.
@@ -810,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_segments": q_tx_segments,
         "tx_segments_multi": q_tx_segments_multi,
         "tx_segments_pheno": q_tx_segments_pheno,
+        "tx_predict": q_tx_predict,
         "tx_commission_omission": q_tx_commission_omission,
         "tx_refit": q_tx_refit,
         "tx_phenology": q_tx_phenology,
@@ -858,6 +881,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ---------------------------------------------------------------------------
 # oracles
+
+
+def _tx_predict_oracle() -> str:
+    """X(d) literals from the SAME kernel call q_tx_predict's operator
+    makes; the SQL sum is left-associated in array order, matching the
+    JVM fold exactly, and both sides round to 6dp."""
+    import numpy as np
+    import pandas as pd
+
+    from yatsm_spark.kernel.design import harmonic_design
+    from yatsm_spark.operators.changescore import CONV_PARAMS
+
+    t_day = pd.Timestamp(PREDICT_AT).timestamp() / 86400.0
+    xd = harmonic_design(np.array([t_day]), order=CONV_PARAMS.harmonic_order,
+                         period=CONV_PARAMS.period)[0]
+    expr = " + ".join(f"coef_{j} * {float(x)!r}" for j, x in enumerate(xd))
+    return f"""
+        SELECT conv_id, segment_id::int AS segment_id,
+               round({expr}, 6) AS predicted
+        FROM read_parquet('{GOLDEN_SEG}')
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1253,6 +1297,7 @@ def oracle_sql() -> dict[str, str]:
                    n_obs::int AS n_obs
             FROM read_parquet('{GOLDEN_SEG}')
         """,
+        "tx_predict": _tx_predict_oracle(),
         "tx_commission_omission": f"""
             SELECT conv_id, segment_id::int AS segment_id,
                    start_ts::timestamp AS start_ts, end_ts::timestamp AS end_ts,

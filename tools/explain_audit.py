@@ -118,6 +118,20 @@ def main():
         ("no cartesian product", "CartesianProduct", False),
         ("codebook sims are JVM expressions, no Python", "EvalPython", False),
     ])
+    audit("ivf_topk_b256 (broadcast-codebook IVF)", qs["ivf_topk_b256"](spark, SF_DIR), [
+        ("codebook assignment is ONE Arrow mapInPandas stage (no literal "
+         "explosion at 256x64; plan size O(1) in the codebook)", "MapInPandas", True),
+        ("probe table broadcast (corpus side never shuffles for the join)",
+         "BroadcastHashJoin", True),
+        ("no cartesian product", "CartesianProduct", False),
+    ])
+    audit("tx_commission_omission (P1-P3 grouped-map)",
+          qs["tx_commission_omission"](spark, SF_DIR), [
+        ("single grouped-map Python stage — postprocess reuses the CCDC "
+         "pass, zero extra exchanges", "FlatMapGroupsInPandas", True),
+        ("text pruned before the conv shuffle", "ReadSchema", True),
+        ("no cartesian product", "CartesianProduct", False),
+    ])
     audit("minhash_pairs (LSH band join, capped)", qs["minhash_pairs"](spark, SF_DIR), [
         ("bucket-size cap applied via broadcast semi-side", "BroadcastHashJoin", True),
         ("no cartesian product", "CartesianProduct", False),

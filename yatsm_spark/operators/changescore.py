@@ -105,7 +105,11 @@ def predict_at(segments: DataFrame, at, params: CCDCParams | None = None) -> Dat
     the SAME kernel design code that produced the coefficients
     (kernel/design.py::harmonic_design — column order is load-bearing) and
     folded against the stored coef array JVM-side via zip_with/aggregate:
-    no UDF, no shuffle, exact fold order."""
+    no UDF, no shuffle, exact fold order.
+
+    Edge contract: a null, empty, or length-mismatched coef array yields
+    a null `predicted` (zip_with pads the shorter side with null and the
+    fold propagates it) — kernel-produced segments always length-match."""
     from yatsm_spark.kernel.design import harmonic_design
 
     p = params or CONV_PARAMS
