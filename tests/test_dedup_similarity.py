@@ -246,3 +246,59 @@ def test_kmeans_sample_mod_trains_on_residue_class(spark):
     emb = _emb_corpus(spark)
     cb = train_kmeans(emb, n_centroids=4, n_iters=2, seed=1, sample_mod=3)
     assert sum(n for _, _, _, n in cb) == len([i for i in range(120) if i % 3 == 1])
+
+
+# ---------------------------------------------------------------------------
+# connected components (star contraction) + dedup decision table
+
+
+def _cc(spark, edges, max_iters=25):
+    from yatsm_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = connected_components(df, max_iters=max_iters).collect()
+    return {r.node: r.component_id for r in out}
+
+
+def test_cc_chain_converges_fast(spark):
+    # A 64-node duplicate CHAIN: min-label propagation would need 63
+    # rounds; star contraction must finish well inside log^2-ish budget.
+    edges = [(i, i + 1) for i in range(63)]
+    got = _cc(spark, edges, max_iters=10)
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_cc_cliques_bridges_and_reversed_pairs(spark):
+    edges = (
+        [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]  # clique
+        + [(23, 20), (22, 20), (21, 23)]          # reversed/unsorted pairs
+        + [(13, 20)]                              # bridge merges both
+        + [(40, 41), (41, 40), (40, 40)]          # dup + self-loop noise
+        + [(50, 51)]
+    )
+    got = _cc(spark, edges)
+    assert {got[i] for i in range(10, 14)} == {10}
+    assert {got[i] for i in range(20, 24)} == {10}  # bridged into the clique
+    assert got[40] == got[41] == 40 and got[50] == got[51] == 50
+    assert 44 not in got  # only nodes present in pairs are labeled
+
+
+def test_cc_empty_and_single_pair(spark):
+    from yatsm_spark.operators.dedup import connected_components
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty).count() == 0
+    assert _cc(spark, [(7, 3)]) == {3: 3, 7: 3}
+
+
+def test_dedup_groups_labels_full_corpus(spark):
+    from pyspark.sql import Row
+
+    from yatsm_spark.operators.dedup import dedup_groups
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(8)])
+    pairs = spark.createDataFrame([(0, 5), (5, 6), (2, 3)], "doc_a long, doc_b long")
+    out = {r.doc_id: (r.component_id, r.is_canonical)
+           for r in dedup_groups(docs, pairs).collect()}
+    assert out == {0: (0, True), 1: (1, True), 2: (2, True), 3: (2, False),
+                   4: (4, True), 5: (0, False), 6: (0, False), 7: (7, True)}

@@ -304,3 +304,47 @@ def test_online_monitor_vs_batch_segmenter_differential():
                                consecutive=consecutive, min_train=60)
     assert alerts_s == []
     assert slots(ccdc_fit(t, stable, p)) == []
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    # synthetic per-user event stream: bursts split by >30min gaps; gaps
+    # are never EXACTLY the timeout (the documented half-open boundary
+    # divergence between session_window and the batch strict-> rule).
+    import numpy as np
+    import pandas as pd
+
+    from yatsm_spark.operators.sessionize import session_stats
+    from yatsm_spark.streaming.stream_rollup import stream_sessionize
+
+    rng = np.random.RandomState(3)
+    rows, base = [], pd.Timestamp("2025-03-01")
+    eid = 0
+    for user in range(12):
+        t = base + pd.Timedelta(minutes=int(rng.randint(0, 60)))
+        for _burst in range(int(rng.randint(1, 5))):
+            for _ in range(int(rng.randint(1, 8))):
+                rows.append({"event_id": eid, "ts": t, "user_id": user,
+                             "event_type": ["view", "click", "tool"][eid % 3]})
+                eid += 1
+                t += pd.Timedelta(seconds=int(rng.randint(1, 600)))
+            t += pd.Timedelta(seconds=1801 + int(rng.randint(0, 4000)))  # close session
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(pd.DataFrame(rows)).coalesce(2).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string").parquet(src)
+    q = (stream_sessionize(stream, watermark="0 seconds")
+         .writeStream.format("memory").queryName("s_sessions")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT user_id, session_start, session_end, n_events, "
+                    "n_event_types, duration_s FROM s_sessions")
+    want = session_stats(spark.read.parquet(src)).select(
+        "user_id", "session_start", "session_end", "n_events",
+        "n_event_types", "duration_s")
+    # append mode may withhold each user's final (unclosed) session
+    assert got.exceptAll(want).count() == 0
+    missing = want.exceptAll(got).count()
+    assert missing <= 12
+    assert got.count() >= want.count() - 12 and want.count() > 20

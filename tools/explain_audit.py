@@ -41,7 +41,10 @@ def main():
         p = plan_of(df)
         checks = []
         for label, needle, want in expectations:
-            ok = (needle in p) == want
+            if isinstance(want, bool):
+                ok = (needle in p) == want
+            else:  # int: exact occurrence count (e.g. "exactly 1 Exchange")
+                ok = p.count(needle) == want
             checks.append(f"- {'PASS' if ok else '**FAIL**'}: {label}")
         sections.append(f"## {name}\n\n" + "\n".join(checks) +
                         "\n\n```\n" + p[:4000] + "\n```\n")
@@ -131,6 +134,30 @@ def main():
          "pass, zero extra exchanges", "FlatMapGroupsInPandas", True),
         ("text pruned before the conv shuffle", "ReadSchema", True),
         ("no cartesian product", "CartesianProduct", False),
+    ])
+    audit("events_sessionize (gaps-and-islands, 1 shuffle)",
+          qs["events_sessionize"](spark, SF_DIR), [
+        ("window lag/cumsum pass present", "Window", True),
+        ("session agg reuses the window's HashPartitioning(user_id) — the "
+         "subset rule means NO second exchange: exactly one Exchange in "
+         "the whole plan", "Exchange hashpartitioning", 1),
+        ("no Python anywhere", "EvalPython", False),
+        ("no cartesian product", "CartesianProduct", False),
+    ])
+    audit("pii_redact (Catalyst regex scan+redact)", qs["pii_redact"](spark, SF_DIR), [
+        ("no Python anywhere", "EvalPython", False),
+        ("no exchange at all — pure per-row map over the scan", "Exchange", False),
+    ])
+    audit("text_repetition (array ngrams + word share)",
+          qs["text_repetition"](spark, SF_DIR), [
+        ("partial aggregation map-side", "partial_", True),
+        ("no Python anywhere", "EvalPython", False),
+        ("no cartesian product", "CartesianProduct", False),
+    ])
+    audit("multimodal_png (real compressed decode, mapInPandas)",
+          qs["multimodal_png"](spark, SF_DIR), [
+        ("decode is Arrow-batched mapInPandas", "MapInPandas", True),
+        ("zero shuffle (no Exchange)", "Exchange", False),
     ])
     audit("minhash_pairs (LSH band join, capped)", qs["minhash_pairs"](spark, SF_DIR), [
         ("bucket-size cap applied via broadcast semi-side", "BroadcastHashJoin", True),

@@ -165,3 +165,80 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
         start=F.lit(0),
     )
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b", max_iters: int = 25) -> DataFrame:
+    """Connected components over an undirected pair table -> (node,
+    component_id = min node id in the component). Covers only nodes that
+    appear in >= 1 pair; use dedup_groups for the full-corpus labeling.
+
+    Algorithm: alternating large-star / small-star edge contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SOCC'14) — O(log^2 n) rounds on adversarial graphs (a min-label
+    propagation loop would need diameter rounds, unbounded on duplicate
+    CHAINS, the common web-dedup pathology). Each half-round is one
+    groupBy-min + one join on the node key: 2 shuffles, all JVM.
+
+    Scale posture: the edge set shrinks toward stars every round; state is
+    localCheckpoint()ed per round to truncate lineage (iterative plans
+    otherwise recompute the whole prefix), and convergence is a driver-side
+    scalar (count + order-insensitive hash) — no collect of data rows."""
+    spark = pairs.sparkSession
+    a, b = F.col(a_col), F.col(b_col)
+    edges = (pairs.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+             .filter(F.col("u") != F.col("v")).distinct().localCheckpoint())
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        # symmetric neighbor list, grouped min m(u) = min(N(u) ∪ {u})
+        nbrs = e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+            e.select(F.col("v").alias("x"), F.col("u").alias("y")))
+        mins = nbrs.groupBy("x").agg(F.min("y").alias("mn")).select(
+            "x", F.least("mn", "x").alias("m"))
+        j = nbrs.join(mins, "x")
+        keep = j.filter(F.col("y") > F.col("x")) if large else \
+            j.filter(F.col("y") <= F.col("x")).unionAll(
+                mins.select(F.col("x").alias("x"), F.col("x").alias("y"), "m"))
+        return (keep.select(F.least("y", "m").alias("u"),
+                            F.greatest("y", "m").alias("v"))
+                .filter(F.col("u") != F.col("v")).distinct())
+
+    def sig(e: DataFrame):
+        r = e.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.xxhash64("u", "v")).alias("h")).first()
+        return r["n"], r["h"]
+
+    prev = sig(edges)
+    for _ in range(max_iters):
+        edges = star(star(edges, large=True), large=False).localCheckpoint()
+        cur = sig(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iters} rounds")
+    # converged state is a forest of stars centered on each component min
+    sym = edges.select(F.col("u").alias("node"), F.col("v").alias("peer")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("peer")))
+    return sym.groupBy("node").agg(F.min("peer").alias("mn")).select(
+        "node", F.least("mn", "node").alias("component_id"))
+
+
+def dedup_groups(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                 a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+    """Corpus-wide dedup decision table: every doc labeled with its
+    near-dup component (singletons = own id) and whether it is the
+    canonical keeper (the component min — the standard deterministic
+    keep rule). Completes the dedup story from PAIRS to per-doc
+    keep/drop decisions. One left join against the component labeling —
+    only nodes that occur in pairs carry labels, typically a small
+    fraction of the corpus, so AQE converts this to a broadcast join when
+    it fits (not forced: at 100 TB a heavy-dup corpus can exceed the
+    broadcast budget)."""
+    comp = connected_components(pairs, a_col, b_col)
+    out = docs.select(F.col(id_col).alias("doc_id")).join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("component_id", F.col("doc_id")).alias("component_id"),
+    ).withColumn("is_canonical", F.col("doc_id") == F.col("component_id"))

@@ -228,3 +228,38 @@ def online_monitor(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_sessionize(stream: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      timeout_s: int = 1800,
+                      watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of operators/sessionize.py::session_stats via
+    F.session_window: state merges events whose gap to the current session
+    END is < timeout; append mode emits a session once the watermark
+    passes its close.
+
+    Boundary contract vs the batch operator (pinned by
+    tests/test_streaming.py::test_stream_sessionize_matches_batch): a gap
+    EXACTLY equal to timeout stays in-session in batch (strict >) but
+    closes the session window here (Spark session windows are half-open
+    [start, last+gap)); real event streams hit this only on whole-second
+    boundaries. session_end is reported as the LAST EVENT ts (window end
+    minus gap), aligning with the batch max(ts) convention.
+
+    Distinct counts are not supported inside streaming aggregations, so
+    n_event_types folds a collect_set (bounded by the event-type
+    vocabulary, not the stream length)."""
+    s = stream.withWatermark(ts_col, watermark)
+    w = F.session_window(F.col(ts_col), f"{timeout_s} seconds")
+    return (
+        s.groupBy(F.col(key_col), w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.max(ts_col).alias("last_ts"),
+             F.size(F.collect_set(type_col)).cast("long").alias("n_event_types"))
+        .select(F.col(key_col), F.col("w.start").alias("session_start"),
+                F.col("last_ts").alias("session_end"), "n_events",
+                "n_event_types",
+                ((F.unix_micros(F.col("last_ts").cast("timestamp"))
+                  - F.unix_micros(F.col("w.start").cast("timestamp"))) / 1e6).alias("duration_s"))
+    )
