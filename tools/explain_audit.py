@@ -140,7 +140,7 @@ def main():
         ("window lag/cumsum pass present", "Window", True),
         ("session agg reuses the window's HashPartitioning(user_id) — the "
          "subset rule means NO second exchange: exactly one Exchange in "
-         "the whole plan", "Exchange hashpartitioning", 1),
+         "the whole plan", "+- Exchange", 1),
         ("no Python anywhere", "EvalPython", False),
         ("no cartesian product", "CartesianProduct", False),
     ])
