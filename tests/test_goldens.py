@@ -63,3 +63,10 @@ def test_goldens_are_fresh():
     stored_km = pd.read_parquet(
         os.path.join(REPO, "data", "golden_kmeans_sf0.01.parquet"))
     pd.testing.assert_frame_equal(km, stored_km, check_exact=True)
+
+    from make_goldens import jpeg_twin
+
+    jp = jpeg_twin()
+    stored_jp = pd.read_parquet(
+        os.path.join(REPO, "data", "golden_jpeg_sf0.01.parquet"))
+    pd.testing.assert_frame_equal(jp, stored_jp, check_exact=True)

@@ -76,6 +76,10 @@ def test_decode_image_dispatch_and_honest_failure():
     img = _expected_image(7)
     np.testing.assert_array_equal(decode_image(_bmp_payload(img)), img)
     with pytest.raises(NotImplementedError):
+        decode_image(b"\x00\x01unknown container bytes")
+    # JPEG now dispatches to the real decoder, which rejects garbage
+    # after the SOI marker rather than pretending to decode it
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
 
 
@@ -302,3 +306,147 @@ def test_png_decode_image_dispatch_and_spark_features(spark):
         n = img.shape[0]
         assert (r.mean_r, r.mean_g, r.mean_b) == (
             img[:, 0].sum() / n, img[:, 1].sum() / n, img[:, 2].sum() / n)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (kernel/jpeg.py): baseline-DCT codec, coefficient-lossless at q=100
+
+
+def _closed_form_coefs(media_id: int):
+    """The coefficient closed form jpeg_payload commits to (natural order)."""
+    from yatsm_spark.kernel.jpeg import ZIGZAG
+
+    nbx, nby = 2 + media_id % 3, 2 + media_id % 2
+    n = nbx * nby
+    out = []
+    for c in range(3):
+        C = np.zeros((n, 64), dtype=np.int64)
+        b = np.arange(n, dtype=np.int64)
+        C[:, 0] = (media_id * 31 + c * 97 + b * 13) % 129 - 64
+        for bi in range(n):
+            slot = int(ZIGZAG[1 + (bi + c) % 5])
+            C[bi, slot] = (media_id * 7 + bi * 3 + c) % 31 - 15
+        out.append(C)
+    return out, nby * 8, nbx * 8
+
+
+@pytest.mark.parametrize("media_id", [0, 1, 5, 42, 123456])
+def test_jpeg_coef_roundtrip_is_exactly_lossless(media_id):
+    """quality=100 -> all-ones quant tables, so entropy decode must return
+    the EXACT integers the payload was synthesized from. This pins the
+    whole chain: Huffman table emission, canonical rebuild from the
+    stream's own DHT, byte stuffing, DC prediction, run-length AC."""
+    from yatsm_spark.kernel.jpeg import decode_jpeg_coefs
+    from yatsm_spark.operators.multimodal import jpeg_payload
+
+    want, h, w = _closed_form_coefs(media_id)
+    got, gh, gw = decode_jpeg_coefs(jpeg_payload(media_id))
+    assert (gh, gw) == (h, w)
+    for c in range(3):
+        np.testing.assert_array_equal(got[c], want[c])
+
+
+def test_jpeg_entropy_edge_cases_roundtrip():
+    """ZRL (>15-zero runs), max-size AC values, large bipolar DC swings,
+    and a final coefficient at slot 63 (no EOB) all survive the entropy
+    coder bit-exactly."""
+    from yatsm_spark.kernel.jpeg import (ZIGZAG, decode_jpeg_coefs,
+                                         encode_jpeg_from_coefs)
+
+    C = [np.zeros((4, 64), dtype=np.int64) for _ in range(3)]
+    C[0][:, 0] = [1000, -1000, 0, 1023]          # DC deltas up to cat 11
+    C[0][0, int(ZIGZAG[33])] = -511              # 32 leading zeros -> 2x ZRL
+    C[0][1, int(ZIGZAG[63])] = 7                 # last slot: no EOB emitted
+    C[1][2, int(ZIGZAG[1])] = -1023              # max baseline AC size (10)
+    C[2][3, int(ZIGZAG[17])] = 1
+    got, h, w = decode_jpeg_coefs(encode_jpeg_from_coefs(C, 16, 16, quality=100))
+    assert (h, w) == (16, 16)
+    for c in range(3):
+        np.testing.assert_array_equal(got[c], C[c])
+
+
+def test_jpeg_pixel_roundtrip_tolerance():
+    """Pixel-space encode->decode: q=100 keeps every channel within the
+    rounding envelope of the float DCT (±2); a smooth gradient at q=95
+    stays within ±2 as well (quantization error concentrates in high
+    frequencies a gradient doesn't have)."""
+    from yatsm_spark.kernel.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(0)
+    noisy = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(noisy, quality=100))
+    assert got.shape == noisy.shape
+    assert int(np.abs(got.astype(int) - noisy.astype(int)).max()) <= 2
+
+    ramp = np.tile(np.linspace(40, 200, 24).astype(np.uint8), (16, 1))
+    smooth = np.stack([ramp, ramp // 2 + 30, 255 - ramp], axis=-1)
+    got = decode_jpeg(encode_jpeg(smooth, quality=95))
+    assert int(np.abs(got.astype(int) - smooth.astype(int)).max()) <= 2
+
+
+def test_jpeg_non_multiple_of_8_dims():
+    """Edge-replication padding: decode returns the original (h, w), and
+    q=100 content error stays in the rounding envelope."""
+    from yatsm_spark.kernel.jpeg import decode_jpeg, encode_jpeg
+
+    img = _expected_image(3)  # 19 x 15 — neither dim a multiple of 8
+    got = decode_jpeg(encode_jpeg(img, quality=100))
+    assert got.shape == img.shape
+    assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_jpeg_hostile_and_unsupported_payloads():
+    from yatsm_spark.kernel.jpeg import decode_jpeg
+    from yatsm_spark.operators.multimodal import jpeg_payload
+
+    p = jpeg_payload(5)
+
+    # progressive (SOF2) raises honestly
+    prog = p.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+
+    # chroma subsampling (samp != 0x11) raises honestly
+    sof = p.find(b"\xff\xc0")
+    sub = bytearray(p)
+    sub[sof + 4 + 7] = 0x22  # first component's sampling byte
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(sub))
+
+    # 16-bit quant tables raise honestly
+    dqt = p.find(b"\xff\xdb")
+    wide = bytearray(p)
+    wide[dqt + 4] |= 0x10
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(wide))
+
+    # truncated entropy stream raises, not garbage pixels
+    with pytest.raises(ValueError):
+        decode_jpeg(p[:-12])
+
+    # not a JPEG at all
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02\x03")
+
+
+def test_jpeg_decode_image_dispatch_and_spark_features(spark):
+    from pyspark.sql import Row
+
+    from yatsm_spark.kernel.jpeg import decode_jpeg
+    from yatsm_spark.operators.multimodal import (
+        image_features, jpeg_payload, synth_jpeg_media)
+
+    np.testing.assert_array_equal(decode_image(jpeg_payload(9)),
+                                  decode_jpeg(jpeg_payload(9)))
+
+    docs = spark.createDataFrame([Row(doc_id=i, text="t") for i in range(8)])
+    out = image_features(synth_jpeg_media(docs)).collect()
+    assert len(out) == 8
+    for r in out:
+        img = decode_jpeg(jpeg_payload(r.media_id))
+        nbx, nby = 2 + r.media_id % 3, 2 + r.media_id % 2
+        assert (r.width, r.height) == (nbx * 8, nby * 8)
+        flat = img.reshape(-1, 3).astype(np.float64)
+        n = flat.shape[0]
+        assert (r.mean_r, r.mean_g, r.mean_b) == (
+            flat[:, 0].sum() / n, flat[:, 1].sum() / n, flat[:, 2].sum() / n)

@@ -44,6 +44,9 @@ TX = os.path.join(REPO, "data", "transcripts_sf0.01.parquet")
 #: bytes. If the driver ever regenerates testdata with a new seed,
 #: tests/test_goldens.py fails loudly and the golden must be re-made.
 EMB = "/root/testdata/sf0.01/embeddings.parquet"
+#: Driver-generated documents table at the correctness SF — the id list the
+#: multimodal_jpeg query derives its synthetic media ids from.
+DOCS = "/root/testdata/sf0.01/documents.parquet"
 N_COEF = 4  # harmonic_design(order=1): [1, t, cos, sin]
 
 GAPFILLED_1M_SQL = """
@@ -355,6 +358,34 @@ def kmeans_twin(n_centroids: int = 8, n_iters: int = 3, seed: int = 0,
     return out
 
 
+def jpeg_twin() -> pd.DataFrame:
+    """Spark-free twin of the multimodal_jpeg query: synthesize each
+    sf0.01 doc's deterministic coefficient-space JPEG, decode it with the
+    kernel codec (the entropy path is exactly lossless at quality=100),
+    and compute the image_features means driver-side. A driver hash match
+    is a differential over the mapInPandas plumbing AND proves the
+    payload's compressed bytes round-trip identically under Spark."""
+    from yatsm_spark.kernel.jpeg import decode_jpeg
+    from yatsm_spark.operators.multimodal import jpeg_payload
+
+    ids = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{DOCS}') ORDER BY doc_id"
+    ).df()["doc_id"].to_numpy(dtype=np.int64)
+    rows = []
+    for mid in ids:
+        img = decode_jpeg(jpeg_payload(int(mid)))
+        h, w, _ = img.shape
+        s = img.reshape(-1, 3).astype(np.float64).sum(axis=0)
+        n = float(h * w)
+        rows.append({"media_id": int(mid), "width": int(w), "height": int(h),
+                     "mean_r": s[0] / n, "mean_g": s[1] / n, "mean_b": s[2] / n})
+    out = pd.DataFrame(rows)
+    out["media_id"] = out["media_id"].astype(np.int64)
+    out["width"] = out["width"].astype(np.int32)
+    out["height"] = out["height"].astype(np.int32)
+    return out
+
+
 def main() -> None:
     segs = segments_twin("conv00000300")
     seg_path = os.path.join(REPO, "data", "golden_segments_sf0.01.parquet")
@@ -395,6 +426,11 @@ def main() -> None:
     km_path = os.path.join(REPO, "data", "golden_kmeans_sf0.01.parquet")
     km.to_parquet(km_path, index=False)
     print(f"wrote {km_path}: {len(km)} rows")
+
+    jp = jpeg_twin()
+    jp_path = os.path.join(REPO, "data", "golden_jpeg_sf0.01.parquet")
+    jp.to_parquet(jp_path, index=False)
+    print(f"wrote {jp_path}: {len(jp)} rows")
 
 
 if __name__ == "__main__":
