@@ -680,6 +680,54 @@ def q_dedup_components(spark, sf_dir):
     return dedup_groups(docs, ngram_jaccard_pairs(docs, threshold=0.2))
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Top-5 salient terms per doc by smooth TF-IDF (sklearn idf form).
+    Rank is decided ONLY by integer keys (tf DESC, df ASC, term ASC) —
+    exactly the idf order restricted to the doc where tf-idf is strict —
+    so membership never rides on cross-engine float ordering; the ln()-
+    bearing score itself is snapped to the 1e-6 grid in both engines."""
+    from yatsm_spark.operators.ranking import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=5)
+
+
+#: BM25 bench/oracle query: terms chosen to hit a spread of df values.
+BM25_QUERY = ["join", "merge", "scan"]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 retrieval (Robertson idf, Lucene k1/b): query-term isin
+    filter BEFORE the posting shuffle, df side broadcast (bounded by
+    |query|), per-doc contributions summed in integer micro-units so
+    reduce order cannot perturb the total, top-k cut on the integer
+    score key + doc_id tie-break. orderBy+limit = TakeOrdered, no full
+    sort shuffle."""
+    from yatsm_spark.operators.ranking import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), BM25_QUERY, k=25)
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-source quota sample (10/stratum) by Knuth-hash
+    order — no RNG state, bit-reproducible, extensible (rank<=m prefix is
+    the m-sample). One shuffle on the stratum key."""
+    from yatsm_spark.operators.sampling import sample_stratified
+
+    return sample_stratified(_t(spark, sf_dir, "documents"),
+                             n_per_stratum=10).select(
+        "doc_id", "source", "draw_rank")
+
+
+def q_sample_hash(spark, sf_dir):
+    """Shuffle-free deterministic Bernoulli-style sample: keep iff
+    h(doc_id) mod 2^32 < rate * 2^32 — a narrow filter evaluated in the
+    scan stage, the only sampler shape that is free at 100 TB."""
+    from yatsm_spark.operators.sampling import sample_hash
+
+    return sample_hash(_t(spark, sf_dir, "documents"), rate=0.25).select(
+        "doc_id", "lang", "source")
+
+
 def q_simhash(spark, sf_dir):
     from yatsm_spark.operators.dedup import simhash16
 
@@ -958,6 +1006,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "text_repetition": q_text_repetition,
         "pii_redact": q_pii_redact,
+        "tfidf_topk": q_tfidf_topk,
+        "bm25_topk": q_bm25_topk,
+        "sample_stratified": q_sample_stratified,
+        "sample_hash": q_sample_hash,
         "cosine_topk": q_cosine_topk,
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,
@@ -1494,6 +1546,82 @@ def oracle_sql() -> dict[str, str]:
                  JOIN tw USING (doc_id)
         """,
         "pii_redact": _pii_redact_oracle(),
+        # RE2 and Java regex read the explicit [^a-z0-9]+ class
+        # identically; rank keys are pure integers; the ln()-bearing
+        # score is snapped to the 1e-6 grid in both engines.
+        "tfidf_topk": """
+            WITH toks AS (
+              SELECT doc_id, t.term
+              FROM documents,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+              WHERE t.term <> ''),
+            tf  AS (SELECT doc_id, term, count(*)::long AS tf
+                    FROM toks GROUP BY doc_id, term),
+            dft AS (SELECT term, count(*)::long AS df FROM tf GROUP BY term),
+            n   AS (SELECT count(*) AS n_docs FROM documents),
+            s AS (
+              SELECT tf.doc_id::long AS doc_id, tf.term, tf.tf, dft.df,
+                     floor(tf.tf * (ln((n.n_docs + 1.0) / (dft.df + 1.0)) + 1.0)
+                           * 1e6 + 0.5) / 1e6 AS tfidf,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                                        ORDER BY tf.tf DESC, dft.df ASC,
+                                                 tf.term ASC)::int AS rank
+              FROM tf JOIN dft USING (term) CROSS JOIN n)
+            SELECT doc_id, rank, term, tf, df, tfidf FROM s WHERE rank <= 5
+        """,
+        # Per-term BM25 contributions snapped to integer micro-units
+        # BEFORE the per-doc sum (long addition is associative — reduce
+        # order cannot perturb the total), mirroring the Spark operator.
+        "bm25_topk": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            dl AS (SELECT doc_id, len(toks)::long AS dl FROM d),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            posting AS (
+              SELECT d.doc_id, t.term, count(*)::long AS tf
+              FROM d, unnest(d.toks) AS t(term)
+              WHERE t.term IN ('join', 'merge', 'scan')
+              GROUP BY d.doc_id, t.term),
+            dft AS (SELECT term, count(*)::long AS df FROM posting GROUP BY term),
+            contrib AS (
+              SELECT p.doc_id, dl.dl,
+                     floor(ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                           * (p.tf * 2.2)
+                           / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                           * 1e6 + 0.5)::long AS cu
+              FROM posting p JOIN dft USING (term) JOIN dl USING (doc_id)
+                   CROSS JOIN stats s),
+            scored AS (
+              SELECT doc_id::long AS doc_id, count(*)::long AS n_hit_terms,
+                     min(dl) AS dl, sum(cu) / 1e6 AS score,
+                     sum(cu) AS su
+              FROM contrib GROUP BY doc_id)
+            SELECT doc_id, n_hit_terms, dl, score
+            FROM scored ORDER BY su DESC, doc_id ASC LIMIT 25
+        """,
+        # Knuth multiplicative hash — pure bigint arithmetic, bit-exact
+        # in both engines; rank over (hash, id) = a uniform deterministic
+        # draw.
+        "sample_stratified": """
+            WITH h AS (SELECT doc_id::long AS doc_id, source,
+                              (doc_id * 2654435761) % 4294967296 AS hv
+                       FROM documents)
+            SELECT doc_id, source, draw_rank FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY hv ASC, doc_id ASC)::int
+                         AS draw_rank
+              FROM h)
+            WHERE draw_rank <= 10
+        """,
+        "sample_hash": """
+            SELECT doc_id::long AS doc_id, lang, source
+            FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 < 1073741824
+        """,
         "tx_segments": f"""
             SELECT conv_id, segment_id::int AS segment_id,
                    start_ts::timestamp AS start_ts, end_ts::timestamp AS end_ts,

@@ -164,6 +164,38 @@ def main():
         ("no cartesian product", "CartesianProduct", False),
         ("no Python anywhere", "EvalPython", False),
     ])
+    audit("multimodal_jpeg (baseline-DCT decode, mapInPandas)",
+          qs["multimodal_jpeg"](spark, SF_DIR), [
+        ("decode is Arrow-batched mapInPandas", "MapInPandas", True),
+        ("zero shuffle (no Exchange)", "Exchange", False),
+    ])
+    audit("tfidf_topk (explode + 2 hash-agg + vocab join)",
+          qs["tfidf_topk"](spark, SF_DIR), [
+        ("map-side partial counts on (doc,term)", "partial_count", True),
+        ("no cartesian product (scalar N is broadcast-NLJ)", "CartesianProduct", False),
+        ("pure Catalyst, no Python", "EvalPython", False),
+    ])
+    audit("bm25_topk (filtered postings + TakeOrdered)",
+          qs["bm25_topk"](spark, SF_DIR), [
+        ("top-k is TakeOrderedAndProject, not a global sort",
+         "TakeOrderedAndProject", True),
+        ("tiny df side broadcast", "BroadcastHashJoin", True),
+        ("no cartesian product", "CartesianProduct", False),
+        ("pure Catalyst, no Python", "EvalPython", False),
+    ])
+    audit("sample_hash (narrow deterministic filter)",
+          qs["sample_hash"](spark, SF_DIR), [
+        ("zero shuffle (filter runs in the scan stage)", "Exchange", False),
+        ("unreferenced text column pruned from the read", "text", False),
+    ])
+    audit("sample_stratified (one window shuffle on the stratum key)",
+          qs["sample_stratified"](spark, SF_DIR), [
+        ("exactly one exchange", "+- Exchange", 1),
+        ("rank is a Window, no join", "Window", True),
+        ("partial top-k runs BEFORE the shuffle — each map task ships at "
+         "most n rows per stratum, so a hot stratum's shuffle volume is "
+         "n x maps, not the stratum size", "WindowGroupLimit", True),
+    ])
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")

@@ -1,0 +1,64 @@
+"""Deterministic sampling for the training-data pipeline.
+
+Corpus builders sample constantly — per-source quotas, held-out eval
+splits, decontamination spot checks — and at 100 TB the sample must be
+(a) reproducible run-to-run with no RNG state, (b) cheap (no full sort),
+and (c) auditable (membership decidable per row from the row alone, or
+from the row plus a bounded per-stratum rank). Both operators here use a
+closed-form integer hash instead of rand(): Knuth's multiplicative hash
+h(id) = (id * 2654435761) mod 2^32 — pure bigint arithmetic, bit-exact
+in any engine, so the DuckDB oracle reproduces membership EXACTLY.
+
+- ``sample_hash``: rate-based Bernoulli-style sample, keep iff
+  h(id) mod D < rate * D. A pure narrow filter — no shuffle, no sort,
+  evaluated inside the scan stage; the sampled fraction concentrates
+  around `rate` by hash uniformity. This is the 100 TB default.
+- ``sample_stratified``: EXACT n-per-stratum quota — row_number over
+  (stratum, ordered by (h(id), id)) <= n. One shuffle on the stratum
+  key; the hash ordering makes the quota a uniform draw while keeping
+  it deterministic. Because the rank filter is a row_number <= n on the
+  window's own ordering, Spark plans a PARTIAL WindowGroupLimit below
+  the exchange (audited in BENCH/PLANS.md): every map task pre-trims to
+  its local top-n per stratum, so a pathologically hot stratum shuffles
+  at most n x num_map_tasks rows — not the stratum's row count — and
+  the reduce side is bounded the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Knuth multiplicative constant (2^32 / phi); ids here are < 2^31 so the
+#: product stays far inside int64 — no overflow wrap to reason about.
+_KNUTH = 2654435761
+_MOD = 1 << 32
+
+
+def _hash_col(id_col: str):
+    return F.pmod(F.col(id_col) * F.lit(_KNUTH), F.lit(_MOD))
+
+
+def sample_hash(df: DataFrame, rate: float, id_col: str = "doc_id") -> DataFrame:
+    """Keep rows with h(id) mod 2^32 < rate * 2^32. Deterministic,
+    shuffle-free, and composable: sample_hash(r1) ∘ sample_hash(r2) on
+    the same id column keeps min(r1, r2) (the smaller threshold wins),
+    because membership is a threshold on the SAME hash value."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    threshold = int(rate * _MOD)
+    return df.filter(_hash_col(id_col) < F.lit(threshold))
+
+
+def sample_stratified(df: DataFrame, n_per_stratum: int,
+                      stratum_col: str = "source",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, drawn uniformly by
+    hash order. Output carries the within-stratum draw rank so the
+    sample is extensible: the rank<=m prefix IS sample_stratified(m)."""
+    if n_per_stratum < 1:
+        raise ValueError("n_per_stratum must be >= 1")
+    w = Window.partitionBy(stratum_col).orderBy(
+        _hash_col(id_col).asc(), F.col(id_col).asc())
+    return (df.withColumn("draw_rank", F.row_number().over(w))
+              .filter(F.col("draw_rank") <= n_per_stratum))
