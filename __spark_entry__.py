@@ -728,6 +728,41 @@ def q_sample_hash(spark, sf_dir):
         "doc_id", "lang", "source")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag train docs sharing any word
+    3-gram with a deterministic 5% holdout 'eval set' (Knuth-hash
+    split). Bench n-gram set is eval-sized and broadcast; train side is
+    one distinct-per-doc explode + hash-agg — all integers, exact."""
+    from yatsm_spark.operators.decontam import decontaminate
+    from yatsm_spark.operators.sampling import sample_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = sample_hash(docs, rate=0.05)
+    train = sample_hash(docs, rate=0.05, complement=True)
+    return decontaminate(train, bench, n=3)
+
+
+def q_chunk_docs(spark, sf_dir):
+    """Sliding-window chunking (32-token windows, stride 24): purely
+    per-row sequence expand + explode — zero shuffle, runs at scan
+    bandwidth at any scale."""
+    from yatsm_spark.operators.packing import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"),
+                           chunk_tokens=32, stride=24)
+
+
+def q_pack_docs(spark, sf_dir):
+    """Next-fit sequence packing into 128-token bins within
+    (source, shard) groups, shard = KnuthHash(doc_id) mod 2. The fold is
+    applyInPandas per group; the oracle replays the identical fold as a
+    DuckDB recursive CTE."""
+    from yatsm_spark.operators.packing import pack_documents
+
+    return pack_documents(_t(spark, sf_dir, "documents"),
+                          budget_tokens=128, n_shards=2)
+
+
 def q_simhash(spark, sf_dir):
     from yatsm_spark.operators.dedup import simhash16
 
@@ -1010,6 +1045,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "sample_stratified": q_sample_stratified,
         "sample_hash": q_sample_hash,
+        "decontaminate": q_decontaminate,
+        "chunk_docs": q_chunk_docs,
+        "pack_docs": q_pack_docs,
         "cosine_topk": q_cosine_topk,
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,
@@ -1621,6 +1659,96 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::long AS doc_id, lang, source
             FROM documents
             WHERE (doc_id * 2654435761) % 4294967296 < 1073741824
+        """,
+        # 5% Knuth-hash holdout as the 'eval set' (threshold
+        # int(0.05 * 2^32) = 214748364, matching sample_hash); per-doc
+        # DISTINCT 3-grams; counts are pure integers.
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       [array_to_string(list_slice(t, i, i + 2), ' ')
+                        for i in range(1, len(t) - 1)])) AS ngram
+              FROM toks WHERE len(t) >= 3),
+            bench AS (
+              SELECT DISTINCT ngram FROM grams
+              WHERE (doc_id * 2654435761) % 4294967296 < 214748364),
+            train AS (
+              SELECT doc_id FROM documents
+              WHERE NOT ((doc_id * 2654435761) % 4294967296 < 214748364)),
+            hits AS (
+              SELECT g.doc_id, count(*)::long AS n
+              FROM grams g JOIN bench USING (ngram)
+              WHERE NOT ((g.doc_id * 2654435761) % 4294967296 < 214748364)
+              GROUP BY g.doc_id)
+            SELECT t.doc_id::long AS doc_id,
+                   coalesce(h.n, 0)::long AS n_contaminated_ngrams,
+                   coalesce(h.n, 0) > 0 AS contaminated
+            FROM train t LEFT JOIN hits h USING (doc_id)
+        """,
+        # Window starts 1, 1+24, ... <= dl (DuckDB range stop is
+        # exclusive, hence dl + 1); list_slice truncates at the list end
+        # exactly like Spark's slice.
+        "chunk_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            d AS (SELECT doc_id, t, len(t)::long AS dl
+                  FROM toks WHERE len(t) > 0),
+            c AS (SELECT doc_id, dl, t,
+                         unnest(range(1, dl + 1, 24)) AS start_token
+                  FROM d)
+            SELECT doc_id::long AS doc_id,
+                   ((start_token - 1) // 24)::int AS chunk_idx,
+                   start_token::long AS start_token,
+                   least(32, dl - start_token + 1)::long AS n_tokens,
+                   array_to_string(list_slice(t, start_token, start_token + 31),
+                                   ' ') AS chunk_text
+            FROM c
+        """,
+        # The identical next-fit fold, replayed sequentially per
+        # (source, shard) group by a recursive CTE over the doc_id-order
+        # row numbers — dl >= 1 so fill > 0 after the anchor row, making
+        # the operator's `fill > 0 and ...` guard equivalent to the
+        # CTE's overflow test.
+        "pack_docs": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, source,
+                     len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                     x -> x <> ''))::long AS dl
+              FROM documents),
+            base AS (
+              SELECT doc_id::long AS doc_id, source,
+                     (((doc_id * 2654435761) % 4294967296) % 2)::int AS shard,
+                     dl,
+                     row_number() OVER (
+                       PARTITION BY source,
+                                    ((doc_id * 2654435761) % 4294967296) % 2
+                       ORDER BY doc_id)::long AS rn
+              FROM toks WHERE dl > 0),
+            fold AS (
+              SELECT doc_id, source, shard, dl, rn,
+                     0::long AS bin_idx, 0::long AS bin_offset, dl AS fill
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.doc_id, b.source, b.shard, b.dl, b.rn,
+                     CASE WHEN f.fill + b.dl > 128
+                          THEN f.bin_idx + 1 ELSE f.bin_idx END,
+                     CASE WHEN f.fill + b.dl > 128
+                          THEN 0::long ELSE f.fill END,
+                     CASE WHEN f.fill + b.dl > 128
+                          THEN b.dl ELSE f.fill + b.dl END
+              FROM fold f
+              JOIN base b ON b.source = f.source AND b.shard = f.shard
+                         AND b.rn = f.rn + 1)
+            SELECT doc_id, source, shard, dl, bin_idx, bin_offset FROM fold
         """,
         "tx_segments": f"""
             SELECT conv_id, segment_id::int AS segment_id,

@@ -1,0 +1,165 @@
+"""Decontamination, chunking, and next-fit packing operators.
+
+Hand-computed values on tiny corpora (the semantics), plan-shape
+assertions (broadcast bench side, shuffle-free chunking), and the fold
+invariants packing promises (budget respected, oversized doc isolated,
+offsets contiguous, shards independent).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from yatsm_spark.operators.decontam import decontaminate
+from yatsm_spark.operators.packing import chunk_documents, pack_documents
+
+TRAIN = [
+    (0, "the quick brown fox jumps over the lazy dog", "s0"),
+    (1, "pack my box with five dozen liquor jugs", "s0"),
+    (2, "the quick brown cat sleeps", "s1"),
+    (3, "totally unrelated words here only", "s1"),
+]
+BENCH = [
+    (100, "we saw the quick brown fox yesterday", "eval"),
+    (101, "five dozen liquor jugs arrived", "eval"),
+]
+
+
+@pytest.fixture(scope="module")
+def train(spark):
+    return spark.createDataFrame(
+        TRAIN, "doc_id long, text string, source string")
+
+
+@pytest.fixture(scope="module")
+def bench(spark):
+    return spark.createDataFrame(
+        BENCH, "doc_id long, text string, source string")
+
+
+def test_decontaminate_hand_computed(train, bench):
+    got = {r.doc_id: r for r in decontaminate(train, bench, n=3).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    # doc 0 shares "the quick brown" + "quick brown fox" with bench 100
+    assert got[0].n_contaminated_ngrams == 2 and got[0].contaminated
+    # doc 1 shares "five dozen liquor" + "dozen liquor jugs" with bench 101
+    assert got[1].n_contaminated_ngrams == 2 and got[1].contaminated
+    # doc 2 shares only "the quick brown"
+    assert got[2].n_contaminated_ngrams == 1 and got[2].contaminated
+    assert got[3].n_contaminated_ngrams == 0 and not got[3].contaminated
+
+
+def test_decontaminate_counts_distinct_ngrams_once(spark, bench):
+    rep = spark.createDataFrame(
+        [(7, "the quick brown " * 5 + "fox", "s0")],
+        "doc_id long, text string, source string")
+    # "the quick brown" recurs 5x in doc 7 but counts once
+    row = decontaminate(rep, bench, n=3).collect()[0]
+    grams_in_bench = {"the quick brown", "quick brown the",
+                      "brown the quick"} & {
+        "we saw the", "saw the quick", "the quick brown",
+        "quick brown fox", "brown fox yesterday"}
+    assert row.n_contaminated_ngrams >= len(grams_in_bench)
+    one = spark.createDataFrame(
+        [(8, "the quick brown the quick brown", "s0")],
+        "doc_id long, text string, source string")
+    got = {r.doc_id: r.n_contaminated_ngrams
+           for r in decontaminate(one, bench, n=3).collect()}
+    assert got[8] == 1  # only "the quick brown" matches, counted once
+
+
+def test_decontaminate_short_docs_clean(spark, bench):
+    shorty = spark.createDataFrame(
+        [(9, "the quick", "s0")], "doc_id long, text string, source string")
+    row = decontaminate(shorty, bench, n=3).collect()[0]
+    assert row.n_contaminated_ngrams == 0 and not row.contaminated
+    with pytest.raises(ValueError):
+        decontaminate(shorty, bench, n=0)
+
+
+def test_decontaminate_bench_side_broadcast(train, bench):
+    plan = decontaminate(train, bench, n=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g", "s0"), (1, "x", "s0"), (2, "", "s0")],
+        "doc_id long, text string, source string")
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.start_token, r.n_tokens, r.chunk_text)
+         for r in chunk_documents(docs, chunk_tokens=3, stride=2).collect()))
+    assert rows == [
+        (0, 0, 1, 3, "a b c"),
+        (0, 1, 3, 3, "c d e"),
+        (0, 2, 5, 3, "e f g"),
+        (0, 3, 7, 1, "g"),       # tail window
+        (1, 0, 1, 1, "x"),
+    ]                            # empty doc 2 emits nothing
+    # no-overlap default: stride = chunk
+    nro = sorted((r.chunk_idx, r.chunk_text)
+                 for r in chunk_documents(docs, chunk_tokens=4).collect()
+                 if r.doc_id == 0)
+    assert nro == [(0, "a b c d"), (1, "e f g")]
+    with pytest.raises(ValueError):
+        chunk_documents(docs, 0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, 3, stride=4)
+
+
+def test_chunk_plan_is_shuffle_free(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c", "s0")], "doc_id long, text string, source string")
+    plan = chunk_documents(docs, 8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_pack_next_fit_hand_computed(spark):
+    # dl: 0->4, 1->3, 2->6(own bin: 4+3=7<=8, +6 overflows), 3->8, 4->2
+    docs = spark.createDataFrame(
+        [(0, "a a a a", "s0"), (1, "b b b", "s0"), (2, "c c c c c c", "s0"),
+         (3, "d d d d d d d d", "s0"), (4, "e e", "s0")],
+        "doc_id long, text string, source string")
+    got = {r.doc_id: (r.bin_idx, r.bin_offset, r.dl)
+           for r in pack_documents(docs, budget_tokens=8).collect()}
+    assert got == {0: (0, 0, 4), 1: (0, 4, 3), 2: (1, 0, 6),
+                   3: (2, 0, 8), 4: (3, 0, 2)}
+
+
+def test_pack_oversized_doc_isolated(spark):
+    docs = spark.createDataFrame(
+        [(0, "w " * 20, "s0"), (1, "v v", "s0")],
+        "doc_id long, text string, source string")
+    got = {r.doc_id: (r.bin_idx, r.bin_offset)
+           for r in pack_documents(docs, budget_tokens=8).collect()}
+    assert got[0] == (0, 0) and got[1] == (1, 0)
+
+
+def test_pack_invariants_and_shards(spark):
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(
+            F.lit("t"), (F.col("id") % 13 + 1).cast("int"))).alias("text"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"))
+    out = pack_documents(docs, budget_tokens=30, n_shards=4).collect()
+    assert len(out) == 200
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault((r.source, r.shard, r.bin_idx), []).append(r)
+    for rows in by_bin.values():
+        rows.sort(key=lambda r: r.doc_id)
+        fill = 0
+        for r in rows:
+            assert r.bin_offset == fill
+            fill += r.dl
+        # a bin only exceeds budget when it holds a single oversized doc
+        assert fill <= 30 or len(rows) == 1
+    # determinism
+    again = pack_documents(docs, budget_tokens=30, n_shards=4).collect()
+    assert sorted((r.doc_id, r.bin_idx, r.bin_offset) for r in out) == \
+        sorted((r.doc_id, r.bin_idx, r.bin_offset) for r in again)
+    with pytest.raises(ValueError):
+        pack_documents(docs, 0)
+    with pytest.raises(ValueError):
+        pack_documents(docs, 8, n_shards=0)

@@ -119,6 +119,13 @@ def test_sample_hash_membership_and_no_shuffle(docs):
         sample_hash(docs, rate=1.5)
 
 
+def test_sample_hash_complement_is_exact_partition(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    keep = {r.doc_id for r in sample_hash(df, 0.3).collect()}
+    hold = {r.doc_id for r in sample_hash(df, 0.3, complement=True).collect()}
+    assert keep | hold == set(range(1000)) and not (keep & hold)
+
+
 def test_sample_hash_composes_by_min_rate(spark):
     df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
     a = sample_hash(sample_hash(df, 0.5), 0.2).collect()

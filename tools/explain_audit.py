@@ -188,6 +188,30 @@ def main():
         ("zero shuffle (filter runs in the scan stage)", "Exchange", False),
         ("unreferenced text column pruned from the read", "text", False),
     ])
+    audit("decontaminate (broadcast bench n-grams vs train explode)",
+          qs["decontaminate"](spark, SF_DIR), [
+        ("eval-sized n-gram set broadcast, never shuffled on the corpus",
+         "BroadcastHashJoin", True),
+        ("no cartesian product", "CartesianProduct", False),
+        ("pure Catalyst, no Python", "EvalPython", False),
+    ])
+    audit("chunk_docs (in-row window expand + explode)",
+          qs["chunk_docs"](spark, SF_DIR), [
+        ("zero shuffle — chunking runs at scan bandwidth", "Exchange", False),
+        ("pure Catalyst, no Python", "EvalPython", False),
+        ("only doc_id+text read", "ReadSchema: struct<doc_id:bigint,text:string>",
+         True),
+    ])
+    audit("pack_docs (applyInPandas fold per (source, shard))",
+          qs["pack_docs"](spark, SF_DIR), [
+        ("one shuffle on the bounded (source, shard) fold domain",
+         "+- Exchange", 1),
+        ("the fold itself is Arrow-batched FlatMapGroupsInPandas",
+         "FlatMapGroupsIn", True),
+        ("text pruned before the shuffle — only (doc_id, source, shard, dl) "
+         "ride the exchange", "ReadSchema: struct<doc_id:bigint,text:string,"
+         "source:string>", True),
+    ])
     audit("sample_stratified (one window shuffle on the stratum key)",
           qs["sample_stratified"](spark, SF_DIR), [
         ("exactly one exchange", "+- Exchange", 1),

@@ -39,15 +39,21 @@ def _hash_col(id_col: str):
     return F.pmod(F.col(id_col) * F.lit(_KNUTH), F.lit(_MOD))
 
 
-def sample_hash(df: DataFrame, rate: float, id_col: str = "doc_id") -> DataFrame:
+def sample_hash(df: DataFrame, rate: float, id_col: str = "doc_id",
+                complement: bool = False) -> DataFrame:
     """Keep rows with h(id) mod 2^32 < rate * 2^32. Deterministic,
     shuffle-free, and composable: sample_hash(r1) ∘ sample_hash(r2) on
     the same id column keeps min(r1, r2) (the smaller threshold wins),
-    because membership is a threshold on the SAME hash value."""
+    because membership is a threshold on the SAME hash value.
+
+    ``complement=True`` keeps the OTHER side of the same threshold, so
+    (sample, complement) is an exact partition of the input — the
+    deterministic holdout split (e.g. eval set vs train set)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
     threshold = int(rate * _MOD)
-    return df.filter(_hash_col(id_col) < F.lit(threshold))
+    cond = _hash_col(id_col) < F.lit(threshold)
+    return df.filter(~cond if complement else cond)
 
 
 def sample_stratified(df: DataFrame, n_per_stratum: int,
