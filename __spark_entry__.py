@@ -763,6 +763,29 @@ def q_pack_docs(spark, sf_dir):
                           budget_tokens=128, n_shards=2)
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog (p=12) distinct-text estimate per source. The
+    register table is MAX-merged (order-free, exact at any
+    parallelism); the estimator's integer core sums 2^(61-register) in
+    decimal(38,0) / HUGEINT so both engines feed the identical exact
+    numerator into one fixed double expression; ln() is 1e-6-snapped."""
+    from yatsm_spark.operators.sketches import hll_distinct
+
+    return hll_distinct(_t(spark, sf_dir, "documents"),
+                        ["source"], "text").orderBy("source")
+
+
+def q_hdr_quantiles(spark, sf_dir):
+    """p50/p90/p99 of n_chars per source via the HDR log-histogram
+    (4 sub-buckets per octave, pure integer bit math — no log() at
+    bucket boundaries). Ranks use rational arithmetic; the corpus
+    shuffle carries only (source, bucket) partial counts."""
+    from yatsm_spark.operators.sketches import hdr_quantiles
+
+    return hdr_quantiles(_t(spark, sf_dir, "documents"),
+                         ["source"], "n_chars")
+
+
 def q_simhash(spark, sf_dir):
     from yatsm_spark.operators.dedup import simhash16
 
@@ -1048,6 +1071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "chunk_docs": q_chunk_docs,
         "pack_docs": q_pack_docs,
+        "hll_distinct": q_hll_distinct,
+        "hdr_quantiles": q_hdr_quantiles,
         "cosine_topk": q_cosine_topk,
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,
@@ -1090,6 +1115,39 @@ def _tx_predict_oracle() -> str:
         SELECT conv_id, segment_id::int AS segment_id,
                round({expr}, 6) AS predicted
         FROM read_parquet('{GOLDEN_SEG}')
+    """
+
+
+def _hll_oracle() -> str:
+    """HLL oracle generated from the SAME constants the Spark operator
+    uses (m, K, linear-counting threshold) — repr() of the K double is
+    parsed back to the identical IEEE value by DuckDB."""
+    from yatsm_spark.operators.sketches import HLL_M, _HLL_K, _HLL_SMALL
+
+    return f"""
+        WITH h AS (SELECT source, md5(text) AS h FROM documents
+                   WHERE text IS NOT NULL),
+        r AS (SELECT source,
+                     ('0x' || substr(h, 1, 3))::BIGINT AS bucket,
+                     ('0x' || substr(h, 4, 15))::BIGINT AS w
+              FROM h),
+        reg AS (SELECT source, bucket,
+                       max(CASE WHEN w = 0 THEN 61
+                                ELSE 61 - length(bin(w)) END) AS register
+                FROM r GROUP BY source, bucket),
+        g AS (SELECT source, count(*)::long AS n_buckets_used,
+                     ({HLL_M} - count(*))::long AS v_zero,
+                     (sum(1::HUGEINT << (61 - register))
+                      + ({HLL_M} - count(*))::HUGEINT
+                        * (1::HUGEINT << 61))::DOUBLE AS numer
+              FROM reg GROUP BY source)
+        SELECT source, n_buckets_used, v_zero,
+               floor((CASE WHEN {_HLL_K!r} / numer <= {_HLL_SMALL!r}
+                                AND v_zero > 0
+                      THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v_zero)
+                      ELSE {_HLL_K!r} / numer END) * 1e6 + 0.5) / 1e6
+                   AS est_distinct
+        FROM g ORDER BY source
     """
 
 
@@ -1712,6 +1770,48 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(t, start_token, start_token + 31),
                                    ' ') AS chunk_text
             FROM c
+        """,
+        # HLL twin: identical md5 nibble split, MAX-merged registers,
+        # exact HUGEINT numerator (Spark uses decimal(38,0)), the same
+        # precomputed K literal, 1e-6 snap on the ln() branch.
+        "hll_distinct": _hll_oracle(),
+        # HDR twin: same integer bucket/bit math, window cumsum,
+        # rational-rank pick, bucket lower-bound representative.
+        "hdr_quantiles": """
+            WITH b AS (
+              SELECT source,
+                     (CASE WHEN x <= 3 THEN x
+                           ELSE (length(bin(x)) - 2) * 4
+                                + ((x >> (length(bin(x)) - 3)) & 3)
+                      END)::int AS bucket
+              FROM (SELECT source, n_chars::BIGINT AS x FROM documents
+                    WHERE n_chars IS NOT NULL AND n_chars >= 0)),
+            hist AS (SELECT source, bucket, count(*)::long AS cnt
+                     FROM b GROUP BY source, bucket),
+            cum AS (SELECT source, bucket,
+                           sum(cnt) OVER (PARTITION BY source
+                                          ORDER BY bucket) AS cum,
+                           sum(cnt) OVER (PARTITION BY source) AS n
+                    FROM hist),
+            q AS (SELECT * FROM (VALUES (1, 2, 'p50'), (9, 10, 'p90'),
+                                        (99, 100, 'p99'))
+                  AS t(qn, qd, q_label)),
+            sel AS (
+              SELECT c.source, q.q_label, c.n,
+                     (q.qn * c.n + q.qd - 1) // q.qd AS target_rank,
+                     c.bucket
+              FROM cum c CROSS JOIN q
+              WHERE c.cum >= (q.qn * c.n + q.qd - 1) // q.qd),
+            picked AS (
+              SELECT source, q_label, min(n)::long AS n,
+                     min(target_rank)::long AS target_rank,
+                     min(bucket)::int AS bucket
+              FROM sel GROUP BY source, q_label)
+            SELECT source, q_label, n, target_rank, bucket,
+                   (CASE WHEN bucket <= 3 THEN bucket::BIGINT
+                         ELSE (4 + bucket % 4)::BIGINT << (bucket // 4 - 1)
+                    END) AS est_value
+            FROM picked
         """,
         # The identical next-fit fold, replayed sequentially per
         # (source, shard) group by a recursive CTE over the doc_id-order

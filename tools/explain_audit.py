@@ -188,6 +188,20 @@ def main():
         ("zero shuffle (filter runs in the scan stage)", "Exchange", False),
         ("unreferenced text column pruned from the read", "text", False),
     ])
+    audit("hll_distinct (MAX-merged registers, m=4096)",
+          qs["hll_distinct"](spark, SF_DIR), [
+        ("register max partial-aggregates map-side (a map task ships at "
+         "most m rows per group, not its row count)", "partial_max", True),
+        ("pure Catalyst, no Python", "EvalPython", False),
+        ("no cartesian product", "CartesianProduct", False),
+    ])
+    audit("hdr_quantiles (integer log-histogram + rational ranks)",
+          qs["hdr_quantiles"](spark, SF_DIR), [
+        ("corpus shuffle carries partial (group, bucket) counts",
+         "partial_count", True),
+        ("quantile table is broadcast", "BroadcastNestedLoopJoin", True),
+        ("pure Catalyst, no Python", "EvalPython", False),
+    ])
     audit("decontaminate (broadcast bench n-grams vs train explode)",
           qs["decontaminate"](spark, SF_DIR), [
         ("eval-sized n-gram set broadcast, never shuffled on the corpus",

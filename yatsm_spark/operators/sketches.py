@@ -1,0 +1,157 @@
+"""Mergeable sketches for corpus-scale statistics: HyperLogLog distinct
+counting and an HDR-style log-histogram for quantiles.
+
+At 100 TB you cannot afford COUNT(DISTINCT) shuffles of raw values or
+full sorts for percentiles; the standard answer is a sketch whose merge
+is a commutative, associative reduction the engine can run map-side.
+Both sketches here are chosen so that the *whole* sketch state is
+reproducible bit-for-bit in any engine and at any parallelism:
+
+- ``hll_registers`` / ``hll_distinct`` — HyperLogLog (Flajolet et al.
+  2007) with p=12 (m=4096 registers) over md5. A register is
+  max(rho(w)) — MAX is order-independent, so the register table is
+  EXACT regardless of partitioning, and the estimator is evaluated
+  from exact integer inputs: sum(2^-register) is accumulated as the
+  integer numerator sum(2^(61-register)) in decimal(38,0)/HUGEINT
+  (exact, associative), cast to double ONCE, and fed through a fixed
+  expression tree. The only transcendental (ln in the linear-counting
+  branch) is snapped to the 1e-6 grid in both engines.
+- ``hdr_histogram`` / ``hdr_quantiles`` — a base-2 histogram with 4
+  sub-buckets per octave (HdrHistogram / DDSketch shape, gamma ~=
+  2^(1/4), relative error <= ~9%): bucket(x) = x for x <= 3, else
+  (bitlen(x)-2)*4 + ((x >> (bitlen(x)-3)) & 3) — PURE integer bit
+  math, no log() near bucket boundaries to disagree by 1 ulp. Counts
+  merge by SUM; quantile ranks use rational arithmetic
+  (ceil(qn*n/qd) via integer division), so bucket selection is
+  engine-independent by construction.
+
+Scale shape (audited in BENCH/PLANS.md): the raw->sketch aggregation is
+the only corpus-sized shuffle and it partial-aggregates map-side (a map
+task emits at most m rows per group, not its row count); everything
+after operates on sketch-sized data (<= 4096 rows per group for HLL,
+<= ~250 buckets per group for HDR).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: HLL precision: p=12 -> m=4096 registers; md5 nibbles 1-3 pick the
+#: register, nibbles 4-18 give the 60-bit rho stream.
+HLL_P = 12
+HLL_M = 1 << HLL_P
+#: alpha_m * m^2 * 2^61 precomputed in Python so BOTH engines consume
+#: the identical double literal (no cross-engine division of constants).
+_ALPHA_M = 0.7213 / (1.0 + 1.079 / HLL_M)
+_HLL_K = _ALPHA_M * float(HLL_M) * float(HLL_M) * 2.0 ** 61
+#: linear-counting switchover (standard 2.5 * m)
+_HLL_SMALL = 2.5 * HLL_M
+
+#: default quantiles as exact rationals (numerator, denominator, label)
+DEFAULT_QUANTILES = [(1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")]
+
+
+def _snap6(col):
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def hll_registers(df: DataFrame, group_cols: list[str],
+                  value_col: str) -> DataFrame:
+    """Exact HLL register table: (group..., bucket, register). MAX-merge
+    makes it identical at any parallelism; register in [1, 61]."""
+    h = F.md5(F.col(value_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
+    w = F.conv(F.substring(h, 4, 15), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(61)) \
+           .otherwise(F.lit(61) - F.length(F.bin(w))).cast("int")
+    return (df.filter(F.col(value_col).isNotNull())
+              .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+              .groupBy(*group_cols, "bucket")
+              .agg(F.max("rho").alias("register")))
+
+
+def hll_distinct(df: DataFrame, group_cols: list[str],
+                 value_col: str) -> DataFrame:
+    """Per-group approximate distinct count of ``value_col``:
+    (group..., n_buckets_used, v_zero, est_distinct). The estimator's
+    integer core (sum 2^(61-register) in decimal(38,0)) is exact and
+    order-independent; est_distinct is snapped to the 1e-6 grid."""
+    reg = hll_registers(df, group_cols, value_col)
+    numer = (reg.groupBy(*group_cols)
+                .agg(F.count("*").alias("n_buckets_used"),
+                     F.sum(F.expr(
+                         "cast(shiftleft(cast(1 as bigint), 61 - register)"
+                         " as decimal(38,0))")).alias("_s"))
+                .withColumn("v_zero",
+                            (F.lit(HLL_M) - F.col("n_buckets_used"))
+                            .cast("long"))
+                .withColumn("_numer", F.expr(
+                    "cast(_s + cast(v_zero as decimal(38,0))"
+                    " * cast(2305843009213693952 as decimal(38,0))"
+                    " as double)")))
+    e_raw = F.lit(_HLL_K) / F.col("_numer")
+    e = F.when((e_raw <= F.lit(_HLL_SMALL)) & (F.col("v_zero") > 0),
+               F.lit(float(HLL_M)) *
+               F.log(F.lit(float(HLL_M)) / F.col("v_zero"))) \
+         .otherwise(e_raw)
+    return numer.select(*group_cols, "n_buckets_used", "v_zero",
+                        _snap6(e).alias("est_distinct"))
+
+
+#: bucket(x) over a column literally named _x — identity below 4, then
+#: 4 sub-buckets per octave from the top 3 bits; pure integer bit ops.
+_HDR_BUCKET_SQL = (
+    "cast(CASE WHEN _x <= 3 THEN _x ELSE"
+    " (length(bin(_x)) - 2) * 4"
+    " + (shiftright(_x, cast(length(bin(_x)) as int) - 3) & 3)"
+    " END as int)")
+
+#: lower bound of a bucket (column literally named bucket)
+_HDR_VALUE_SQL = (
+    "cast(CASE WHEN bucket <= 3 THEN bucket ELSE"
+    " shiftleft(cast(4 + bucket % 4 as bigint),"
+    "           cast(bucket div 4 as int) - 1)"
+    " END as bigint)")
+
+
+def hdr_histogram(df: DataFrame, group_cols: list[str],
+                  value_col: str) -> DataFrame:
+    """(group..., bucket, cnt): sum-mergeable log2/4-sub-bucket counts
+    of a non-negative integer column. One corpus shuffle with map-side
+    partial counts; output is sketch-sized."""
+    x = F.col(value_col).cast("long")
+    return (df.filter(x.isNotNull() & (x >= 0))
+              .select(*group_cols, x.alias("_x"))
+              .select(*group_cols, F.expr(_HDR_BUCKET_SQL).alias("bucket"))
+              .groupBy(*group_cols, "bucket")
+              .agg(F.count("*").alias("cnt")))
+
+
+def hdr_quantiles(df: DataFrame, group_cols: list[str], value_col: str,
+                  quantiles=None) -> DataFrame:
+    """Per-group quantile estimates from the HDR histogram:
+    (group..., q_label, n, target_rank, bucket, est_value). The rank is
+    ceil(qn * n / qd) in integer arithmetic; the answer is the smallest
+    bucket whose cumulative count reaches it; est_value is the bucket's
+    lower bound (relative error bounded by the octave sub-division)."""
+    quantiles = DEFAULT_QUANTILES if quantiles is None else quantiles
+    hist = hdr_histogram(df, group_cols, value_col)
+    wc = Window.partitionBy(*group_cols).orderBy("bucket") \
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = Window.partitionBy(*group_cols)
+    cum = (hist.withColumn("cum", F.sum("cnt").over(wc))
+               .withColumn("n", F.sum("cnt").over(wn)))
+    qdf = F.broadcast(hist.sparkSession.createDataFrame(
+        quantiles, "qn long, qd long, q_label string"))
+    picked = (cum.crossJoin(qdf)
+                 .withColumn("target_rank",
+                             F.expr("(qn * n + qd - 1) div qd"))
+                 .filter(F.col("cum") >= F.col("target_rank"))
+                 .groupBy(*group_cols, "q_label")
+                 .agg(F.first("n").alias("n"),
+                      F.first("target_rank").alias("target_rank"),
+                      F.min("bucket").alias("bucket")))
+    return picked.select(*group_cols, "q_label", "n", "target_rank",
+                         "bucket",
+                         F.expr(_HDR_VALUE_SQL).alias("est_value"))
