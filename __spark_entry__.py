@@ -763,6 +763,16 @@ def q_pack_docs(spark, sf_dir):
                           budget_tokens=128, n_shards=2)
 
 
+def q_curate_corpus(spark, sf_dir):
+    """The composed curation pipeline as one decision table: holdout
+    split -> quality -> exact dedup -> near-dup components ->
+    decontamination, flags cumulative per doc. Oracle replays the
+    identical staged pipeline (recursive-CTE components included)."""
+    from yatsm_spark.operators.curate import curate_corpus
+
+    return curate_corpus(_t(spark, sf_dir, "documents"), bench_rate=0.05)
+
+
 def q_hll_distinct(spark, sf_dir):
     """HyperLogLog (p=12) distinct-text estimate per source. The
     register table is MAX-merged (order-free, exact at any
@@ -1071,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "chunk_docs": q_chunk_docs,
         "pack_docs": q_pack_docs,
+        "curate_corpus": q_curate_corpus,
         "hll_distinct": q_hll_distinct,
         "hdr_quantiles": q_hdr_quantiles,
         "cosine_topk": q_cosine_topk,
@@ -1115,6 +1126,94 @@ def _tx_predict_oracle() -> str:
         SELECT conv_id, segment_id::int AS segment_id,
                round({expr}, 6) AS predicted
         FROM read_parquet('{GOLDEN_SEG}')
+    """
+
+
+def _curate_oracle() -> str:
+    """Staged replay of curate_corpus at bench_rate=0.05, n=3,
+    threshold=0.2: each CTE is the same stage restricted to the prior
+    stage's survivors. Hash threshold = int(0.05 * 2^32) = 214748364."""
+    thr = 214748364
+    norm = "lower(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+    return f"""
+        WITH RECURSIVE
+        q AS (
+          SELECT doc_id,
+                 (len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) >= 5
+                  AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::double
+                      / greatest(len(string_split_regex(trim(text),
+                                     '[ \\t\\n\\x0B\\f\\r]+')), 1) >= 2.0
+                  AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::double
+                      / greatest(len(string_split_regex(trim(text),
+                                     '[ \\t\\n\\x0B\\f\\r]+')), 1) <= 12.0
+                  AND length(regexp_replace(text,
+                        '[a-zA-Z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'))::double
+                      / greatest(length(text), 1) < 0.2) AS quality_keep
+          FROM documents),
+        train AS (SELECT doc_id FROM documents
+                  WHERE NOT ((doc_id * 2654435761) % 4294967296 < {thr})),
+        s1 AS (SELECT d.doc_id, d.text
+               FROM documents d JOIN train USING (doc_id)
+                    JOIN q USING (doc_id)
+               WHERE q.quality_keep),
+        fp AS (SELECT doc_id, md5({norm}) AS fp FROM s1),
+        keep2 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+        s2 AS (SELECT s1.* FROM s1 JOIN keep2 USING (doc_id)),
+        words AS (SELECT doc_id, string_split({norm}, ' ') AS ws FROM s2),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+               FROM words,
+                    unnest(generate_series(1, greatest(len(ws)-2, 1))) AS t(i)),
+        freq AS (SELECT shingle FROM sh GROUP BY shingle
+                 HAVING count(*) <= 1000),
+        shf AS (SELECT sh.* FROM sh JOIN freq USING (shingle)),
+        sizes AS (SELECT doc_id, count(*)::long AS sz FROM shf
+                  GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         count(*)::long AS inter
+                  FROM shf a JOIN shf b
+                       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (SELECT i.doc_a, i.doc_b
+                  FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+                       JOIN sizes sb ON i.doc_b = sb.doc_id
+                  WHERE round(i.inter::double / (sa.sz + sb.sz - i.inter), 6)
+                        >= 0.2),
+        edges AS (SELECT doc_a AS ea, doc_b AS eb FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (SELECT doc_id AS node, doc_id AS r FROM s2
+                  UNION
+                  SELECT reach.node, e.eb FROM reach
+                  JOIN edges e ON e.ea = reach.r),
+        keep3 AS (SELECT node AS doc_id FROM reach GROUP BY node
+                  HAVING min(r) = node),
+        toks AS (SELECT doc_id,
+                        list_filter(regexp_split_to_array(lower(text),
+                                    '[^a-z0-9]+'), x -> x <> '') AS t
+                 FROM documents),
+        grams AS (SELECT doc_id,
+                         unnest(list_distinct(
+                           [array_to_string(list_slice(t, i, i + 2), ' ')
+                            for i in range(1, len(t) - 1)])) AS ngram
+                  FROM toks WHERE len(t) >= 3),
+        bgrams AS (SELECT DISTINCT ngram FROM grams
+                   WHERE (doc_id * 2654435761) % 4294967296 < {thr}),
+        hits AS (SELECT g.doc_id, count(*)::long AS n
+                 FROM grams g JOIN bgrams USING (ngram)
+                      JOIN keep3 k ON k.doc_id = g.doc_id
+                 GROUP BY g.doc_id)
+        SELECT d.doc_id::long AS doc_id,
+               (t.doc_id IS NOT NULL) AS in_train,
+               (t.doc_id IS NOT NULL AND q.quality_keep) AS quality_keep,
+               (k2.doc_id IS NOT NULL) AS exact_kept,
+               (k3.doc_id IS NOT NULL) AS neardup_kept,
+               coalesce(h.n, 0)::long AS n_contaminated_ngrams,
+               (k3.doc_id IS NOT NULL AND coalesce(h.n, 0) = 0) AS kept
+        FROM documents d
+        LEFT JOIN train t USING (doc_id)
+        JOIN q USING (doc_id)
+        LEFT JOIN keep2 k2 ON k2.doc_id = d.doc_id
+        LEFT JOIN keep3 k3 ON k3.doc_id = d.doc_id
+        LEFT JOIN hits h ON h.doc_id = d.doc_id
     """
 
 
@@ -1771,6 +1870,9 @@ def oracle_sql() -> dict[str, str]:
                                    ' ') AS chunk_text
             FROM c
         """,
+        # Staged pipeline replay — each CTE restricted to the previous
+        # stage's survivors, components via recursive CTE.
+        "curate_corpus": _curate_oracle(),
         # HLL twin: identical md5 nibble split, MAX-merged registers,
         # exact HUGEINT numerator (Spark uses decimal(38,0)), the same
         # precomputed K literal, 1e-6 snap on the ln() branch.

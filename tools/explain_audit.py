@@ -188,6 +188,14 @@ def main():
         ("zero shuffle (filter runs in the scan stage)", "Exchange", False),
         ("unreferenced text column pruned from the read", "text", False),
     ])
+    audit("curate_corpus (staged pipeline decision table)",
+          qs["curate_corpus"](spark, SF_DIR), [
+        ("no cartesian product anywhere in the composed plan",
+         "CartesianProduct", False),
+        ("pure Catalyst, no Python", "EvalPython", False),
+        ("stage-restriction joins broadcast the id sets",
+         "BroadcastHashJoin", True),
+    ])
     audit("hll_distinct (MAX-merged registers, m=4096)",
           qs["hll_distinct"](spark, SF_DIR), [
         ("register max partial-aggregates map-side (a map task ships at "

@@ -1,0 +1,94 @@
+"""End-to-end corpus curation: the composed pipeline a training-data
+team actually runs, as one auditable decision table.
+
+Stage order follows the standard web-corpus recipe (C4/Gopher-style):
+
+1. holdout split   — reserve a deterministic eval slice
+                     (sampling.sample_hash; the bench side of
+                     decontamination), train = exact complement;
+2. quality filter  — textstats.quality_scores keep rules;
+3. exact dedup     — md5 fingerprint of the normalized text, keeper =
+                     min(doc_id) AMONG STAGE-2 SURVIVORS (filtering
+                     first means a dropped dup can promote the next
+                     lowest id — sequential semantics, not parallel);
+4. near-dup dedup  — n-gram Jaccard pairs -> connected components ->
+                     component-min canonical, computed over stage-3
+                     survivors only (the pair graph shrinks as earlier
+                     stages drop docs);
+5. decontamination — word n-gram overlap vs the broadcast holdout set.
+
+The output is a per-doc DECISION TABLE over the ENTIRE corpus — every
+doc carries its deepest-surviving stage flags — because at audit time
+"why was doc X dropped" matters as much as the kept set; the kept
+corpus itself is `.filter("kept")`.
+
+Scale shape: pure composition of already-audited operators (each stage
+documents its own shuffle story in its module); the stage restriction
+joins are id-only (doc_id + a boolean), so each narrowing join moves
+key-sized rows, never text. Exactness: every stage is integer/string
+relational algebra — the DuckDB oracle replays the identical staged
+pipeline, recursive-CTE components included.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from yatsm_spark.operators.decontam import decontaminate
+from yatsm_spark.operators.dedup import (
+    _NORM,
+    dedup_groups,
+    ngram_jaccard_pairs,
+)
+from yatsm_spark.operators.sampling import sample_hash
+from yatsm_spark.operators.textstats import quality_scores
+
+
+def curate_corpus(docs: DataFrame, bench_rate: float = 0.05,
+                  ngram_n: int = 3, jaccard_threshold: float = 0.2,
+                  text_col: str = "text") -> DataFrame:
+    """Per-doc curation decisions:
+    (doc_id, in_train, quality_keep, exact_kept, neardup_kept,
+    n_contaminated_ngrams, kept). Stage flags are cumulative — a flag is
+    true only if the doc survived every earlier stage too — so `kept`
+    is simply the last flag AND a zero contamination count.
+    """
+    ids = docs.select("doc_id")
+    bench = sample_hash(docs, bench_rate)
+    train = sample_hash(docs, bench_rate, complement=True)
+    q = quality_scores(docs, text_col).select("doc_id", "quality_keep")
+
+    s1 = train.join(q.filter("quality_keep").select("doc_id"), "doc_id")
+    keep2 = (s1.select("doc_id", F.md5(_NORM(F.col(text_col))).alias("fp"))
+               .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+               .select("doc_id"))
+    s2 = s1.join(keep2, "doc_id")
+    keep3 = (dedup_groups(s2, ngram_jaccard_pairs(
+                 s2, threshold=jaccard_threshold, text_col=text_col))
+             .filter("is_canonical").select("doc_id"))
+    s3 = s2.join(keep3, "doc_id")
+    dec = decontaminate(s3, bench, n=ngram_n, text_col=text_col) \
+        .select("doc_id", "n_contaminated_ngrams")
+
+    def flag(id_set: DataFrame, name: str) -> DataFrame:
+        return id_set.select("doc_id").withColumn(name, F.lit(True))
+
+    out = (ids
+           .join(flag(train, "in_train"), "doc_id", "left")
+           .join(q, "doc_id", "left")
+           .join(flag(keep2, "exact_kept"), "doc_id", "left")
+           .join(flag(keep3, "neardup_kept"), "doc_id", "left")
+           .join(dec, "doc_id", "left"))
+    f = lambda c: F.coalesce(F.col(c), F.lit(False))
+    return out.select(
+        "doc_id",
+        f("in_train").alias("in_train"),
+        (f("in_train") & f("quality_keep")).alias("quality_keep"),
+        f("exact_kept").alias("exact_kept"),
+        f("neardup_kept").alias("neardup_kept"),
+        F.coalesce("n_contaminated_ngrams", F.lit(0)).cast("long")
+         .alias("n_contaminated_ngrams"),
+        (f("neardup_kept")
+         & (F.coalesce("n_contaminated_ngrams", F.lit(1)) == 0))
+        .alias("kept"))
