@@ -174,7 +174,8 @@ def main():
     import __spark_entry__ as e
 
     for name in ("tpch_q1", "events_rollup_1m", "order_lineitem_interval",
-                 "minhash_pairs", "cosine_topk", "simhash", "quality"):
+                 "minhash_pairs", "cosine_topk", "simhash", "quality",
+                 "bm25_topk", "hll_distinct", "curate_corpus"):
         fn = e.queries()[name]
         timed(name, lambda fn=fn: sink(fn(spark, SF_DIR)))
 

@@ -348,3 +348,39 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     missing = want.exceptAll(got).count()
     assert missing <= 12
     assert got.count() >= want.count() - 12 and want.count() > 20
+
+
+def test_stream_hll_equals_batch(spark, tmp_path):
+    """The stream-maintained register table, fed through the stateless
+    estimator, equals batch hll_distinct for every finalized window."""
+    from pyspark.sql import functions as F
+
+    from yatsm_spark.operators.sketches import hll_distinct, hll_estimate
+    from yatsm_spark.streaming.stream_rollup import stream_hll_registers
+
+    tx = generate_transcripts(spark, 10, seed=5, max_turns=400)
+    src = str(tmp_path / "hll_src")
+    tx.write.parquet(src)
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    q = (stream_hll_registers(stream, [], "text", window="1 hour",
+                              watermark="0 seconds")
+         .writeStream.format("memory").queryName("s_hll")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    est_stream = hll_estimate(spark.sql("SELECT * FROM s_hll"),
+                              ["window_start"])
+    batch = spark.read.parquet(src).select(
+        F.window("ts", "1 hour").start.alias("window_start"), "text")
+    est_batch = hll_distinct(batch, ["window_start"], "text")
+
+    emitted = est_stream.collect()
+    assert len(emitted) > 0
+    want = {r.window_start: (r.n_buckets_used, r.v_zero, r.est_distinct)
+            for r in est_batch.collect()}
+    for r in emitted:  # every emitted window matches batch EXACTLY
+        assert (r.n_buckets_used, r.v_zero, r.est_distinct) \
+            == want[r.window_start], r.window_start
+    # append mode may withhold only the final open window
+    assert len(want) - len(emitted) <= 1

@@ -56,28 +56,33 @@ def _snap6(col):
     return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
 
-def hll_registers(df: DataFrame, group_cols: list[str],
-                  value_col: str) -> DataFrame:
-    """Exact HLL register table: (group..., bucket, register). MAX-merge
-    makes it identical at any parallelism; register in [1, 61]."""
+def hll_parts(value_col: str):
+    """(bucket, rho) column pair for one value — the per-row sketch
+    update, shared by the batch and streaming register maintainers."""
     h = F.md5(F.col(value_col).cast("string"))
     bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
     w = F.conv(F.substring(h, 4, 15), 16, 10).cast("long")
     rho = F.when(w == 0, F.lit(61)) \
            .otherwise(F.lit(61) - F.length(F.bin(w))).cast("int")
+    return bucket, rho
+
+
+def hll_registers(df: DataFrame, group_cols: list[str],
+                  value_col: str) -> DataFrame:
+    """Exact HLL register table: (group..., bucket, register). MAX-merge
+    makes it identical at any parallelism; register in [1, 61]."""
+    bucket, rho = hll_parts(value_col)
     return (df.filter(F.col(value_col).isNotNull())
               .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
               .groupBy(*group_cols, "bucket")
               .agg(F.max("rho").alias("register")))
 
 
-def hll_distinct(df: DataFrame, group_cols: list[str],
-                 value_col: str) -> DataFrame:
-    """Per-group approximate distinct count of ``value_col``:
-    (group..., n_buckets_used, v_zero, est_distinct). The estimator's
-    integer core (sum 2^(61-register) in decimal(38,0)) is exact and
+def hll_estimate(reg: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Estimator over a register table (batch- or stream-maintained):
+    (group..., n_buckets_used, v_zero, est_distinct). The integer core
+    (sum 2^(61-register) in decimal(38,0)) is exact and
     order-independent; est_distinct is snapped to the 1e-6 grid."""
-    reg = hll_registers(df, group_cols, value_col)
     numer = (reg.groupBy(*group_cols)
                 .agg(F.count("*").alias("n_buckets_used"),
                      F.sum(F.expr(
@@ -97,6 +102,14 @@ def hll_distinct(df: DataFrame, group_cols: list[str],
          .otherwise(e_raw)
     return numer.select(*group_cols, "n_buckets_used", "v_zero",
                         _snap6(e).alias("est_distinct"))
+
+
+def hll_distinct(df: DataFrame, group_cols: list[str],
+                 value_col: str) -> DataFrame:
+    """Per-group approximate distinct count of ``value_col`` — the
+    batch composition register-maintenance -> estimator."""
+    return hll_estimate(hll_registers(df, group_cols, value_col),
+                        group_cols)
 
 
 #: bucket(x) over a column literally named _x — identity below 4, then

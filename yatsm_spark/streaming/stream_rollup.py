@@ -263,3 +263,33 @@ def stream_sessionize(stream: DataFrame, key_col: str = "user_id",
                 ((F.unix_micros(F.col("last_ts").cast("timestamp"))
                   - F.unix_micros(F.col("w.start").cast("timestamp"))) / 1e6).alias("duration_s"))
     )
+
+
+def stream_hll_registers(stream: DataFrame, group_cols: list[str],
+                         value_col: str, window: str = "1 minute",
+                         ts_col: str = "ts",
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Streaming HLL register maintenance: per (window, group, bucket)
+    MAX of rho — the sketch's merge IS a supported streaming aggregate,
+    so the register table is maintained incrementally with bounded state
+    (<= m rows per group per window, whatever the stream volume).
+
+    Streaming cannot chain a second stateful aggregation, so this emits
+    the REGISTER TABLE (append mode, once the watermark closes the
+    window); the estimate is a cheap stateless batch pass over the
+    emitted registers — ``operators.sketches.hll_estimate`` — which by
+    construction equals the batch ``hll_distinct`` of the same rows
+    (pinned by tests/test_streaming.py::test_stream_hll_equals_batch).
+    """
+    from yatsm_spark.operators.sketches import hll_parts
+
+    bucket, rho = hll_parts(value_col)
+    s = (stream.filter(F.col(value_col).isNotNull())
+               .withWatermark(ts_col, watermark))
+    return (s.select(F.col(ts_col), *group_cols, bucket.alias("bucket"),
+                     rho.alias("rho"))
+             .groupBy(F.window(ts_col, window).alias("w"),
+                      *group_cols, "bucket")
+             .agg(F.max("rho").alias("register"))
+             .select(F.col("w.start").alias("window_start"),
+                     *group_cols, "bucket", "register"))
