@@ -796,6 +796,34 @@ def q_hdr_quantiles(spark, sf_dir):
                          ["source"], "n_chars")
 
 
+def q_cms_estimate(spark, sf_dir):
+    """Count-min sketch (depth=4, width=2048, md5-salted hash rows)
+    point queries: estimated turn count per (role, conv_id) for every
+    observed pair. Counters SUM-merge (bit-identical at any
+    parallelism); the estimate is the min over hash rows, one-sided
+    (never under the true count). Both engines replay the identical
+    md5 cell recipe, so every counter matches exactly."""
+    from yatsm_spark.operators.sketches import cms_estimate
+
+    tx = _tx(spark, sf_dir)
+    items = tx.select("role", "conv_id").distinct()
+    return cms_estimate(tx, ["role"], "conv_id", items) \
+        .orderBy("role", "conv_id")
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """EXACT heavy hitters (>= 600 turns per (role, conv_id)),
+    CMS-accelerated: the broadcast sketch drops light values BEFORE the
+    exact count shuffle; the CMS's one-sided error means no true heavy
+    is lost, so the result equals plain GROUP BY ... HAVING — which is
+    the oracle. At 100 TB the exchange carries only plausibly-heavy
+    rows instead of the long tail."""
+    from yatsm_spark.operators.sketches import heavy_hitters
+
+    return heavy_hitters(_tx(spark, sf_dir), ["role"], "conv_id", 600) \
+        .orderBy("role", "conv_id")
+
+
 def q_simhash(spark, sf_dir):
     from yatsm_spark.operators.dedup import simhash16
 
@@ -1084,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate_corpus,
         "hll_distinct": q_hll_distinct,
         "hdr_quantiles": q_hdr_quantiles,
+        "cms_estimate": q_cms_estimate,
+        "heavy_hitters": q_heavy_hitters,
         "cosine_topk": q_cosine_topk,
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,
@@ -1914,6 +1944,42 @@ def oracle_sql() -> dict[str, str]:
                          ELSE (4 + bucket % 4)::BIGINT << (bucket // 4 - 1)
                     END) AS est_value
             FROM picked
+        """,
+        # CMS twin: identical md5('cms{r}|' || value) cell recipe, low
+        # 60 bits mod width, SUM-merged counters, min over hash rows.
+        "cms_estimate": f"""
+            WITH rws AS (SELECT role, conv_id FROM {tx}
+                         WHERE conv_id IS NOT NULL),
+            rr AS (SELECT unnest(range(4)) AS r),
+            cells AS (
+              SELECT role, r,
+                     ('0x' || substr(md5('cms' || r::VARCHAR || '|'
+                                         || conv_id), 1, 15))::BIGINT
+                     % 2048 AS c
+              FROM rws CROSS JOIN rr),
+            cms AS (SELECT role, r, c, count(*)::long AS cnt
+                    FROM cells GROUP BY role, r, c),
+            items AS (SELECT DISTINCT role, conv_id FROM rws),
+            icells AS (
+              SELECT role, conv_id, r,
+                     ('0x' || substr(md5('cms' || r::VARCHAR || '|'
+                                         || conv_id), 1, 15))::BIGINT
+                     % 2048 AS c
+              FROM items CROSS JOIN rr),
+            j AS (SELECT i.role, i.conv_id,
+                         coalesce(m.cnt, 0)::long AS cnt
+                  FROM icells i LEFT JOIN cms m
+                  ON i.role = m.role AND i.r = m.r AND i.c = m.c)
+            SELECT role, conv_id, min(cnt)::long AS est_count
+            FROM j GROUP BY role, conv_id ORDER BY role, conv_id
+        """,
+        # heavy_hitters' CMS pre-filter is one-sided, so the exact
+        # GROUP BY ... HAVING is the whole truth.
+        "heavy_hitters": f"""
+            SELECT role, conv_id, count(*)::long AS cnt
+            FROM {tx} WHERE conv_id IS NOT NULL
+            GROUP BY role, conv_id HAVING count(*) >= 600
+            ORDER BY role, conv_id
         """,
         # The identical next-fit fold, replayed sequentially per
         # (source, shard) group by a recursive CTE over the doc_id-order

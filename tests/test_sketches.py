@@ -133,3 +133,77 @@ def test_hdr_partitioning_invariance(spark):
     b = sorted(tuple(r) for r in
                hdr_quantiles(df.repartition(23), ["g"], "x").collect())
     assert a == b
+
+
+# ---------------------------------------------------------------- CMS
+
+def _py_cms_col(value, r):
+    h = hashlib.md5(f"cms{r}|{value}".encode()).hexdigest()
+    return int(h[0:15], 16) % 2048
+
+
+def test_cms_table_matches_python_twin(spark):
+    from yatsm_spark.operators.sketches import CMS_DEPTH, cms_table
+    vals = [f"v{i % 40}" for i in range(400)]
+    df = spark.createDataFrame([(v, "g") for v in vals], "v string, g string")
+    got = {(r.r, r.c): r.cnt for r in cms_table(df, ["g"], "v").collect()}
+    want = {}
+    for v in vals:
+        for r in range(CMS_DEPTH):
+            k = (r, _py_cms_col(v, r))
+            want[k] = want.get(k, 0) + 1
+    assert got == want
+
+
+def test_cms_estimate_never_underestimates(spark):
+    from yatsm_spark.operators.sketches import cms_estimate
+    rng = np.random.RandomState(3)
+    vals = [f"w{int(x)}" for x in rng.zipf(1.5, size=4000) % 500]
+    true = {}
+    for v in vals:
+        true[v] = true.get(v, 0) + 1
+    df = spark.createDataFrame([(v, "g") for v in vals], "v string, g string")
+    items = spark.createDataFrame([("g", v) for v in true],
+                                  "g string, v string")
+    est = {r.v: r.est_count
+           for r in cms_estimate(df, ["g"], "v", items).collect()}
+    n = len(vals)
+    for v, t in true.items():
+        assert est[v] >= t  # one-sided by construction
+        assert est[v] <= t + 0.02 * n  # eps = e/w ~ 0.13%, loose 2% bound
+
+
+def test_cms_estimate_missing_item_is_bounded(spark):
+    from yatsm_spark.operators.sketches import cms_estimate
+    df = spark.createDataFrame([(f"a{i}", "g") for i in range(1000)],
+                               "v string, g string")
+    items = spark.createDataFrame([("g", "never-seen")], "g string, v string")
+    est = cms_estimate(df, ["g"], "v", items).collect()[0].est_count
+    assert 0 <= est <= 20  # collisions only
+
+
+def test_heavy_hitters_exact_vs_bruteforce(spark):
+    from yatsm_spark.operators.sketches import heavy_hitters
+    rng = np.random.RandomState(11)
+    vals = ([f"hot{i % 3}" for i in range(900)]
+            + [f"cold{int(x)}" for x in rng.randint(0, 800, size=2100)])
+    df = spark.createDataFrame([(v, str(i % 2)) for i, v in enumerate(vals)],
+                               "v string, g string")
+    got = sorted((r.g, r.v, r.cnt)
+                 for r in heavy_hitters(df, ["g"], "v", 100).collect())
+    want = sorted((r.g, r.v, r.cnt) for r in
+                  df.groupBy("g", "v").count()
+                    .withColumnRenamed("count", "cnt")
+                    .filter(F.col("cnt") >= 100).collect())
+    assert got == want and len(got) > 0
+
+
+def test_heavy_hitters_partitioning_invariance(spark):
+    from yatsm_spark.operators.sketches import heavy_hitters
+    df = spark.range(0, 3000).select(
+        F.concat(F.lit("k"), (F.col("id") % 7)).alias("v"),
+        (F.col("id") % 2).cast("string").alias("g"))
+    a = sorted(tuple(r) for r in heavy_hitters(df, ["g"], "v", 150).collect())
+    b = sorted(tuple(r) for r in
+               heavy_hitters(df.repartition(19), ["g"], "v", 150).collect())
+    assert a == b and len(a) == 14

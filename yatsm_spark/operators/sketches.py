@@ -168,3 +168,89 @@ def hdr_quantiles(df: DataFrame, group_cols: list[str], value_col: str,
     return picked.select(*group_cols, "q_label", "n", "target_rank",
                          "bucket",
                          F.expr(_HDR_VALUE_SQL).alias("est_value"))
+
+
+#: Count-min sketch shape (Cormode & Muthukrishnan 2005): depth
+#: independent md5-salted hash rows, SUM-merged counters. width=2048
+#: gives eps = e/w ~= 0.13% of the stream length per cell; depth=4
+#: drives the over-estimate probability per query to e^-4 ~= 1.8%.
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+
+
+def cms_col(value_col: str, r: int):
+    """Counter column for hash row ``r``: low 60 bits of
+    md5('cms{r}|' || value) mod width. Same literal recipe both
+    engines; value is cast to string so any type hashes stably."""
+    h = F.md5(F.concat(F.lit(f"cms{r}|"), F.col(value_col).cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % CMS_WIDTH
+
+
+def cms_table(df: DataFrame, group_cols: list[str],
+              value_col: str) -> DataFrame:
+    """Exact CMS counter table: (group..., r, c, cnt). Counters merge
+    by SUM (commutative/associative), so the table is bit-identical at
+    any parallelism. One corpus shuffle with map-side partials: a map
+    task emits at most depth*width rows per group, not its row count."""
+    cells = F.array(*[
+        F.struct(F.lit(r).alias("r"), cms_col(value_col, r).alias("c"))
+        for r in range(CMS_DEPTH)])
+    return (df.filter(F.col(value_col).isNotNull())
+              .select(*group_cols, F.explode(cells).alias("_cell"))
+              .select(*group_cols, F.col("_cell.r").alias("r"),
+                      F.col("_cell.c").alias("c"))
+              .groupBy(*group_cols, "r", "c")
+              .agg(F.count("*").alias("cnt")))
+
+
+def _with_cms_estimate(df: DataFrame, cms: DataFrame,
+                       group_cols: list[str], value_col: str,
+                       out_col: str) -> DataFrame:
+    """Append ``out_col`` = min over hash rows of the matching counter
+    (missing cell = 0). depth broadcast hash joins — the sketch is
+    bounded (groups * depth * width rows) so every join is narrow and
+    shuffle-free on the probe side. ``cms`` must be materialized
+    (localCheckpoint) so the depth probes don't recompute the corpus
+    aggregation once per join."""
+    ests = []
+    for r in range(CMS_DEPTH):
+        side = (cms.filter(F.col("r") == r)
+                   .select(*group_cols, F.col("c").alias(f"_c{r}"),
+                           F.col("cnt").alias(f"_n{r}")))
+        df = (df.withColumn(f"_c{r}", cms_col(value_col, r))
+                .join(F.broadcast(side), [*group_cols, f"_c{r}"], "left"))
+        ests.append(F.coalesce(F.col(f"_n{r}"), F.lit(0)))
+    return (df.withColumn(out_col, F.least(*ests))
+              .drop(*[f"_c{r}" for r in range(CMS_DEPTH)],
+                    *[f"_n{r}" for r in range(CMS_DEPTH)]))
+
+
+def cms_estimate(df: DataFrame, group_cols: list[str],
+                 value_col: str, items: DataFrame) -> DataFrame:
+    """Point-query the CMS built over ``df``: for each row of ``items``
+    (group... + value_col), return (group..., value, est_count) with
+    the classic one-sided guarantee est_count >= true count."""
+    cms = cms_table(df, group_cols, value_col).localCheckpoint(eager=True)
+    est = _with_cms_estimate(items, cms, group_cols, value_col,
+                             "est_count")
+    return est.select(*group_cols, value_col, "est_count")
+
+
+def heavy_hitters(df: DataFrame, group_cols: list[str], value_col: str,
+                  min_count: int) -> DataFrame:
+    """EXACT per-group heavy hitters (count >= min_count), CMS-
+    accelerated: pass 1 builds the sketch; pass 2 drops every row whose
+    value's CMS estimate is already < min_count BEFORE the exact
+    count shuffle. Because the CMS never under-estimates, no true heavy
+    hitter is filtered — the output equals plain GROUP BY ... HAVING,
+    which is exactly what the oracle runs. The sketch only shrinks the
+    shuffle: at 100 TB with a selective threshold the exchange carries
+    the heavy values' rows, not the corpus's long tail."""
+    rows = df.filter(F.col(value_col).isNotNull()) \
+             .select(*group_cols, value_col)
+    cms = cms_table(rows, group_cols, value_col).localCheckpoint(eager=True)
+    pre = _with_cms_estimate(rows, cms, group_cols, value_col, "_est") \
+        .filter(F.col("_est") >= min_count)
+    return (pre.groupBy(*group_cols, value_col)
+               .agg(F.count("*").alias("cnt"))
+               .filter(F.col("cnt") >= min_count))
