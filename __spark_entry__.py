@@ -34,6 +34,7 @@ GOLDEN_CLS = os.path.join(REPO, "data", "golden_classify_sf0.01.parquet")
 GOLDEN_CV = os.path.join(REPO, "data", "golden_crossval_sf0.01.parquet")
 GOLDEN_MULTI = os.path.join(REPO, "data", "golden_segments_multi_sf0.01.parquet")
 GOLDEN_KM = os.path.join(REPO, "data", "golden_kmeans_sf0.01.parquet")
+GOLDEN_PCA = os.path.join(REPO, "data", "golden_pca_sf0.01.parquet")
 
 ROLE_COUNTS_SQL = """
        count(*)::long AS turn_count,
@@ -926,6 +927,20 @@ def q_kmeans_codebook(spark, sf_dir):
                                  n_centroids=8, n_iters=3, seed=0, sample_mod=1)
 
 
+def q_pca_project(spark, sf_dir):
+    """Distributed PCA: exact-integer moment pass (mapInPandas partials
+    SUM-merged in decimal(38,0) — bit-identical loadings at any
+    parallelism), driver eigh with a fixed sign convention, then a
+    zero-shuffle sequential-fold projection onto the top-4 axes. Oracle:
+    a Spark-free numpy twin (tools/make_goldens.py pca_twin,
+    data/golden_pca_sf0.01.parquet) — identical quantization, exact-int
+    combine, eigh, and fold order, so scores match bit-for-bit."""
+    from yatsm_spark.operators.pca import pca_project
+
+    return pca_project(_t(spark, sf_dir, "embeddings"), k=4) \
+        .orderBy("vec_id")
+
+
 def q_ivf_topk_kmeans(spark, sf_dir):
     """IVF ANN top-k over a TRAINED codebook: k-means (8 centroids, 3
     iters) -> broadcast assignment -> probe 2 lists. Oracle: DuckDB
@@ -1120,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign_b256": q_ivf_assign_b256,
         "ivf_topk_b256": q_ivf_topk_b256,
         "kmeans_codebook": q_kmeans_codebook,
+        "pca_project": q_pca_project,
         "ivf_topk_kmeans": q_ivf_topk_kmeans,
         "lsh_buckets": q_lsh_buckets,
         "lsh_pairs": q_lsh_pairs,
@@ -2308,6 +2324,10 @@ def _embedding_oracles() -> dict[str, str]:
             FROM read_parquet('{GOLDEN_KM}')
         """,
         "ivf_topk_kmeans": _ivf_topk_sql(8, 2, GOLDEN_KM),
+        "pca_project": f"""
+            SELECT vec_id, pc_0, pc_1, pc_2, pc_3
+            FROM read_parquet('{GOLDEN_PCA}') ORDER BY vec_id
+        """,
         "lsh_buckets": f"""
             SELECT vec_id,
                    ({bucket})::long AS bucket

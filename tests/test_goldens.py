@@ -70,3 +70,10 @@ def test_goldens_are_fresh():
     stored_jp = pd.read_parquet(
         os.path.join(REPO, "data", "golden_jpeg_sf0.01.parquet"))
     pd.testing.assert_frame_equal(jp, stored_jp, check_exact=True)
+
+    from make_goldens import pca_twin
+
+    pca = pca_twin(k=4)
+    stored_pca = pd.read_parquet(
+        os.path.join(REPO, "data", "golden_pca_sf0.01.parquet"))
+    pd.testing.assert_frame_equal(pca, stored_pca, check_exact=True)

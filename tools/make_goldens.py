@@ -386,6 +386,34 @@ def jpeg_twin() -> pd.DataFrame:
     return out
 
 
+def pca_twin(k: int = 4) -> pd.DataFrame:
+    """Spark-free twin of operators/pca.pca_project on the sf0.01
+    embeddings: same floor(x*2^20+0.5) quantization, same exact-int
+    moments (kernel.pca_core — arbitrary-precision combine), same eigh +
+    sign convention, same sequential-fold projection. A driver hash match
+    is a differential over the mapInPandas partial-moment plumbing, the
+    decimal(38,0) combine, and the literal/broadcast projection paths."""
+    from yatsm_spark.kernel.pca_core import (
+        loadings_from_moments,
+        moments_from_quantized,
+        project_seqfold,
+        quantize,
+    )
+
+    df = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{EMB}') ORDER BY vec_id"
+    ).df()
+    ids = df["vec_id"].to_numpy(dtype=np.int64)
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    n, S, tri = moments_from_quantized(quantize(V))
+    mean, comps, _eig = loadings_from_moments(n, S, tri, k)
+    Y = project_seqfold(V, mean, comps)
+    out = {"vec_id": ids}
+    for c in range(k):
+        out[f"pc_{c}"] = Y[:, c]
+    return pd.DataFrame(out)
+
+
 def main() -> None:
     segs = segments_twin("conv00000300")
     seg_path = os.path.join(REPO, "data", "golden_segments_sf0.01.parquet")
@@ -431,6 +459,11 @@ def main() -> None:
     jp_path = os.path.join(REPO, "data", "golden_jpeg_sf0.01.parquet")
     jp.to_parquet(jp_path, index=False)
     print(f"wrote {jp_path}: {len(jp)} rows")
+
+    pca = pca_twin(k=4)
+    pca_path = os.path.join(REPO, "data", "golden_pca_sf0.01.parquet")
+    pca.to_parquet(pca_path, index=False)
+    print(f"wrote {pca_path}: {len(pca)} rows")
 
 
 if __name__ == "__main__":
