@@ -927,6 +927,20 @@ def q_kmeans_codebook(spark, sf_dir):
                                  n_centroids=8, n_iters=3, seed=0, sample_mod=1)
 
 
+def q_zorder_events(spark, sf_dir):
+    """Z-order (Morton) clustering key over (ts, value) — the
+    data-skipping layout pass (Delta/Iceberg OPTIMIZE ZORDER BY shape).
+    Grid positions are one fixed double expression off a 2-row stats
+    aggregate; the interleave is pure shiftleft/AND integer math, so the
+    key is bit-identical in both engines at any parallelism. Timestamps
+    ride exact integer microseconds (unix_micros == epoch_us)."""
+    from yatsm_spark.operators.zorder import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    return zorder_key(ev, ["ts", "value"], bits=16) \
+        .select("event_id", "z").orderBy("event_id")
+
+
 def q_pca_project(spark, sf_dir):
     """Distributed PCA: exact-integer moment pass (mapInPandas partials
     SUM-merged in decimal(38,0) — bit-identical loadings at any
@@ -1136,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_b256": q_ivf_topk_b256,
         "kmeans_codebook": q_kmeans_codebook,
         "pca_project": q_pca_project,
+        "zorder_events": q_zorder_events,
         "ivf_topk_kmeans": q_ivf_topk_kmeans,
         "lsh_buckets": q_lsh_buckets,
         "lsh_pairs": q_lsh_pairs,
@@ -1260,6 +1275,34 @@ def _curate_oracle() -> str:
         LEFT JOIN keep2 k2 ON k2.doc_id = d.doc_id
         LEFT JOIN keep3 k3 ON k3.doc_id = d.doc_id
         LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """
+
+
+def _zorder_oracle() -> str:
+    """Morton-key twin: identical grid formula (one fixed double
+    expression off the global min/max) and the identical bit interleave,
+    generated from the same (bits=16, 2 cols) shape the Spark query
+    uses."""
+    terms = " + ".join(f"(((g{i} >> {b}) & 1) << {b * 2 + i})"
+                       for b in range(16) for i in range(2))
+    return f"""
+        WITH st AS (
+          SELECT min(epoch_us(ts))::double AS lo0,
+                 max(epoch_us(ts))::double AS hi0,
+                 min(value::double) AS lo1,
+                 max(value::double) AS hi1
+          FROM events),
+        g AS (
+          SELECT event_id,
+                 least(greatest(floor((epoch_us(ts)::double - lo0) * 65535
+                                      / (hi0 - lo0))::bigint, 0),
+                       65535) AS g0,
+                 least(greatest(floor((value::double - lo1) * 65535
+                                      / (hi1 - lo1))::bigint, 0),
+                       65535) AS g1
+          FROM events, st)
+        SELECT event_id, ({terms})::bigint AS z
+        FROM g ORDER BY event_id
     """
 
 
@@ -2328,6 +2371,7 @@ def _embedding_oracles() -> dict[str, str]:
             SELECT vec_id, pc_0, pc_1, pc_2, pc_3
             FROM read_parquet('{GOLDEN_PCA}') ORDER BY vec_id
         """,
+        "zorder_events": _zorder_oracle(),
         "lsh_buckets": f"""
             SELECT vec_id,
                    ({bucket})::long AS bucket
