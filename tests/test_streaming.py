@@ -384,3 +384,40 @@ def test_stream_hll_equals_batch(spark, tmp_path):
             == want[r.window_start], r.window_start
     # append mode may withhold only the final open window
     assert len(want) - len(emitted) <= 1
+
+
+def test_stream_cms_equals_batch(spark, tmp_path):
+    """The stream-maintained CMS counter table equals batch cms_table for
+    every finalized window — SUM-merge is order/parallelism-free, so the
+    incremental counters are EXACT, not approximately merged."""
+    from pyspark.sql import functions as F
+
+    from yatsm_spark.operators.sketches import cms_table
+    from yatsm_spark.streaming.stream_rollup import stream_cms_counters
+
+    tx = generate_transcripts(spark, 8, seed=9, max_turns=300)
+    src = str(tmp_path / "cms_src")
+    tx.write.parquet(src)
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    q = (stream_cms_counters(stream, ["role"], "conv_id", window="1 hour",
+                             watermark="0 seconds")
+         .writeStream.format("memory").queryName("s_cms")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    emitted = spark.sql("SELECT * FROM s_cms").collect()
+    assert len(emitted) > 0
+    batch = spark.read.parquet(src).select(
+        F.window("ts", "1 hour").start.alias("window_start"),
+        "role", "conv_id")
+    want = {(r.window_start, r.role, r.r, r.c): r.cnt
+            for r in cms_table(batch, ["window_start", "role"],
+                               "conv_id").collect()}
+    seen_windows = set()
+    for r in emitted:
+        assert want[(r.window_start, r.role, r.r, r.c)] == r.cnt
+        seen_windows.add(r.window_start)
+    # append mode may withhold only the final open window
+    all_windows = {k[0] for k in want}
+    assert len(all_windows) - len(seen_windows) <= 1

@@ -293,3 +293,35 @@ def stream_hll_registers(stream: DataFrame, group_cols: list[str],
              .agg(F.max("rho").alias("register"))
              .select(F.col("w.start").alias("window_start"),
                      *group_cols, "bucket", "register"))
+
+
+def stream_cms_counters(stream: DataFrame, group_cols: list[str],
+                        value_col: str, window: str = "1 minute",
+                        ts_col: str = "ts",
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Streaming count-min sketch maintenance: per (window, group, r, c)
+    SUM of hits — like the HLL registers, the CMS merge IS a supported
+    streaming aggregate, so counters update incrementally with bounded
+    state (<= depth*width rows per group per window at any volume).
+
+    Emits the COUNTER TABLE (append mode on watermark close); point
+    queries / heavy-hitter pre-filters run as stateless batch passes over
+    the emitted counters and by construction equal batch ``cms_table``
+    of the same rows (tests/test_streaming.py::
+    test_stream_cms_equals_batch).
+    """
+    from yatsm_spark.operators.sketches import CMS_DEPTH, cms_col
+
+    s = (stream.filter(F.col(value_col).isNotNull())
+               .withWatermark(ts_col, watermark))
+    cells = F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"), cms_col(value_col, r).alias("c"))
+        for r in range(CMS_DEPTH)])).alias("_cell")
+    return (s.select(F.col(ts_col), *group_cols, cells)
+             .select(F.col(ts_col), *group_cols,
+                     F.col("_cell.r").alias("r"), F.col("_cell.c").alias("c"))
+             .groupBy(F.window(ts_col, window).alias("w"),
+                      *group_cols, "r", "c")
+             .agg(F.count("*").alias("cnt"))
+             .select(F.col("w.start").alias("window_start"),
+                     *group_cols, "r", "c", "cnt"))
