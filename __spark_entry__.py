@@ -927,6 +927,31 @@ def q_kmeans_codebook(spark, sf_dir):
                                  n_centroids=8, n_iters=3, seed=0, sample_mod=1)
 
 
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization codes (m=8 subspaces x ksub=16): sample-
+    bounded driver-side Lloyd's training, then zero-shuffle broadcast
+    encode. Oracle: a Spark-free twin sharing kernel/pq_core.py verbatim
+    (data/golden_pq_codes_sf0.01.parquet) — codes match exactly."""
+    from yatsm_spark.operators.pq import pq_encode, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, ksub=16, n_iters=5)
+    return pq_encode(emb, books).orderBy("vec_id")
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-k (the compressed-domain ANN serve
+    path): per-query LUTs broadcast once, the scan reads 8-int codes
+    instead of 64-float vectors, one ranking exchange. Oracle: the
+    pq_twin golden (grid-snapped adist, neighbor-id ties)."""
+    from yatsm_spark.operators.pq import pq_adc_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, ksub=16, n_iters=5)
+    return pq_adc_topk(emb, books, query_ids=list(range(10)), k=5) \
+        .orderBy("query_id", "rank")
+
+
 def q_zorder_events(spark, sf_dir):
     """Z-order (Morton) clustering key over (ts, value) — the
     data-skipping layout pass (Delta/Iceberg OPTIMIZE ZORDER BY shape).
@@ -1151,6 +1176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_codebook": q_kmeans_codebook,
         "pca_project": q_pca_project,
         "zorder_events": q_zorder_events,
+        "pq_codes": q_pq_codes,
+        "pq_adc_topk": q_pq_adc_topk,
         "ivf_topk_kmeans": q_ivf_topk_kmeans,
         "lsh_buckets": q_lsh_buckets,
         "lsh_pairs": q_lsh_pairs,
@@ -2372,6 +2399,16 @@ def _embedding_oracles() -> dict[str, str]:
             FROM read_parquet('{GOLDEN_PCA}') ORDER BY vec_id
         """,
         "zorder_events": _zorder_oracle(),
+        "pq_codes": f"""
+            SELECT vec_id, code
+            FROM read_parquet('{os.path.join(REPO, "data", "golden_pq_codes_sf0.01.parquet")}')
+            ORDER BY vec_id
+        """,
+        "pq_adc_topk": f"""
+            SELECT query_id, neighbor_id, adist, rank
+            FROM read_parquet('{os.path.join(REPO, "data", "golden_pq_topk_sf0.01.parquet")}')
+            ORDER BY query_id, rank
+        """,
         "lsh_buckets": f"""
             SELECT vec_id,
                    ({bucket})::long AS bucket

@@ -77,3 +77,14 @@ def test_goldens_are_fresh():
     stored_pca = pd.read_parquet(
         os.path.join(REPO, "data", "golden_pca_sf0.01.parquet"))
     pd.testing.assert_frame_equal(pca, stored_pca, check_exact=True)
+
+    from make_goldens import pq_twin
+
+    pq_codes, pq_topk = pq_twin()
+    stored_codes = pd.read_parquet(
+        os.path.join(REPO, "data", "golden_pq_codes_sf0.01.parquet"))
+    stored_codes["code"] = stored_codes["code"].map(list)
+    pd.testing.assert_frame_equal(pq_codes, stored_codes, check_exact=True)
+    stored_topk = pd.read_parquet(
+        os.path.join(REPO, "data", "golden_pq_topk_sf0.01.parquet"))
+    pd.testing.assert_frame_equal(pq_topk, stored_topk, check_exact=True)

@@ -414,6 +414,49 @@ def pca_twin(k: int = 4) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+def pq_twin(m: int = 8, ksub: int = 16, n_iters: int = 5,
+            query_ids=tuple(range(10)), k: int = 5):
+    """Spark-free twin of operators/pq: same kernel core
+    (kernel/pq_core.py — seq-fold distances, id-ordered member means,
+    lowest-index ties), same grid snap, same (adist, neighbor_id)
+    ranking. Returns (codes_df, topk_df); a driver hash match is a
+    differential over the sample collect, broadcast round-trips, Arrow
+    batching, and the ranking window."""
+    from yatsm_spark.kernel.pq_core import (
+        pq_adc_core,
+        pq_encode_core,
+        pq_lut,
+        pq_train_core,
+    )
+
+    df = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{EMB}') ORDER BY vec_id"
+    ).df()
+    ids = df["vec_id"].to_numpy(dtype=np.int64)
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    books = pq_train_core(V, m, ksub, n_iters)
+    codes = pq_encode_core(V, books)
+    codes_df = pd.DataFrame({
+        "vec_id": ids, "code": [row.tolist() for row in codes]})
+
+    qsel = np.isin(ids, np.asarray(query_ids))
+    lut = pq_lut(V[qsel], books)
+    rows = []
+    for qi, qid in enumerate(ids[qsel]):
+        acc = pq_adc_core(codes.astype(np.int64), lut[qi])
+        snapped = np.floor(acc * 1e6 + 0.5) / 1e6
+        keep = ids != qid
+        order = np.lexsort((ids[keep], snapped[keep]))[:k]
+        nb, dist = ids[keep][order], snapped[keep][order]
+        for rank, (n_, d_) in enumerate(zip(nb, dist), start=1):
+            rows.append({"query_id": int(qid), "neighbor_id": int(n_),
+                         "adist": float(d_), "rank": np.int32(rank)})
+    topk_df = pd.DataFrame(rows)
+    topk_df["rank"] = topk_df["rank"].astype(np.int32)
+    return codes_df, topk_df
+
+
+
 def main() -> None:
     segs = segments_twin("conv00000300")
     seg_path = os.path.join(REPO, "data", "golden_segments_sf0.01.parquet")
@@ -464,6 +507,12 @@ def main() -> None:
     pca_path = os.path.join(REPO, "data", "golden_pca_sf0.01.parquet")
     pca.to_parquet(pca_path, index=False)
     print(f"wrote {pca_path}: {len(pca)} rows")
+
+    pq_codes, pq_topk = pq_twin()
+    for name, frame in [("pq_codes", pq_codes), ("pq_topk", pq_topk)]:
+        path = os.path.join(REPO, "data", f"golden_{name}_sf0.01.parquet")
+        frame.to_parquet(path, index=False)
+        print(f"wrote {path}: {len(frame)} rows")
 
 
 if __name__ == "__main__":

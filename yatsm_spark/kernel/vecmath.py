@@ -62,3 +62,20 @@ def cosine_sims_seqfold(V: np.ndarray, C: np.ndarray,
     vnorms = seq_norm(V)
     dots = seq_dot(V, C)
     return dots / (vnorms[:, None] * cnorms[None, :]), vnorms
+
+
+def seq_sqdist(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Ordered-fold squared L2 distances: V (n, d) × C (k, d) -> (n, k).
+
+    acc_{i,j} = Σ_d (V[i,d] - C[j,d])² accumulated sequentially in
+    dimension order — the PQ train/encode/ADC primitive. Same fold
+    discipline as seq_dot: bit-identical wherever the same sequence of
+    IEEE adds runs (operator's mapInPandas batches AND the Spark-free
+    golden twin)."""
+    V = np.ascontiguousarray(V, dtype=np.float64)
+    C = np.ascontiguousarray(C, dtype=np.float64)
+    acc = np.zeros((V.shape[0], C.shape[0]), dtype=np.float64)
+    for dd in range(V.shape[1]):
+        diff = V[:, dd][:, None] - C[:, dd][None, :]
+        acc += diff * diff
+    return acc
