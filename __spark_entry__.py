@@ -952,6 +952,21 @@ def q_pq_adc_topk(spark, sf_dir):
         .orderBy("query_id", "rank")
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """Full IVF-PQ serve path: coarse-route each query to its nprobe=2
+    nearest inverted lists (coarse quantizer = Lloyd's on full vectors),
+    then ADC-score only those lists' 8-int codes. At 100 TB the scan
+    touches ~nprobe/n_centroids of a codes table m/d the size of the
+    raw corpus. Oracle: kernel-twin golden
+    (data/golden_ivfpq_sf0.01.parquet)."""
+    from yatsm_spark.operators.pq import ivfpq_index, ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coarse, books = ivfpq_index(emb, n_centroids=8, m=8, ksub=16, n_iters=5)
+    return ivfpq_topk(emb, coarse, books, query_ids=list(range(10)),
+                      nprobe=2, k=5).orderBy("query_id", "rank")
+
+
 def q_zorder_events(spark, sf_dir):
     """Z-order (Morton) clustering key over (ts, value) — the
     data-skipping layout pass (Delta/Iceberg OPTIMIZE ZORDER BY shape).
@@ -1178,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": q_zorder_events,
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "ivf_topk_kmeans": q_ivf_topk_kmeans,
         "lsh_buckets": q_lsh_buckets,
         "lsh_pairs": q_lsh_pairs,
@@ -2407,6 +2423,11 @@ def _embedding_oracles() -> dict[str, str]:
         "pq_adc_topk": f"""
             SELECT query_id, neighbor_id, adist, rank
             FROM read_parquet('{os.path.join(REPO, "data", "golden_pq_topk_sf0.01.parquet")}')
+            ORDER BY query_id, rank
+        """,
+        "ivfpq_topk": f"""
+            SELECT query_id, neighbor_id, adist, rank
+            FROM read_parquet('{os.path.join(REPO, "data", "golden_ivfpq_sf0.01.parquet")}')
             ORDER BY query_id, rank
         """,
         "lsh_buckets": f"""

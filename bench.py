@@ -170,12 +170,21 @@ def main():
     timed("gorilla_encode", lambda: sink(encode_chunks(sparse_cached, "1m", densify=True)))
     sparse_cached.unpersist()
 
+    # CMS-accelerated exact heavy hitters over the FULL bench transcripts
+    # (the sketch pre-filter's value shows at volume: the exact-count
+    # shuffle carries only plausibly-heavy rows)
+    from yatsm_spark.operators.sketches import heavy_hitters
+
+    timed("heavy_hitters_cms",
+          lambda: sink(heavy_hitters(tx, ["role"], "conv_id", 600)))
+
     # driver-table operator spot checks (same code paths as queries())
     import __spark_entry__ as e
 
     for name in ("tpch_q1", "events_rollup_1m", "order_lineitem_interval",
                  "minhash_pairs", "cosine_topk", "simhash", "quality",
-                 "bm25_topk", "hll_distinct", "curate_corpus"):
+                 "bm25_topk", "hll_distinct", "curate_corpus",
+                 "pca_project", "pq_adc_topk", "zorder_events"):
         fn = e.queries()[name]
         timed(name, lambda fn=fn: sink(fn(spark, SF_DIR)))
 

@@ -88,3 +88,10 @@ def test_goldens_are_fresh():
     stored_topk = pd.read_parquet(
         os.path.join(REPO, "data", "golden_pq_topk_sf0.01.parquet"))
     pd.testing.assert_frame_equal(pq_topk, stored_topk, check_exact=True)
+
+    from make_goldens import ivfpq_twin
+
+    ivfpq = ivfpq_twin()
+    stored_ivfpq = pd.read_parquet(
+        os.path.join(REPO, "data", "golden_ivfpq_sf0.01.parquet"))
+    pd.testing.assert_frame_equal(ivfpq, stored_ivfpq, check_exact=True)

@@ -101,3 +101,60 @@ def test_contract_edges(spark):
     with pytest.raises(ValueError, match="no query vectors"):
         pq_adc_topk(_df(spark, ok), pq_train(_df(spark, ok), m=4, ksub=8),
                     query_ids=[99999])
+
+
+def test_ivfpq_full_probe_equals_bruteforce_adc(spark):
+    """nprobe = n_centroids means every list is scanned: IVF-PQ must
+    return exactly pq_adc_topk's answer on the same PQ books."""
+    from yatsm_spark.operators.pq import ivfpq_index, ivfpq_topk
+
+    V = _clustered_vectors(n=300, d=16, seed=21)
+    df = _df(spark, V)
+    coarse, books = ivfpq_index(df, n_centroids=4, m=4, ksub=8, n_iters=3)
+    full = sorted(tuple(r) for r in
+                  ivfpq_topk(df, coarse, books, [0, 1, 2], nprobe=4,
+                             k=5).collect())
+    brute = sorted(tuple(r) for r in
+                   pq_adc_topk(df, books, [0, 1, 2], k=5).collect())
+    assert full == brute
+
+
+def test_ivfpq_partition_invariance_and_encoded_reuse(spark):
+    from yatsm_spark.operators.pq import ivfpq_encode, ivfpq_index, ivfpq_topk
+
+    V = _clustered_vectors(n=250, d=16, seed=22)
+    df = _df(spark, V)
+    coarse, books = ivfpq_index(df, n_centroids=4, m=4, ksub=8, n_iters=2)
+    a = sorted(tuple(r) for r in
+               ivfpq_topk(df, coarse, books, [0, 7], nprobe=2, k=4).collect())
+    b = sorted(tuple(r) for r in
+               ivfpq_topk(df.repartition(11), coarse, books, [0, 7],
+                          nprobe=2, k=4).collect())
+    enc = ivfpq_encode(df, coarse, books)
+    c = sorted(tuple(r) for r in
+               ivfpq_topk(df, coarse, books, [0, 7], nprobe=2, k=4,
+                          encoded=enc).collect())
+    assert a == b == c
+
+
+def test_ivfpq_probe_restriction_only_drops_recall(spark):
+    """nprobe=1 answers are a subset-ranking of the probed list: every
+    returned neighbor must live in one of the query's probed clusters."""
+    import numpy as np
+
+    from yatsm_spark.kernel.vecmath import seq_sqdist
+    from yatsm_spark.operators.pq import ivfpq_encode, ivfpq_index, ivfpq_topk
+
+    V = _clustered_vectors(n=300, d=16, seed=23)
+    df = _df(spark, V)
+    coarse, books = ivfpq_index(df, n_centroids=4, m=4, ksub=8, n_iters=3)
+    enc = {r.vec_id: r.cluster
+           for r in ivfpq_encode(df, coarse, books).collect()}
+    back = np.stack([np.asarray(r.embedding, dtype=np.float64)
+                     for r in df.orderBy("vec_id").collect()])
+    got = ivfpq_topk(df, coarse, books, [0, 1], nprobe=1, k=5,
+                     encoded=None).collect()
+    for r in got:
+        qprobe = int(np.argmin(seq_sqdist(back[r.query_id][None, :],
+                                          coarse)[0]))
+        assert enc[r.neighbor_id] == qprobe

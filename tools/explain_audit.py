@@ -243,6 +243,45 @@ def main():
          "n x maps, not the stratum size", "WindowGroupLimit", True),
     ])
 
+    audit("heavy_hitters (CMS pre-filter before exact count)",
+          qs["heavy_hitters"](spark, SF_DIR), [
+        ("sketch sides broadcast (depth joins + the sketch build feed)",
+         "BroadcastHashJoin", True),
+        ("no sort-merge join anywhere", "SortMergeJoin", False),
+        ("final exact count partial-aggregates map-side", "partial_count", True),
+    ])
+
+    audit("cms_estimate (depth broadcast probes over the counter table)",
+          qs["cms_estimate"](spark, SF_DIR), [
+        ("broadcast hash joins, not SMJ", "BroadcastHashJoin", True),
+        ("no sort-merge join anywhere", "SortMergeJoin", False),
+    ])
+
+    audit("pca_project (literal-loadings projection)",
+          qs["pca_project"](spark, SF_DIR), [
+        ("zero exchanges before the final order (projection is narrow)",
+         "Exchange", 1),
+        ("no Python in the projection path (Catalyst literals)",
+         "ArrowEvalPython", False),
+        ("scan prunes to id + vector", "ReadSchema", True),
+    ])
+
+    audit("zorder_events (Morton key, pure Catalyst)",
+          qs["zorder_events"](spark, SF_DIR), [
+        ("key math is whole-stage codegen", "WholeStageCodegen", True),
+        ("no Python anywhere", "ArrowEvalPython", False),
+        ("only the final presentation sort exchanges", "Exchange", 1),
+    ])
+
+    audit("pq_adc_topk (codes scan + ranking window)",
+          qs["pq_adc_topk"](spark, SF_DIR), [
+        ("exactly one ranking exchange", "+- Exchange", 1),
+        ("partial top-k below the exchange bounds shuffle volume",
+         "WindowGroupLimit", True),
+        ("no join at serve time (LUTs are broadcast variables)",
+         "Join", False),
+    ])
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)

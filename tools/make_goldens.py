@@ -457,6 +457,53 @@ def pq_twin(m: int = 8, ksub: int = 16, n_iters: int = 5,
 
 
 
+def ivfpq_twin(n_centroids: int = 8, m: int = 8, ksub: int = 16,
+               n_iters: int = 5, query_ids=tuple(range(10)),
+               nprobe: int = 2, k: int = 5) -> pd.DataFrame:
+    """Spark-free twin of operators/pq.ivfpq_topk: same coarse quantizer
+    (pq_train_core with one subspace), same raw-vector PQ books, same
+    probe order (distance, lowest cluster id), same snapped-ADC ranking
+    over ONLY the probed lists' members."""
+    from yatsm_spark.kernel.pq_core import (
+        pq_adc_core,
+        pq_encode_core,
+        pq_lut,
+        pq_train_core,
+    )
+    from yatsm_spark.kernel.vecmath import seq_sqdist
+
+    df = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{EMB}') ORDER BY vec_id"
+    ).df()
+    ids = df["vec_id"].to_numpy(dtype=np.int64)
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    coarse = pq_train_core(V, 1, n_centroids, n_iters)[0]
+    books = pq_train_core(V, m, ksub, n_iters)
+    clusters = np.argmin(seq_sqdist(V, coarse), axis=1)
+    codes = pq_encode_core(V, books).astype(np.int64)
+
+    qsel = np.isin(ids, np.asarray(query_ids))
+    Q, qids = V[qsel], ids[qsel]
+    cdist = seq_sqdist(Q, coarse)
+    lut = pq_lut(Q, books)
+    rows = []
+    for qi, qid in enumerate(qids):
+        probes = np.lexsort((np.arange(n_centroids), cdist[qi]))[:nprobe]
+        cand = np.isin(clusters, probes) & (ids != qid)
+        acc = pq_adc_core(codes[cand], lut[qi])
+        snapped = np.floor(acc * 1e6 + 0.5) / 1e6
+        order = np.lexsort((ids[cand], snapped))[:k]
+        for rank, o in enumerate(order, start=1):
+            rows.append({"query_id": int(qid),
+                         "neighbor_id": int(ids[cand][o]),
+                         "adist": float(snapped[o]),
+                         "rank": np.int32(rank)})
+    out = pd.DataFrame(rows)
+    out["rank"] = out["rank"].astype(np.int32)
+    return out
+
+
+
 def main() -> None:
     segs = segments_twin("conv00000300")
     seg_path = os.path.join(REPO, "data", "golden_segments_sf0.01.parquet")
@@ -513,6 +560,11 @@ def main() -> None:
         path = os.path.join(REPO, "data", f"golden_{name}_sf0.01.parquet")
         frame.to_parquet(path, index=False)
         print(f"wrote {path}: {len(frame)} rows")
+
+    ivfpq = ivfpq_twin()
+    path = os.path.join(REPO, "data", "golden_ivfpq_sf0.01.parquet")
+    ivfpq.to_parquet(path, index=False)
+    print(f"wrote {path}: {len(ivfpq)} rows")
 
 
 if __name__ == "__main__":

@@ -151,3 +151,134 @@ def pq_adc_topk(df: DataFrame, codebooks: np.ndarray, query_ids: list[int],
     return (pairs.select("query_id", "neighbor_id", adist.alias("adist"))
                  .withColumn("rank", F.row_number().over(w))
                  .filter(F.col("rank") <= k))
+
+
+# --------------------------------------------------------------- IVF-PQ
+
+def ivfpq_index(df: DataFrame, n_centroids: int = 8, m: int = 8,
+                ksub: int = 16, n_iters: int = 5, id_col: str = "vec_id",
+                vec_col: str = "embedding", sample_mod: int = 1):
+    """(coarse, books): the two codebooks of an IVF-PQ index, trained on
+    one deterministic bounded sample. The coarse quantizer IS Lloyd's on
+    full vectors — pq_train_core with a single subspace of ksub =
+    n_centroids — so both trainings share the same kernel conventions.
+    PQ encodes RAW vectors (not residuals) — documented simplification;
+    the routing/compression architecture is the FAISS shape either way."""
+    rows = (df.filter(F.col(vec_col).isNotNull()
+                      & (F.col(id_col) % sample_mod == 0))
+              .select(id_col, vec_col).orderBy(id_col).collect())
+    if len(rows) > MAX_TRAIN_SAMPLE:
+        raise ValueError(
+            f"IVF-PQ training sample {len(rows)} exceeds {MAX_TRAIN_SAMPLE};"
+            " raise sample_mod")
+    if not rows:
+        raise ValueError("IVF-PQ training sample is empty")
+    V = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    coarse = pq_train_core(V, 1, n_centroids, n_iters)[0]
+    books = pq_train_core(V, m, ksub, n_iters)
+    return coarse, books
+
+
+def ivfpq_encode(df: DataFrame, coarse: np.ndarray, books: np.ndarray,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """(id, cluster, code): coarse assignment + PQ codes in ONE
+    zero-shuffle Arrow pass — the ingest-time index build. Ties take the
+    lowest cluster id (argmin first occurrence)."""
+    from yatsm_spark.kernel.vecmath import seq_sqdist
+
+    m, ksub, dsub = books.shape
+    d = m * dsub
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((coarse.tolist(), books.tolist()))
+    src = df.filter(F.col(vec_col).isNotNull()
+                    & (F.size(F.col(vec_col)) == d)) \
+            .select(id_col, vec_col)
+    schema = (f"{id_col} " + dict(df.dtypes)[id_col]
+              + ", cluster int, code array<int>")
+
+    def gen(batches):
+        import pandas as pd
+
+        Cm, B = (np.asarray(a, dtype=np.float64) for a in bc.value)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            cl = np.argmin(seq_sqdist(V, Cm), axis=1).astype(np.int32)
+            codes = pq_encode_core(V, B)
+            yield pd.DataFrame({id_col: pdf[id_col], "cluster": cl,
+                                "code": [row.tolist() for row in codes]})
+
+    return src.mapInPandas(gen, schema)
+
+
+def ivfpq_topk(df: DataFrame, coarse: np.ndarray, books: np.ndarray,
+               query_ids: list[int], nprobe: int = 2, k: int = 5,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               encoded: DataFrame | None = None) -> DataFrame:
+    """(query_id, neighbor_id, adist, rank): the full IVF-PQ serve path —
+    coarse-route each query to its nprobe nearest inverted lists, then
+    ADC-score ONLY those lists' codes.
+
+    Scale shape: the (query_id, cluster) probe pairs are a broadcast of
+    nq x nprobe rows joined against the encoded table — at 100 TB the
+    scan touches ~nprobe/n_centroids of the codes (m ints per vector),
+    and the only exchange is the final per-query ranking. With nprobe =
+    n_centroids the result equals brute-force pq_adc_topk on the same
+    codebooks (pytest-pinned)."""
+    from yatsm_spark.kernel.vecmath import seq_sqdist
+
+    q_rows = (df.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+                .select(id_col, vec_col).orderBy(id_col).collect())
+    if not q_rows:
+        raise ValueError("no query vectors found for the given ids")
+    qids = [int(r[id_col]) for r in q_rows]
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
+    nprobe = min(nprobe, coarse.shape[0])
+    cdist = seq_sqdist(Q, coarse)
+    # probe order: distance, then lowest cluster id (lexsort is stable)
+    probes = [np.lexsort((np.arange(coarse.shape[0]), cdist[i]))[:nprobe]
+              for i in range(len(qids))]
+    lut = pq_lut(Q, books)
+
+    if encoded is None:
+        encoded = ivfpq_encode(df, coarse, books, id_col, vec_col)
+    spark = df.sparkSession
+    probe_pairs = spark.createDataFrame(
+        [(qid, int(c)) for qid, pr in zip(qids, probes) for c in pr],
+        "query_id long, cluster int")
+    cand = encoded.join(F.broadcast(probe_pairs), "cluster") \
+                  .filter(F.col(id_col) != F.col("query_id"))
+    bc = spark.sparkContext.broadcast((qids, lut.tolist()))
+
+    def gen(batches):
+        import pandas as pd
+
+        qids_b, lut_l = bc.value
+        L = np.asarray(lut_l, dtype=np.float64)
+        pos = {q: i for i, q in enumerate(qids_b)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack([np.asarray(c, dtype=np.int64)
+                          for c in pdf["code"]])
+            qcol = pdf["query_id"].to_numpy()
+            adist = np.empty(len(pdf), dtype=np.float64)
+            for q in np.unique(qcol):
+                sel = qcol == q
+                adist[sel] = pq_adc_core(C[sel], L[pos[int(q)]])
+            yield pd.DataFrame({"query_id": qcol,
+                                "neighbor_id": pdf[id_col],
+                                "adist": adist})
+
+    pairs = cand.select("query_id", id_col, "code") \
+                .mapInPandas(gen, "query_id long, neighbor_id long, "
+                                  "adist double")
+    snapped = F.floor(F.col("adist") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc())
+    return (pairs.select("query_id", "neighbor_id", snapped.alias("adist"))
+                 .withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k))
