@@ -952,6 +952,24 @@ def q_pq_adc_topk(spark, sf_dir):
         .orderBy("query_id", "rank")
 
 
+#: domain-mixture recipe shared by q_sample_mixture and its generated
+#: oracle — single source of truth so the engines cannot drift
+MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+MIX_TOTAL = 40
+
+
+def q_sample_mixture(spark, sf_dir):
+    """Deterministic domain-mixture sample (~40 docs at 50/30/20 across
+    three sources): per-stratum keep rates from one count aggregate,
+    membership by the same closed-form Knuth threshold as sample_hash —
+    no shuffle, no RNG. Oracle recomputes the identical rates and hash
+    membership (generated from the same MIX_WEIGHTS literal)."""
+    from yatsm_spark.operators.sampling import sample_mixture
+
+    return sample_mixture(_t(spark, sf_dir, "documents"), MIX_WEIGHTS,
+                          MIX_TOTAL).orderBy("doc_id")
+
+
 def q_ivfpq_topk(spark, sf_dir):
     """Full IVF-PQ serve path: coarse-route each query to its nprobe=2
     nearest inverted lists (coarse quantizer = Lloyd's on full vectors),
@@ -1194,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc_topk,
         "ivfpq_topk": q_ivfpq_topk,
+        "sample_mixture": q_sample_mixture,
         "ivf_topk_kmeans": q_ivf_topk_kmeans,
         "lsh_buckets": q_lsh_buckets,
         "lsh_pairs": q_lsh_pairs,
@@ -1318,6 +1337,31 @@ def _curate_oracle() -> str:
         LEFT JOIN keep2 k2 ON k2.doc_id = d.doc_id
         LEFT JOIN keep3 k3 ON k3.doc_id = d.doc_id
         LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """
+
+
+def _mixture_oracle() -> str:
+    """Generated from the SAME MIX_WEIGHTS/MIX_TOTAL literals the Spark
+    query uses: identical rate arithmetic ((total * frac) / n in one
+    double expression), identical Knuth threshold membership."""
+    wsum = sum(MIX_WEIGHTS.values())
+    fracs = ", ".join(f"('{s}', {w / wsum!r})"
+                      for s, w in sorted(MIX_WEIGHTS.items()))
+    srcs = ", ".join(f"'{s}'" for s in sorted(MIX_WEIGHTS))
+    return f"""
+        WITH n AS (
+          SELECT source, count(*)::BIGINT AS n FROM documents
+          WHERE source IN ({srcs}) GROUP BY source),
+        r AS (
+          SELECT n.source,
+                 least(1.0, ({MIX_TOTAL} * w.frac) / n.n) AS mix_rate
+          FROM n JOIN (VALUES {fracs}) AS w(source, frac)
+          ON n.source = w.source)
+        SELECT d.source, d.doc_id, d.text, d.lang, d.n_chars, r.mix_rate
+        FROM documents d JOIN r ON d.source = r.source
+        WHERE (d.doc_id * 2654435761) % 4294967296
+              < floor(r.mix_rate * 4294967296.0)
+        ORDER BY d.doc_id
     """
 
 
@@ -2415,6 +2459,7 @@ def _embedding_oracles() -> dict[str, str]:
             FROM read_parquet('{GOLDEN_PCA}') ORDER BY vec_id
         """,
         "zorder_events": _zorder_oracle(),
+        "sample_mixture": _mixture_oracle(),
         "pq_codes": f"""
             SELECT vec_id, code
             FROM read_parquet('{os.path.join(REPO, "data", "golden_pq_codes_sf0.01.parquet")}')

@@ -176,3 +176,65 @@ def test_knuth_hash_matches_closed_form():
     # spot invariants: full 32-bit spread, no tiny-cycle degeneracy
     assert hv.min() >= 0 and hv.max() < _MOD
     assert len(np.unique(hv)) == len(ids)
+
+
+def test_sample_mixture_composition_and_determinism(spark):
+    from yatsm_spark.operators.sampling import sample_mixture
+
+    rows = [(i, f"s{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sample_mixture(df, {"s0": 0.6, "s1": 0.3, "s2": 0.1}, 600)
+    pdf = out.toPandas()
+    # absent stratum dropped entirely
+    assert set(pdf["source"]) <= {"s0", "s1", "s2"}
+    # composition tracks the recipe (hash uniformity, generous band)
+    got = pdf.groupby("source").size()
+    assert abs(got.get("s0", 0) - 360) < 80
+    assert abs(got.get("s1", 0) - 180) < 60
+    assert abs(got.get("s2", 0) - 60) < 40
+    # bit-deterministic and partition-invariant
+    a = sorted(pdf["doc_id"])
+    b = sorted(r.doc_id for r in
+               sample_mixture(df.repartition(19), {"s0": 0.6, "s1": 0.3,
+                                                   "s2": 0.1}, 600).collect())
+    assert a == b
+
+
+def test_sample_mixture_is_extensible_by_total(spark):
+    from yatsm_spark.operators.sampling import sample_mixture
+
+    rows = [(i, f"s{i % 2}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    small = {r.doc_id for r in
+             sample_mixture(df, {"s0": 0.5, "s1": 0.5}, 200).collect()}
+    large = {r.doc_id for r in
+             sample_mixture(df, {"s0": 0.5, "s1": 0.5}, 800).collect()}
+    assert small <= large  # same-hash thresholds nest
+
+
+def test_sample_mixture_undersupplied_stratum_kept_whole(spark):
+    from yatsm_spark.operators.sampling import sample_mixture
+
+    rows = [(i, "big") for i in range(1000)] + \
+           [(10_000 + i, "tiny") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sample_mixture(df, {"big": 0.5, "tiny": 0.5}, 400).toPandas()
+    tiny = out[out.source == "tiny"]
+    assert len(tiny) == 5 and (tiny.mix_rate == 1.0).all()
+
+
+def test_sample_mixture_contract_errors(spark):
+    import pytest
+
+    from yatsm_spark.operators.sampling import sample_mixture
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="positive"):
+        sample_mixture(df, {"a": -0.5}, 10)
+    with pytest.raises(ValueError, match="non-empty"):
+        sample_mixture(df, {}, 10)
+    with pytest.raises(ValueError, match="total"):
+        sample_mixture(df, {"a": 1.0}, 0)
+    # weights naming only absent strata -> empty frame, stable schema
+    out = sample_mixture(df, {"zzz": 1.0}, 10)
+    assert out.count() == 0 and "mix_rate" in out.columns

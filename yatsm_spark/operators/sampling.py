@@ -68,3 +68,48 @@ def sample_stratified(df: DataFrame, n_per_stratum: int,
         _hash_col(id_col).asc(), F.col(id_col).asc())
     return (df.withColumn("draw_rank", F.row_number().over(w))
               .filter(F.col("draw_rank") <= n_per_stratum))
+
+
+def sample_mixture(df: DataFrame, weights: dict[str, float], total: int,
+                   stratum_col: str = "source",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic DOMAIN-MIXTURE sample: draw ~``total`` rows whose
+    composition follows ``weights`` (the training-mix recipe — e.g.
+    {'web': 0.6, 'code': 0.25, 'books': 0.15}).
+
+    Per stratum s the keep rate is r_s = min(1, total * w_s / n_s) —
+    one tiny count aggregate decides the rates, then membership is the
+    same closed-form Knuth threshold as ``sample_hash``, evaluated
+    per-row inside the scan (no shuffle, no sort, no RNG state). Strata
+    smaller than their quota are kept whole (r_s capped at 1) — the
+    standard under-supplied-domain behavior; the output carries the
+    applied ``mix_rate`` so downstream can up-weight instead.
+
+    Composability: thresholds on the SAME hash mean a stratum's sample
+    at a lower total is a SUBSET of its sample at a higher total — mixes
+    are extensible the way sample_stratified prefixes are. Weights must
+    be positive; strata absent from ``weights`` are dropped (explicit
+    recipe, no silent passthrough)."""
+    if total < 1:
+        raise ValueError("total must be >= 1")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    bad = {k: w for k, w in weights.items() if w <= 0}
+    if bad:
+        raise ValueError(f"weights must be positive, got {bad}")
+    counts = {r[stratum_col]: r["n"] for r in
+              df.filter(F.col(stratum_col).isin(list(weights)))
+                .groupBy(stratum_col).agg(F.count("*").alias("n"))
+                .collect()}
+    wsum = sum(weights.values())
+    spark = df.sparkSession
+    rates = [(s, min(1.0, (total * (w / wsum)) / counts[s]))
+             for s, w in sorted(weights.items()) if s in counts]
+    if not rates:
+        return df.filter(F.lit(False)) \
+                 .withColumn("mix_rate", F.lit(0.0))
+    rate_df = F.broadcast(spark.createDataFrame(
+        rates, f"{stratum_col} string, mix_rate double"))
+    thresh = F.floor(F.col("mix_rate") * F.lit(float(_MOD)))
+    return (df.join(rate_df, stratum_col)
+              .filter(_hash_col(id_col) < thresh))
