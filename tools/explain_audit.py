@@ -259,8 +259,8 @@ def main():
 
     audit("pca_project (literal-loadings projection)",
           qs["pca_project"](spark, SF_DIR), [
-        ("zero exchanges before the final order (projection is narrow)",
-         "Exchange", 1),
+        ("projection is narrow: the ONLY exchange is the presentation "
+         "orderBy's range partitioning", "+- Exchange", 1),
         ("no Python in the projection path (Catalyst literals)",
          "ArrowEvalPython", False),
         ("scan prunes to id + vector", "ReadSchema", True),
@@ -268,14 +268,16 @@ def main():
 
     audit("zorder_events (Morton key, pure Catalyst)",
           qs["zorder_events"](spark, SF_DIR), [
-        ("key math is whole-stage codegen", "WholeStageCodegen", True),
+        ("key math is Project expressions over the scan (no UDF nodes)",
+         "MapInPandas", False),
         ("no Python anywhere", "ArrowEvalPython", False),
-        ("only the final presentation sort exchanges", "Exchange", 1),
+        ("only the final presentation sort exchanges", "+- Exchange", 1),
     ])
 
     audit("pq_adc_topk (codes scan + ranking window)",
           qs["pq_adc_topk"](spark, SF_DIR), [
-        ("exactly one ranking exchange", "+- Exchange", 1),
+        ("exactly two exchanges: the ranking window + the presentation "
+         "sort; encode->ADC is exchange-free map work", "+- Exchange", 2),
         ("partial top-k below the exchange bounds shuffle volume",
          "WindowGroupLimit", True),
         ("no join at serve time (LUTs are broadcast variables)",
