@@ -35,6 +35,7 @@ GOLDEN_CV = os.path.join(REPO, "data", "golden_crossval_sf0.01.parquet")
 GOLDEN_MULTI = os.path.join(REPO, "data", "golden_segments_multi_sf0.01.parquet")
 GOLDEN_KM = os.path.join(REPO, "data", "golden_kmeans_sf0.01.parquet")
 GOLDEN_PCA = os.path.join(REPO, "data", "golden_pca_sf0.01.parquet")
+GOLDEN_LTTB = os.path.join(REPO, "data", "golden_lttb_sf0.01.parquet")
 
 ROLE_COUNTS_SQL = """
        count(*)::long AS turn_count,
@@ -151,6 +152,83 @@ def q_tx_gapfill_1m(spark, sf_dir):
     out = rollup_gapfilled(with_measures(tx), "1m")
     return out.select("conv_id", "window_start", "turn_count", "token_len_sum",
                       "tool_call_count", "gap_filled")
+
+
+def q_tx_locf(spark, sf_dir):
+    """Gap-fill value policy: last-observation-carried-forward over the
+    NULL-on-gap token_len_sum of the dense 1m tier (operators/tsfuncs.py
+    — the TimescaleDB locf() surface). Pure window plan, integer types
+    preserved, reusing the tier's conv partitioning."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+    from yatsm_spark.operators.tsfuncs import locf
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000100")
+    filled = rollup_gapfilled(with_measures(tx), "1m")
+    return locf(filled, ["token_len_sum"]).select(
+        "conv_id", "window_start", "turn_count", "token_len_sum", "gap_filled")
+
+
+def q_tx_interp(spark, sf_dir):
+    """Gap-fill value policy: linear interpolation across gap runs
+    (TimescaleDB interpolate()). Real rows stay integer-valued; gap rows
+    are prev + (next-prev)*frac from integer-exact operands, snapped to
+    the 1e-6 grid identically in both engines."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+    from yatsm_spark.operators.tsfuncs import interp_linear
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000100")
+    filled = rollup_gapfilled(with_measures(tx), "1m")
+    return interp_linear(filled, ["token_len_sum"]).select(
+        "conv_id", "window_start", "turn_count", "token_len_sum", "gap_filled")
+
+
+def q_tx_counter_increase(spark, sf_dir):
+    """PromQL-style reset-aware increase() over a modular cumulative-turn
+    counter (resets every 512 turns) replayed per conv on the sparse 1m
+    tier. Integer math end to end."""
+    from pyspark.sql import Window
+
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.rollup import rollup_from_turns
+    from yatsm_spark.operators.tsfuncs import total_increase
+
+    tier = rollup_from_turns(with_measures(_tx(spark, sf_dir)), "1m")
+    w = (Window.partitionBy("conv_id").orderBy("window_start")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    counter = tier.withColumn(
+        "counter", F.pmod(F.sum("turn_count").over(w), F.lit(512)))
+    return total_increase(counter, "counter").orderBy("conv_id")
+
+
+def q_tx_twa(spark, sf_dir):
+    """Time-weighted average token_len_sum over the SPARSE 1m tier
+    (TimescaleDB time_weight('locf')): each slot's value holds until the
+    next real slot. decimal(38,0)-exact sums; one snapped division."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.rollup import rollup_from_turns
+    from yatsm_spark.operators.tsfuncs import time_weighted_avg
+
+    tier = rollup_from_turns(with_measures(_tx(spark, sf_dir)), "1m")
+    return time_weighted_avg(tier, "token_len_sum").orderBy("conv_id")
+
+
+def q_tx_lttb(spark, sf_dir):
+    """LTTB downsample (Steinarsson 2013; TimescaleDB lttb()) of each
+    conv's sparse 1m series to <= 64 visually-dominant points. Oracle: a
+    pure-numpy twin (tools/make_goldens.py::lttb_twin — same kernel, no
+    Spark) persisted as data/golden_lttb_sf0.01.parquet, so the row is a
+    genuine differential over applyInPandas grouping/ordering/Arrow.
+    Emitted values are the tier's original integers — floats only pick
+    indices."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.downsample import lttb
+    from yatsm_spark.operators.rollup import rollup_from_turns
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000100")
+    tier = rollup_from_turns(with_measures(tx), "1m")
+    return lttb(tier, "turn_count", 64).orderBy("conv_id", "pos")
 
 
 def q_tx_cascade_1h(spark, sf_dir):
@@ -825,6 +903,27 @@ def q_heavy_hitters(spark, sf_dir):
         .orderBy("role", "conv_id")
 
 
+def q_bloom_join(spark, sf_dir):
+    """EXACT fact join dim with Bloom pre-pruning of the fact side
+    (operators/bloomjoin.py): the dim keys (urgent orders) are packed
+    into a BIT_OR word bitmap (<= n_bits/64 rows, never collected) and
+    lineitem is pruned by k broadcast word-lookups BEFORE the join
+    exchange. The Bloom filter's one-sided error (no false negatives)
+    means the result equals the plain join — which is the oracle, same
+    structure as the CMS-accelerated heavy_hitters."""
+    from yatsm_spark.operators.bloomjoin import bloom_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (_t(spark, sf_dir, "orders")
+           .filter(F.col("o_orderpriority") == "1-URGENT")
+           .select("o_orderkey"))
+    j = bloom_join(li, dim, "l_orderkey", "o_orderkey", n_bits=1 << 16)
+    return (j.groupBy("o_orderkey")
+             .agg(F.count(F.lit(1)).alias("n_lines"),
+                  F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"))
+             .orderBy("o_orderkey"))
+
+
 def q_simhash(spark, sf_dir):
     from yatsm_spark.operators.dedup import simhash16
 
@@ -1146,6 +1245,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_reconcile_merge": q_tx_reconcile_merge,
         "tx_retention": q_tx_retention,
         "tx_gapfill_1m": q_tx_gapfill_1m,
+        "tx_locf": q_tx_locf,
+        "tx_interp": q_tx_interp,
+        "tx_counter_increase": q_tx_counter_increase,
+        "tx_twa": q_tx_twa,
+        "tx_lttb": q_tx_lttb,
         "tx_cascade_1h": q_tx_cascade_1h,
         "tx_cascade_1d": q_tx_cascade_1d,
         "tx_derived_stats_1h": q_tx_derived_stats_1h,
@@ -1201,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdr_quantiles": q_hdr_quantiles,
         "cms_estimate": q_cms_estimate,
         "heavy_hitters": q_heavy_hitters,
+        "bloom_join": q_bloom_join,
         "cosine_topk": q_cosine_topk,
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,
@@ -1545,6 +1650,117 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(r.tool_call_count, 0)::long AS tool_call_count,
                    (r.conv_id IS NULL) AS gap_filled
             FROM grid g LEFT JOIN r ON g.conv_id = r.conv_id AND g.window_start = r.window_start
+        """,
+        "tx_locf": f"""
+            WITH t AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000100'),
+            r AS (
+              SELECT conv_id, {slot_m} AS window_start,
+                     count(*)::long AS turn_count,
+                     sum(length(text))::long AS token_len_sum
+              FROM t GROUP BY 1, 2),
+            spans AS (SELECT conv_id, min(window_start) mn, max(window_start) mx
+                      FROM r GROUP BY conv_id),
+            grid AS (SELECT conv_id,
+                            unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS window_start
+                     FROM spans),
+            filled AS (
+              SELECT g.conv_id, g.window_start,
+                     coalesce(r.turn_count, 0)::long AS turn_count,
+                     r.token_len_sum AS token_len_sum,
+                     (r.conv_id IS NULL) AS gap_filled
+              FROM grid g LEFT JOIN r ON g.conv_id = r.conv_id AND g.window_start = r.window_start)
+            SELECT conv_id, window_start, turn_count,
+                   last_value(token_len_sum IGNORE NULLS) OVER (
+                     PARTITION BY conv_id ORDER BY window_start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::long
+                     AS token_len_sum,
+                   gap_filled
+            FROM filled
+        """,
+        # identical expression tree to interp_linear: integer-exact
+        # operands, one double division, 1e-6 snap (round-half-up).
+        "tx_interp": f"""
+            WITH t AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000100'),
+            r AS (
+              SELECT conv_id, {slot_m} AS window_start,
+                     count(*)::long AS turn_count,
+                     sum(length(text))::long AS token_len_sum
+              FROM t GROUP BY 1, 2),
+            spans AS (SELECT conv_id, min(window_start) mn, max(window_start) mx
+                      FROM r GROUP BY conv_id),
+            grid AS (SELECT conv_id,
+                            unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS window_start
+                     FROM spans),
+            filled AS (
+              SELECT g.conv_id, g.window_start,
+                     coalesce(r.turn_count, 0)::long AS turn_count,
+                     r.token_len_sum AS token_len_sum,
+                     (r.conv_id IS NULL) AS gap_filled
+              FROM grid g LEFT JOIN r ON g.conv_id = r.conv_id AND g.window_start = r.window_start),
+            marks AS (
+              SELECT conv_id, window_start, turn_count, gap_filled,
+                     token_len_sum,
+                     epoch(window_start)::bigint AS s,
+                     (last_value(token_len_sum IGNORE NULLS) OVER wp)::double AS pv,
+                     last_value(CASE WHEN token_len_sum IS NOT NULL
+                                     THEN epoch(window_start)::bigint END
+                                IGNORE NULLS) OVER wp AS ps,
+                     (first_value(token_len_sum IGNORE NULLS) OVER wn)::double AS nv,
+                     first_value(CASE WHEN token_len_sum IS NOT NULL
+                                      THEN epoch(window_start)::bigint END
+                                 IGNORE NULLS) OVER wn AS ns
+              FROM filled
+              WINDOW wp AS (PARTITION BY conv_id ORDER BY window_start
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wn AS (PARTITION BY conv_id ORDER BY window_start
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+            SELECT conv_id, window_start, turn_count,
+                   CASE WHEN token_len_sum IS NOT NULL THEN token_len_sum::double
+                        ELSE floor((pv + (nv - pv) *
+                                    ((s - ps)::double / (ns - ps)::double))
+                                   * 1e6 + 0.5) / 1e6 END AS token_len_sum,
+                   gap_filled
+            FROM marks
+        """,
+        "tx_counter_increase": f"""
+            WITH r AS (
+              SELECT conv_id, {slot_m} AS window_start,
+                     count(*)::long AS turn_count
+              FROM {tx} GROUP BY 1, 2),
+            c AS (
+              SELECT conv_id, window_start,
+                     (sum(turn_count) OVER (
+                        PARTITION BY conv_id ORDER BY window_start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      % 512)::long AS counter
+              FROM r),
+            d AS (
+              SELECT conv_id, counter,
+                     lag(counter) OVER (
+                       PARTITION BY conv_id ORDER BY window_start) AS prev
+              FROM c)
+            SELECT conv_id,
+                   sum(CASE WHEN prev IS NULL THEN 0
+                            WHEN counter >= prev THEN counter - prev
+                            ELSE counter END)::long AS total_increase,
+                   count(*)::long AS n_points
+            FROM d GROUP BY conv_id ORDER BY conv_id
+        """,
+        "tx_twa": f"""
+            WITH r AS (
+              SELECT conv_id, {slot_m} AS window_start,
+                     sum(length(text))::long AS token_len_sum
+              FROM {tx} GROUP BY 1, 2),
+            d AS (
+              SELECT conv_id, token_len_sum,
+                     lead(epoch(window_start)::bigint) OVER w
+                       - epoch(window_start)::bigint AS dur
+              FROM r WINDOW w AS (PARTITION BY conv_id ORDER BY window_start))
+            SELECT conv_id,
+                   floor((sum(token_len_sum * dur)::double
+                          / sum(dur)::double) * 1e6 + 0.5) / 1e6 AS twa,
+                   sum(dur)::long AS span_secs
+            FROM d GROUP BY conv_id ORDER BY conv_id
         """,
         "tx_cascade_1h": f"""
             SELECT conv_id, {slot_h} AS window_start, {ROLE_COUNTS_SQL}
@@ -2127,6 +2343,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY role, conv_id HAVING count(*) >= 600
             ORDER BY role, conv_id
         """,
+        # the Bloom pre-prune has no false negatives, so the plain join
+        # is the whole truth (same one-sided-sketch argument as above).
+        "bloom_join": """
+            SELECT o_orderkey, count(*)::long AS n_lines,
+                   sum(l_quantity::long)::long AS qty_sum
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY o_orderkey ORDER BY o_orderkey
+        """,
         # The identical next-fit fold, replayed sequentially per
         # (source, shard) group by a recursive CTE over the doc_id-order
         # row numbers — dl >= 1 so fill > 0 after the anchor row, making
@@ -2163,6 +2388,12 @@ def oracle_sql() -> dict[str, str]:
               JOIN base b ON b.source = f.source AND b.shard = f.shard
                          AND b.rn = f.rn + 1)
             SELECT doc_id, source, shard, dl, bin_idx, bin_offset FROM fold
+        """,
+        "tx_lttb": f"""
+            SELECT conv_id, window_start::timestamp AS window_start,
+                   turn_count::long AS turn_count, pos::int AS pos
+            FROM read_parquet('{GOLDEN_LTTB}')
+            ORDER BY conv_id, pos
         """,
         "tx_segments": f"""
             SELECT conv_id, segment_id::int AS segment_id,

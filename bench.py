@@ -184,7 +184,8 @@ def main():
     for name in ("tpch_q1", "events_rollup_1m", "order_lineitem_interval",
                  "minhash_pairs", "cosine_topk", "simhash", "quality",
                  "bm25_topk", "hll_distinct", "curate_corpus",
-                 "pca_project", "pq_adc_topk", "zorder_events"):
+                 "pca_project", "pq_adc_topk", "zorder_events",
+                 "bloom_join"):
         fn = e.queries()[name]
         timed(name, lambda fn=fn: sink(fn(spark, SF_DIR)))
 

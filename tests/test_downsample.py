@@ -1,0 +1,76 @@
+"""LTTB downsampling: kernel properties + Spark operator parity with the
+shared kernel."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from yatsm_spark.kernel.downsample import lttb_frame, lttb_indices
+
+
+def test_endpoints_always_kept():
+    t = np.arange(100, dtype=float)
+    v = np.sin(t)
+    idx = lttb_indices(t, v, 10)
+    assert idx[0] == 0 and idx[-1] == 99 and len(idx) == 10
+    assert (np.diff(idx) > 0).all()  # strictly increasing -> time order
+
+
+def test_short_series_pass_through():
+    t = np.arange(5, dtype=float)
+    assert lttb_indices(t, t, 64).tolist() == [0, 1, 2, 3, 4]
+
+
+def test_spike_is_kept():
+    # flat series with one spike: the spike forms the largest triangle
+    t = np.arange(9, dtype=float)
+    v = np.zeros(9)
+    v[4] = 100.0
+    idx = lttb_indices(t, v, 3)
+    assert 4 in idx.tolist()
+
+
+def test_validation():
+    t = np.arange(10, dtype=float)
+    with pytest.raises(ValueError):
+        lttb_indices(t, t, 2)
+    with pytest.raises(ValueError):
+        lttb_indices(t, t[:5], 3)
+
+
+def test_operator_matches_kernel(spark):
+    from yatsm_spark.operators.downsample import lttb
+
+    base = datetime(2025, 1, 1)
+    rng = np.random.default_rng(7)
+    vals = rng.integers(1, 100, size=200)
+    rows = [("c1", base + timedelta(minutes=i), int(vals[i]))
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, window_start timestamp, turn_count long")
+    got = (lttb(df, "turn_count", 16).orderBy("pos")
+           .select("window_start", "turn_count", "pos").collect())
+
+    ts_ns = np.array([int((base + timedelta(minutes=i)
+                           - datetime(1970, 1, 1)).total_seconds() * 1e9)
+                      for i in range(200)], dtype=np.int64)
+    sel, pos = lttb_frame(ts_ns, vals.astype(np.float64), 16)
+    assert [r.pos for r in got] == pos.tolist()
+    assert [r.turn_count for r in got] == [int(vals[i]) for i in sel]
+    assert len(got) == 16
+
+
+def test_operator_groups_independently(spark):
+    from yatsm_spark.operators.downsample import lttb
+
+    base = datetime(2025, 1, 1)
+    rows = [(c, base + timedelta(minutes=i), i + 1)
+            for c in ("a", "b") for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, window_start timestamp, turn_count long")
+    out = lttb(df, "turn_count", 8)
+    counts = {r.conv_id: r.n for r in
+              out.groupBy("conv_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 8, "b": 8}

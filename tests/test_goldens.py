@@ -95,3 +95,10 @@ def test_goldens_are_fresh():
     stored_ivfpq = pd.read_parquet(
         os.path.join(REPO, "data", "golden_ivfpq_sf0.01.parquet"))
     pd.testing.assert_frame_equal(ivfpq, stored_ivfpq, check_exact=True)
+
+    from make_goldens import lttb_twin
+
+    lt = lttb_twin()
+    stored_lt = pd.read_parquet(
+        os.path.join(REPO, "data", "golden_lttb_sf0.01.parquet"))
+    pd.testing.assert_frame_equal(lt, stored_lt, check_exact=True)

@@ -504,6 +504,34 @@ def ivfpq_twin(n_centroids: int = 8, m: int = 8, ksub: int = 16,
 
 
 
+def lttb_twin(conv_max: str = "conv00000100", n_out: int = 64) -> pd.DataFrame:
+    """tx_lttb twin: the sparse 1m tier recomputed in DuckDB, each conv
+    downsampled by the SAME kernel (kernel/downsample.py::lttb_frame)
+    the Spark operator calls — the differential covers the applyInPandas
+    grouping, per-group ordering, and Arrow round-trip."""
+    from yatsm_spark.kernel.downsample import lttb_frame
+
+    tier = duckdb.sql(f"""
+        SELECT conv_id,
+               to_timestamp((floor(epoch(ts)/60)*60)::bigint)::timestamp AS window_start,
+               count(*)::long AS turn_count
+        FROM read_parquet('{TX}/*.parquet')
+        WHERE conv_id < '{conv_max}'
+        GROUP BY 1, 2 ORDER BY conv_id, window_start
+    """).df()
+    outs = []
+    for conv, g in tier.groupby("conv_id", sort=True):
+        g = g.reset_index(drop=True)
+        ts_ns = g["window_start"].astype("datetime64[ns]").astype("int64")
+        sel, pos = lttb_frame(ts_ns.to_numpy(), g["turn_count"].to_numpy(),
+                              n_out)
+        o = g.iloc[sel][["conv_id", "window_start", "turn_count"]] \
+             .reset_index(drop=True)
+        o["pos"] = pos
+        outs.append(o)
+    return pd.concat(outs, ignore_index=True)
+
+
 def main() -> None:
     segs = segments_twin("conv00000300")
     seg_path = os.path.join(REPO, "data", "golden_segments_sf0.01.parquet")
@@ -565,6 +593,11 @@ def main() -> None:
     path = os.path.join(REPO, "data", "golden_ivfpq_sf0.01.parquet")
     ivfpq.to_parquet(path, index=False)
     print(f"wrote {path}: {len(ivfpq)} rows")
+
+    lt = lttb_twin()
+    path = os.path.join(REPO, "data", "golden_lttb_sf0.01.parquet")
+    lt.to_parquet(path, index=False)
+    print(f"wrote {path}: {len(lt)} rows")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,41 @@
+"""LTTB downsampling over rollup tiers — one applyInPandas pass per
+conv, emitting the n_out visually-dominant slots of each series.
+
+Scale shape: the only exchange is the per-conv grouping shuffle of the
+(already aggregated) tier — slots, not raw turns — and the output is
+<= n_out rows per conv regardless of series length, so downstream
+(dashboards, plot exports) reads a bounded table. The selection kernel
+(kernel/downsample.py) is shared verbatim with the golden twin; emitted
+values are the tier's original integers (floats only pick indices).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from yatsm_spark.kernel.downsample import lttb_frame
+
+
+def lttb(tier: DataFrame, value_col: str = "turn_count", n_out: int = 64,
+         by: str = "conv_id", order_col: str = "window_start") -> DataFrame:
+    """(by, order_col, value_col, pos): the LTTB-selected points of each
+    series, pos = 0..k-1 in time order (k = min(n_out, series length)).
+    Series shorter than n_out pass through whole."""
+    if n_out < 3:
+        raise ValueError("n_out must be >= 3")
+    src = tier.select(by, order_col, value_col)
+
+    def fit(pdf):
+        pdf = (pdf.sort_values(order_col, kind="mergesort")
+                  .reset_index(drop=True))
+        ts_ns = pdf[order_col].astype("datetime64[ns]").astype("int64")
+        sel, pos = lttb_frame(ts_ns.to_numpy(), pdf[value_col].to_numpy(),
+                              n_out)
+        out = pdf.iloc[sel][[by, order_col, value_col]].reset_index(drop=True)
+        out["pos"] = pos
+        return out
+
+    schema = (f"{by} {dict(src.dtypes)[by]}, "
+              f"{order_col} {dict(src.dtypes)[order_col]}, "
+              f"{value_col} {dict(src.dtypes)[value_col]}, pos int")
+    return src.groupBy(by).applyInPandas(fit, schema)
