@@ -284,6 +284,34 @@ def main():
          "Join", False),
     ])
 
+    audit("bloom_join (bitmap lookups prune fact pre-exchange)",
+          qs["bloom_join"](spark, SF_DIR), [
+        ("every bitmap word-lookup is a broadcast join (never a shuffle "
+         "of fact)", "BroadcastHashJoin", True),
+        ("no cartesian product", "CartesianProduct", False),
+    ])
+
+    audit("tx_locf (gap-fill + LOCF windows)",
+          qs["tx_locf"](spark, SF_DIR), [
+        ("window functions present (lag for holes, last for carry)",
+         "Window", True),
+        ("no join in the fill path (sequence+explode, not grid join)",
+         "SortMergeJoin", False),
+    ])
+
+    audit("tx_twa (lead-window + decimal-exact agg)",
+          qs["tx_twa"](spark, SF_DIR), [
+        ("map-side partial aggregation present", "partial_", True),
+        ("text pruned before the shuffle (only length survives)",
+         "ReadSchema", True),
+    ])
+
+    audit("tx_lttb (bounded downsample, one grouping pass)",
+          qs["tx_lttb"](spark, SF_DIR), [
+        ("applyInPandas grouping present", "FlatMapGroupsInPandas", True),
+        ("no cartesian product", "CartesianProduct", False),
+    ])
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)

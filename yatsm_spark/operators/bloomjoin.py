@@ -86,6 +86,11 @@ def bloom_prune(fact: DataFrame, bitmap: DataFrame, key_col: str,
     probed bit is set. No exchange of fact, no Python. Null keys are
     pruned (one-sided error only concerns non-null keys an inner join
     could match).
+
+    The bitmap plan is referenced k times with different column aliases,
+    which defeats exchange reuse — materialize it once (``bloom_join``
+    does ``localCheckpoint(eager=True)``) so the dim aggregation runs a
+    single time, not per hash.
     """
     out = fact
     conds = []
@@ -117,6 +122,9 @@ def bloom_join(fact: DataFrame, dim: DataFrame, fact_key: str,
     too big to broadcast but selective: the fact shuffle then carries
     matches + ~fp_rate noise instead of the whole table.
     """
-    bm = bloom_bitmap(dim, dim_key, n_bits, n_hashes)
+    # materialize the (tiny, bounded) bitmap once: its plan is probed k
+    # times under different aliases, which defeats exchange reuse
+    bm = bloom_bitmap(dim, dim_key, n_bits, n_hashes) \
+        .localCheckpoint(eager=True)
     pruned = bloom_prune(fact, bm, fact_key, n_bits, n_hashes)
     return pruned.join(dim, pruned[fact_key] == dim[dim_key])
