@@ -231,6 +231,36 @@ def q_tx_lttb(spark, sf_dir):
     return lttb(tier, "turn_count", 64).orderBy("conv_id", "pos")
 
 
+def q_tx_m4(spark, sf_dir):
+    """M4 downsampling (Jugel et al., VLDB 2014): per (conv, 1h bucket)
+    keep only the first/last/min/max points of the 1m series — the
+    error-free line-chart reduction. Exact integer relation (ties break
+    on earliest slot), pure window plan, <= 4 rows per bucket."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.downsample import m4_downsample
+    from yatsm_spark.operators.rollup import rollup_from_turns
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000100")
+    tier = rollup_from_turns(with_measures(tx), "1m")
+    return m4_downsample(tier, "turn_count", 3600) \
+        .orderBy("conv_id", "window_start")
+
+
+def q_tx_ewma(spark, sf_dir):
+    """EWMA smoothing (adjust=False recurrence, alpha=0.25) over each
+    conv's 1h series. alpha and 1-alpha are exact binary fractions, so
+    the DuckDB oracle's recursive-CTE replay of the identical recurrence
+    agrees to the LAST BIT — raw doubles, no snapping (same discipline
+    as the tx_segments coefficient columns)."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.rollup import rollup_from_turns
+    from yatsm_spark.operators.tsfuncs import ewma
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
+    tier = rollup_from_turns(with_measures(tx), "1h")
+    return ewma(tier, "turn_count", 0.25).orderBy("conv_id", "window_start")
+
+
 def q_tx_cascade_1h(spark, sf_dir):
     """Cascade 1m->1h from partial aggregates; oracle computes 1h DIRECTLY
     from raw turns — passing means the cascade is exact (A7 invariant)."""
@@ -1250,6 +1280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_counter_increase": q_tx_counter_increase,
         "tx_twa": q_tx_twa,
         "tx_lttb": q_tx_lttb,
+        "tx_m4": q_tx_m4,
+        "tx_ewma": q_tx_ewma,
         "tx_cascade_1h": q_tx_cascade_1h,
         "tx_cascade_1d": q_tx_cascade_1d,
         "tx_derived_stats_1h": q_tx_derived_stats_1h,
@@ -2394,6 +2426,59 @@ def oracle_sql() -> dict[str, str]:
                    turn_count::long AS turn_count, pos::int AS pos
             FROM read_parquet('{GOLDEN_LTTB}')
             ORDER BY conv_id, pos
+        """,
+        # M4: integer relation, ties break on earliest slot in BOTH
+        # engines (identical ORDER BY in the four row_number windows).
+        "tx_m4": f"""
+            WITH t AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000100'),
+            r AS (
+              SELECT conv_id, {slot_m} AS window_start,
+                     count(*)::long AS turn_count
+              FROM t GROUP BY 1, 2),
+            bkt AS (
+              SELECT conv_id, window_start, turn_count,
+                     floor(epoch(window_start)/3600)::long AS bucket
+              FROM r),
+            flags AS (
+              SELECT conv_id, window_start, turn_count, bucket,
+                     row_number() OVER (PARTITION BY conv_id, bucket
+                       ORDER BY turn_count ASC, window_start ASC) = 1 AS is_min,
+                     row_number() OVER (PARTITION BY conv_id, bucket
+                       ORDER BY turn_count DESC, window_start ASC) = 1 AS is_max,
+                     row_number() OVER (PARTITION BY conv_id, bucket
+                       ORDER BY window_start ASC) = 1 AS is_first,
+                     row_number() OVER (PARTITION BY conv_id, bucket
+                       ORDER BY window_start DESC) = 1 AS is_last
+              FROM bkt)
+            SELECT * FROM flags
+            WHERE is_min OR is_max OR is_first OR is_last
+            ORDER BY conv_id, window_start
+        """,
+        # EWMA recurrence replayed exactly: 0.25/0.75 are exact binary
+        # doubles, multiplications and the add occur in the same order as
+        # the numpy kernel, so raw doubles match to the last bit.
+        "tx_ewma": f"""
+            WITH RECURSIVE
+            t AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000200'),
+            r AS (
+              SELECT conv_id, {slot_h} AS window_start,
+                     count(*)::long AS turn_count
+              FROM t GROUP BY 1, 2),
+            o AS (
+              SELECT conv_id, window_start, turn_count,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY window_start) AS rn
+              FROM r),
+            e AS (
+              SELECT conv_id, window_start, turn_count, rn,
+                     turn_count::double AS ewma
+              FROM o WHERE rn = 1
+              UNION ALL
+              SELECT o.conv_id, o.window_start, o.turn_count, o.rn,
+                     0.25 * o.turn_count::double + 0.75 * e.ewma
+              FROM o JOIN e ON o.conv_id = e.conv_id AND o.rn = e.rn + 1)
+            SELECT conv_id, window_start, turn_count, ewma
+            FROM e ORDER BY conv_id, window_start
         """,
         "tx_segments": f"""
             SELECT conv_id, segment_id::int AS segment_id,

@@ -74,3 +74,43 @@ def test_operator_groups_independently(spark):
     counts = {r.conv_id: r.n for r in
               out.groupBy("conv_id").agg(F.count("*").alias("n")).collect()}
     assert counts == {"a": 8, "b": 8}
+
+
+def test_m4_flags_and_bounds(spark):
+    from datetime import datetime, timedelta
+
+    from yatsm_spark.operators.downsample import m4_downsample
+
+    base = datetime(2025, 1, 1)
+    # one conv, 120 one-minute slots spanning two 1h buckets
+    vals = [(i * 7) % 50 for i in range(120)]
+    rows = [("c1", base + timedelta(minutes=i), vals[i]) for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, window_start timestamp, turn_count long")
+    out = m4_downsample(df, "turn_count", 3600).collect()
+    assert len(out) <= 8  # <= 4 rows per bucket
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert len(by_bucket) == 2
+    first_bucket = min(by_bucket)
+    for bucket, rs in by_bucket.items():
+        lo = vals[:60] if bucket == first_bucket else vals[60:]
+        assert any(r.is_min and r.turn_count == min(lo) for r in rs)
+        assert any(r.is_max and r.turn_count == max(lo) for r in rs)
+        assert any(r.is_first for r in rs) and any(r.is_last for r in rs)
+
+
+def test_m4_tie_breaks_earliest(spark):
+    from datetime import datetime, timedelta
+
+    from yatsm_spark.operators.downsample import m4_downsample
+
+    base = datetime(2025, 1, 1)
+    rows = [("c1", base + timedelta(minutes=i), 5) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, window_start timestamp, turn_count long")
+    out = {r.window_start.minute: r for r in
+           m4_downsample(df, "turn_count", 3600).collect()}
+    assert out[0].is_min and out[0].is_max and out[0].is_first
+    assert out[3].is_last and not out[3].is_min

@@ -79,3 +79,27 @@ def test_multi_conv_independence(spark):
     both = a.unionByName(b)
     out = locf(both, ["v"]).groupBy("conv_id").agg(F.sum("v").alias("s"))
     assert {r.s for r in out.collect()} == {100 + 100 + 100 + 400 + 50}
+
+
+def test_ewma_recurrence_exact(spark):
+    from yatsm_spark.operators.tsfuncs import ewma
+
+    rows = [("c1", _ts(i), v) for i, v in enumerate([8, 0, 16, 4])]
+    df = spark.createDataFrame(
+        rows, "conv_id string, window_start timestamp, v long")
+    got = [r.ewma for r in
+           ewma(df, "v", 0.25).orderBy("window_start").collect()]
+    want = [8.0]
+    for x in (0, 16, 4):
+        want.append(0.25 * x + 0.75 * want[-1])
+    assert got == want
+
+
+def test_ewma_single_and_empty(spark):
+    from yatsm_spark.operators.tsfuncs import ewma
+
+    one = spark.createDataFrame([("c", _ts(0), 9)],
+                                "conv_id string, window_start timestamp, v long")
+    assert ewma(one, "v").collect()[0].ewma == 9.0
+    empty = spark.createDataFrame([], "conv_id string, window_start timestamp, v long")
+    assert ewma(empty, "v").count() == 0

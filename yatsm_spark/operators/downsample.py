@@ -12,6 +12,7 @@ values are the tier's original integers (floats only pick indices).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from yatsm_spark.kernel.downsample import lttb_frame
 
@@ -39,3 +40,35 @@ def lttb(tier: DataFrame, value_col: str = "turn_count", n_out: int = 64,
               f"{order_col} {dict(src.dtypes)[order_col]}, "
               f"{value_col} {dict(src.dtypes)[value_col]}, pos int")
     return src.groupBy(by).applyInPandas(fit, schema)
+
+
+def m4_downsample(tier: DataFrame, value_col: str = "turn_count",
+                  bucket_secs: int = 3600, by: str = "conv_id",
+                  order_col: str = "window_start") -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014 — the error-free
+    line-chart reduction): per (series, time bucket) keep ONLY the rows
+    that are the bucket's first, last, min-value, and max-value points,
+    flagged is_first/is_last/is_min/is_max.
+
+    Ties resolve deterministically (earliest slot wins for min AND max),
+    so the output is an exact integer relation — pure Catalyst window
+    plan, one shuffle, SQL-oracle-able with no floats anywhere. Output
+    is <= 4 rows per bucket regardless of series density.
+    """
+    from pyspark.sql import Window
+
+    b = F.floor(F.unix_timestamp(F.col(order_col)) / bucket_secs) \
+        .cast("long").alias("bucket")
+    src = tier.select(by, order_col, value_col, b)
+    v, t = F.col(value_col), F.col(order_col)
+    part = [by, "bucket"]
+    rn = {
+        "is_min": Window.partitionBy(*part).orderBy(v.asc(), t.asc()),
+        "is_max": Window.partitionBy(*part).orderBy(v.desc(), t.asc()),
+        "is_first": Window.partitionBy(*part).orderBy(t.asc()),
+        "is_last": Window.partitionBy(*part).orderBy(t.desc()),
+    }
+    out = src
+    for flag, w in rn.items():
+        out = out.withColumn(flag, F.row_number().over(w) == 1)
+    return out.filter("is_min OR is_max OR is_first OR is_last")

@@ -104,6 +104,44 @@ def total_increase(df: DataFrame, counter_col: str, by: str = "conv_id",
                  F.count(F.lit(1)).alias("n_points")))
 
 
+def ewma(df: DataFrame, value_col: str, alpha: float = 0.25,
+         by: str = "conv_id", order_col: str = "window_start") -> DataFrame:
+    """Exponentially-weighted moving average per series:
+    s_0 = x_0, s_i = alpha*x_i + (1-alpha)*s_{i-1} (the adjust=False /
+    online-monitoring recurrence). One applyInPandas pass per series.
+
+    Cross-engine bit-exactness without snapping: pick an ``alpha`` whose
+    value AND complement are exact binary fractions (0.25/0.75, 0.5/0.5,
+    0.125/0.875 ...) — then both engines multiply by identical doubles
+    in identical order and the accumulated stream agrees to the last
+    bit (the DuckDB oracle replays the recurrence with a recursive CTE).
+    The default 0.25 satisfies this; other alphas work but drift by
+    ulps between engines and would need grid-snapping.
+    """
+    import numpy as np
+
+    beta = 1.0 - alpha
+    src = df.select(by, order_col, value_col)
+
+    def fit(pdf):
+        pdf = (pdf.sort_values(order_col, kind="mergesort")
+                  .reset_index(drop=True))
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        s = np.empty(len(x), dtype=np.float64)
+        if len(x):
+            s[0] = x[0]
+            for i in range(1, len(x)):
+                s[i] = alpha * x[i] + beta * s[i - 1]
+        pdf = pdf.copy()
+        pdf["ewma"] = s
+        return pdf
+
+    schema = (f"{by} {dict(src.dtypes)[by]}, "
+              f"{order_col} {dict(src.dtypes)[order_col]}, "
+              f"{value_col} {dict(src.dtypes)[value_col]}, ewma double")
+    return src.groupBy(by).applyInPandas(fit, schema)
+
+
 def time_weighted_avg(df: DataFrame, value_col: str, by: str = "conv_id",
                       order_col: str = "window_start") -> DataFrame:
     """(by, twa, span_secs): LOCF-weighted time average over an
