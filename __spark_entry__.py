@@ -261,6 +261,105 @@ def q_tx_ewma(spark, sf_dir):
     return ewma(tier, "turn_count", 0.25).orderBy("conv_id", "window_start")
 
 
+def q_tx_holt(spark, sf_dir):
+    """Holt double exponential smoothing (level + trend, alpha=0.5,
+    beta=0.25, zero initial trend) over each conv's 1h series. All four
+    recurrence multipliers are exact binary fractions, so the DuckDB
+    recursive-CTE replay of the two-accumulator recurrence agrees with
+    the raw double streams to the LAST BIT — no snapping (the tx_ewma
+    discipline, extended to coupled accumulators)."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.rollup import rollup_from_turns
+    from yatsm_spark.operators.tsfuncs import holt
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
+    tier = rollup_from_turns(with_measures(tx), "1h")
+    return holt(tier, "turn_count").orderBy("conv_id", "window_start")
+
+
+def q_tx_rate(spark, sf_dir):
+    """PromQL rate(): reset-aware total increase of the modular turn
+    counter divided by each conv's observed span. Integer numerator and
+    denominator; the one division is 1e-6-snapped via the shared
+    round-half-up floor formula."""
+    from pyspark.sql import Window
+
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.rollup import rollup_from_turns
+    from yatsm_spark.operators.tsfuncs import rate_per_sec
+
+    tier = rollup_from_turns(with_measures(_tx(spark, sf_dir)), "1m")
+    w = (Window.partitionBy("conv_id").orderBy("window_start")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    counter = tier.withColumn(
+        "counter", F.pmod(F.sum("turn_count").over(w), F.lit(512)))
+    return rate_per_sec(counter, "counter").orderBy("conv_id")
+
+
+def q_tx_deriv(spark, sf_dir):
+    """PromQL deriv(): per-conv least-squares slope of token_len_sum
+    against time over the sparse 1m tier. Five exact-decimal moments
+    (order-independent — bit-identical at any parallelism), x shifted
+    to seconds-since-first-slot, one snapped double division; the
+    DuckDB oracle replays the identical tree over HUGEINT moments."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.rollup import rollup_from_turns
+    from yatsm_spark.operators.tsfuncs import deriv
+
+    tier = rollup_from_turns(with_measures(_tx(spark, sf_dir)), "1m")
+    return deriv(tier, "token_len_sum").orderBy("conv_id")
+
+
+def q_tx_corr(spark, sf_dir):
+    """Per-conv Pearson correlation between turn_count and
+    token_len_sum on the 1h tier, from exact-decimal moments; the two
+    variance terms are sqrt'd separately in double (their decimal
+    product could overflow 38 digits), then one snapped division."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.rollup import rollup_from_turns
+    from yatsm_spark.operators.tsfuncs import pearson_corr
+
+    tier = rollup_from_turns(with_measures(_tx(spark, sf_dir)), "1h")
+    return pearson_corr(tier, "turn_count", "token_len_sum") \
+        .orderBy("conv_id")
+
+
+def q_tx_anomaly(spark, sf_dir):
+    """Rolling z-test anomaly flags over each conv's 1m turn_count
+    series: each slot vs its 30 preceding slots. The flag is decided in
+    PURE integer arithmetic (cross-multiplied 3-sigma test) — zero
+    float risk; the snapped zscore column evaluates the identical
+    sqrt-of-exact-integers tree in both engines."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.rollup import rollup_from_turns
+    from yatsm_spark.operators.tsfuncs import rolling_anomaly
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000100")
+    tier = rollup_from_turns(with_measures(tx), "1m") \
+        .select("conv_id", "window_start", "turn_count")
+    return rolling_anomaly(tier, "turn_count", k=30, sigma=3, min_n=8) \
+        .orderBy("conv_id", "window_start")
+
+
+def q_tx_hdr_cascade(spark, sf_dir):
+    """Continuous-aggregate quantile serve path: per-(conv, role) HDR
+    histograms SUM-merged to per-conv sketches (counts are commutative
+    integers — the merged sketch is BIT-identical to one built from
+    raw), then p50/p90/p99 of turn text length read off the merged
+    tier. The oracle builds the per-conv histogram DIRECTLY from raw
+    turns — passing proves sketch mergeability exactly (the A7 cascade
+    invariant, applied to sketches)."""
+    from yatsm_spark.operators.sketches import (hdr_histogram,
+                                                hdr_quantiles_from_hist)
+
+    tx = _tx(spark, sf_dir).withColumn("tlen", F.length("text"))
+    fine = hdr_histogram(tx, ["conv_id", "role"], "tlen")
+    merged = fine.groupBy("conv_id", "bucket") \
+                 .agg(F.sum("cnt").alias("cnt"))
+    return hdr_quantiles_from_hist(merged, ["conv_id"]) \
+        .orderBy("conv_id", "q_label")
+
+
 def q_tx_cascade_1h(spark, sf_dir):
     """Cascade 1m->1h from partial aggregates; oracle computes 1h DIRECTLY
     from raw turns — passing means the cascade is exact (A7 invariant)."""
@@ -1282,6 +1381,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_lttb": q_tx_lttb,
         "tx_m4": q_tx_m4,
         "tx_ewma": q_tx_ewma,
+        "tx_holt": q_tx_holt,
+        "tx_rate": q_tx_rate,
+        "tx_deriv": q_tx_deriv,
+        "tx_corr": q_tx_corr,
+        "tx_anomaly": q_tx_anomaly,
+        "tx_hdr_cascade": q_tx_hdr_cascade,
         "tx_cascade_1h": q_tx_cascade_1h,
         "tx_cascade_1d": q_tx_cascade_1d,
         "tx_derived_stats_1h": q_tx_derived_stats_1h,
@@ -1793,6 +1898,185 @@ def oracle_sql() -> dict[str, str]:
                           / sum(dur)::double) * 1e6 + 0.5) / 1e6 AS twa,
                    sum(dur)::long AS span_secs
             FROM d GROUP BY conv_id ORDER BY conv_id
+        """,
+        "tx_holt": f"""
+            WITH RECURSIVE
+            t AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000200'),
+            r AS (
+              SELECT conv_id, {slot_h} AS window_start,
+                     count(*)::long AS turn_count
+              FROM t GROUP BY 1, 2),
+            o AS (
+              SELECT conv_id, window_start, turn_count,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY window_start) AS rn
+              FROM r),
+            e AS (
+              SELECT conv_id, window_start, turn_count, rn,
+                     turn_count::double AS level, 0.0::double AS trend
+              FROM o WHERE rn = 1
+              UNION ALL
+              SELECT o.conv_id, o.window_start, o.turn_count, o.rn,
+                     0.5 * o.turn_count::double
+                       + 0.5 * (e.level + e.trend),
+                     0.25 * ((0.5 * o.turn_count::double
+                              + 0.5 * (e.level + e.trend)) - e.level)
+                       + 0.75 * e.trend
+              FROM o JOIN e ON o.conv_id = e.conv_id AND o.rn = e.rn + 1)
+            SELECT conv_id, window_start, turn_count, level, trend
+            FROM e ORDER BY conv_id, window_start
+        """,
+        "tx_rate": f"""
+            WITH r AS (
+              SELECT conv_id, {slot_m} AS window_start,
+                     count(*)::long AS turn_count
+              FROM {tx} GROUP BY 1, 2),
+            c AS (
+              SELECT conv_id, window_start,
+                     (sum(turn_count) OVER (
+                        PARTITION BY conv_id ORDER BY window_start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      % 512)::long AS counter
+              FROM r),
+            d AS (
+              SELECT conv_id, epoch(window_start)::bigint AS secs, counter,
+                     lag(counter) OVER (
+                       PARTITION BY conv_id ORDER BY window_start) AS prev
+              FROM c),
+            agg AS (
+              SELECT conv_id,
+                     sum(CASE WHEN prev IS NULL THEN 0
+                              WHEN counter >= prev THEN counter - prev
+                              ELSE counter END)::long AS total_increase,
+                     (max(secs) - min(secs))::long AS span_secs
+              FROM d GROUP BY conv_id)
+            SELECT conv_id,
+                   CASE WHEN span_secs > 0 THEN
+                     floor((total_increase::double / span_secs::double)
+                           * 1e6 + 0.5) / 1e6
+                   END AS rate,
+                   total_increase, span_secs
+            FROM agg ORDER BY conv_id
+        """,
+        "tx_deriv": f"""
+            WITH r AS (
+              SELECT conv_id, {slot_m} AS window_start,
+                     sum(length(text))::long AS token_len_sum
+              FROM {tx} GROUP BY 1, 2),
+            x AS (
+              SELECT conv_id,
+                     (epoch(window_start)::bigint
+                      - min(epoch(window_start)::bigint)
+                          OVER (PARTITION BY conv_id))::hugeint AS xs,
+                     token_len_sum::hugeint AS ys
+              FROM r),
+            m AS (
+              SELECT conv_id, count(*)::hugeint AS n,
+                     sum(xs)::hugeint AS sx, sum(ys)::hugeint AS sy,
+                     sum(xs * ys)::hugeint AS sxy,
+                     sum(xs * xs)::hugeint AS sxx
+              FROM x GROUP BY conv_id)
+            SELECT conv_id, n::long AS n_points,
+                   CASE WHEN (n * sxx - sx * sx) > 0 THEN
+                     floor(((n * sxy - sx * sy)::double
+                            / (n * sxx - sx * sx)::double)
+                           * 1e6 + 0.5) / 1e6
+                   END AS slope
+            FROM m ORDER BY conv_id
+        """,
+        "tx_corr": f"""
+            WITH r AS (
+              SELECT conv_id, {slot_h} AS window_start,
+                     count(*)::long AS x,
+                     sum(length(text))::long AS y
+              FROM {tx} GROUP BY 1, 2),
+            m AS (
+              SELECT conv_id, count(*)::hugeint AS n,
+                     sum(x::hugeint)::hugeint AS sx,
+                     sum(y::hugeint)::hugeint AS sy,
+                     sum(x::hugeint * y::hugeint)::hugeint AS sxy,
+                     sum(x::hugeint * x::hugeint)::hugeint AS sxx,
+                     sum(y::hugeint * y::hugeint)::hugeint AS syy
+              FROM r GROUP BY conv_id)
+            SELECT conv_id, n::long AS n_points,
+                   CASE WHEN (n * sxx - sx * sx) > 0
+                         AND (n * syy - sy * sy) > 0 THEN
+                     floor(((n * sxy - sx * sy)::double
+                            / (sqrt((n * sxx - sx * sx)::double)
+                               * sqrt((n * syy - sy * sy)::double)))
+                           * 1e6 + 0.5) / 1e6
+                   END AS corr
+            FROM m ORDER BY conv_id
+        """,
+        "tx_anomaly": f"""
+            WITH t AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000100'),
+            r AS (
+              SELECT conv_id, {slot_m} AS window_start,
+                     count(*)::long AS turn_count
+              FROM t GROUP BY 1, 2),
+            w AS (
+              SELECT conv_id, window_start, turn_count,
+                     count(turn_count) OVER pw AS n,
+                     sum(turn_count::hugeint) OVER pw AS s,
+                     sum(turn_count::hugeint * turn_count::hugeint)
+                       OVER pw AS q
+              FROM r
+              WINDOW pw AS (PARTITION BY conv_id ORDER BY window_start
+                            ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)),
+            d AS (
+              SELECT conv_id, window_start, turn_count, n,
+                     (n::hugeint * turn_count::hugeint - s) AS dev,
+                     (n::hugeint * q - s * s) AS var_n
+              FROM w)
+            SELECT conv_id, window_start, turn_count,
+                   CASE WHEN n >= 8 THEN
+                     CASE WHEN var_n > 0 THEN
+                       dev * dev * (n::hugeint - 1) > 9 * n::hugeint * var_n
+                     ELSE dev != 0 END
+                   END AS is_anomaly,
+                   CASE WHEN n >= 8 AND var_n > 0 THEN
+                     floor((dev::double
+                            * sqrt((n - 1)::double
+                                   / (n::hugeint * var_n)::double))
+                           * 1e6 + 0.5) / 1e6
+                   END AS zscore
+            FROM d ORDER BY conv_id, window_start
+        """,
+        "tx_hdr_cascade": f"""
+            WITH b AS (
+              SELECT conv_id,
+                     (CASE WHEN x <= 3 THEN x
+                           ELSE (length(bin(x)) - 2) * 4
+                                + ((x >> (length(bin(x)) - 3)) & 3)
+                      END)::int AS bucket
+              FROM (SELECT conv_id, length(text)::BIGINT AS x FROM {tx}
+                    WHERE text IS NOT NULL AND length(text) >= 0)),
+            hist AS (SELECT conv_id, bucket, count(*)::long AS cnt
+                     FROM b GROUP BY conv_id, bucket),
+            cum AS (SELECT conv_id, bucket,
+                           sum(cnt) OVER (PARTITION BY conv_id
+                                          ORDER BY bucket) AS cum,
+                           sum(cnt) OVER (PARTITION BY conv_id) AS n
+                    FROM hist),
+            q AS (SELECT * FROM (VALUES (1, 2, 'p50'), (9, 10, 'p90'),
+                                        (99, 100, 'p99'))
+                  AS t(qn, qd, q_label)),
+            sel AS (
+              SELECT c.conv_id, q.q_label, c.n,
+                     (q.qn * c.n + q.qd - 1) // q.qd AS target_rank,
+                     c.bucket
+              FROM cum c CROSS JOIN q
+              WHERE c.cum >= (q.qn * c.n + q.qd - 1) // q.qd),
+            picked AS (
+              SELECT conv_id, q_label, min(n)::long AS n,
+                     min(target_rank)::long AS target_rank,
+                     min(bucket)::int AS bucket
+              FROM sel GROUP BY conv_id, q_label)
+            SELECT conv_id, q_label, n, target_rank, bucket,
+                   (CASE WHEN bucket <= 3 THEN bucket::BIGINT
+                         ELSE (4 + bucket % 4)::BIGINT << (bucket // 4 - 1)
+                    END) AS est_value
+            FROM picked
         """,
         "tx_cascade_1h": f"""
             SELECT conv_id, {slot_h} AS window_start, {ROLE_COUNTS_SQL}

@@ -103,3 +103,120 @@ def test_ewma_single_and_empty(spark):
     assert ewma(one, "v").collect()[0].ewma == 9.0
     empty = spark.createDataFrame([], "conv_id string, window_start timestamp, v long")
     assert ewma(empty, "v").count() == 0
+
+
+def test_holt_recurrence_exact(spark):
+    from yatsm_spark.operators.tsfuncs import holt
+
+    rows = [("c1", _ts(i), v) for i, v in enumerate([8, 0, 16, 4])]
+    df = spark.createDataFrame(
+        rows, "conv_id string, window_start timestamp, v long")
+    got = holt(df, "v").orderBy("window_start").collect()
+    lv, tr = [8.0], [0.0]
+    for x in (0, 16, 4):
+        s = 0.5 * x + 0.5 * (lv[-1] + tr[-1])
+        tr.append(0.25 * (s - lv[-1]) + 0.75 * tr[-1])
+        lv.append(s)
+    assert [r.level for r in got] == lv
+    assert [r.trend for r in got] == tr
+    # single point: level = x, trend = 0 (documented zero-trend init)
+    one = spark.createDataFrame(
+        [("c", _ts(0), 9)], "conv_id string, window_start timestamp, v long")
+    r = holt(one, "v").collect()[0]
+    assert (r.level, r.trend) == (9.0, 0.0)
+
+
+def test_rate_per_sec(spark):
+    from yatsm_spark.operators.tsfuncs import rate_per_sec
+
+    # counter 10,17,3,9 over 3 minutes: increase 16 over 180 s
+    rows = [("c1", _ts(i), v) for i, v in enumerate([10, 17, 3, 9])]
+    df = spark.createDataFrame(
+        rows, "conv_id string, window_start timestamp, v long")
+    r = rate_per_sec(df, "v").collect()[0]
+    assert (r.total_increase, r.span_secs) == (16, 180)
+    assert r.rate == round(16 / 180, 6) or abs(r.rate - 16 / 180) < 1e-6
+    # single point: span 0 -> NULL rate (PromQL convention)
+    one = spark.createDataFrame(
+        [("c", _ts(0), 5)], "conv_id string, window_start timestamp, v long")
+    assert rate_per_sec(one, "v").collect()[0].rate is None
+
+
+def test_deriv_recovers_known_slope(spark):
+    from yatsm_spark.operators.tsfuncs import deriv
+
+    # v = 7 + 2*t_minutes -> slope = 2/60 per second
+    rows = [("c1", _ts(i), 7 + 2 * i) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, window_start timestamp, v long")
+    r = deriv(df, "v").collect()[0]
+    assert r.n_points == 5
+    assert abs(r.slope - 2 / 60) < 1e-6
+    # constant series: zero slope (den > 0, num = 0)
+    const = spark.createDataFrame(
+        [("c", _ts(i), 4) for i in range(3)],
+        "conv_id string, window_start timestamp, v long")
+    assert deriv(const, "v").collect()[0].slope == 0.0
+    # single point: den = 0 -> NULL
+    one = spark.createDataFrame(
+        [("c", _ts(0), 4)], "conv_id string, window_start timestamp, v long")
+    assert deriv(one, "v").collect()[0].slope is None
+
+
+def test_pearson_corr_known_values(spark):
+    from yatsm_spark.operators.tsfuncs import pearson_corr
+
+    # y = 3x exactly -> r = 1; anti-linear -> r = -1
+    rows = ([("up", x, 3 * x) for x in (1, 2, 5, 9)]
+            + [("dn", x, 20 - 2 * x) for x in (1, 2, 5, 9)]
+            + [("flat", x, 7) for x in (1, 2, 5)])
+    df = spark.createDataFrame(rows, "conv_id string, x long, y long")
+    out = {r.conv_id: r for r in pearson_corr(df, "x", "y").collect()}
+    assert out["up"].corr == 1.0
+    assert out["dn"].corr == -1.0
+    assert out["flat"].corr is None  # zero variance on y
+
+
+def test_rolling_anomaly_integer_flag(spark):
+    from yatsm_spark.operators.tsfuncs import rolling_anomaly
+
+    # 10 calm points then a spike; min_n=4, k=8, sigma=3
+    vals = [10, 11, 10, 9, 10, 11, 10, 9, 10, 11, 60]
+    rows = [("c1", _ts(i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, window_start timestamp, v long")
+    out = rolling_anomaly(df, "v", k=8, sigma=3, min_n=4) \
+        .orderBy("window_start").collect()
+    # warm-up: first 4 rows have < 4 preceding -> NULL
+    assert all(r.is_anomaly is None for r in out[:4])
+    assert all(r.is_anomaly is False for r in out[4:10])
+    assert out[10].is_anomaly is True
+    assert out[10].zscore > 3.0
+
+
+def test_rolling_anomaly_zero_variance_window(spark):
+    from yatsm_spark.operators.tsfuncs import rolling_anomaly
+
+    vals = [5, 5, 5, 5, 5, 9]  # constant window, then any deviation
+    rows = [("c1", _ts(i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, window_start timestamp, v long")
+    out = rolling_anomaly(df, "v", k=8, sigma=3, min_n=4) \
+        .orderBy("window_start").collect()
+    assert out[4].is_anomaly is False   # 5 vs all-5 window
+    assert out[5].is_anomaly is True    # 9 vs zero-variance window
+    assert out[5].zscore is None        # var = 0 -> no z
+
+
+def test_hdr_quantiles_from_merged_hist_bit_equal(spark):
+    from yatsm_spark.operators.sketches import (hdr_histogram,
+                                                hdr_quantiles,
+                                                hdr_quantiles_from_hist)
+
+    rows = [("g1", "a" if i % 3 else "b", i * i % 97) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, sub string, v long")
+    direct = hdr_quantiles(df, ["g"], "v").orderBy("q_label").collect()
+    fine = hdr_histogram(df, ["g", "sub"], "v")
+    merged = fine.groupBy("g", "bucket").agg(F.sum("cnt").alias("cnt"))
+    via = hdr_quantiles_from_hist(merged, ["g"]).orderBy("q_label").collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in via]

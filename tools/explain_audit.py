@@ -312,6 +312,35 @@ def main():
         ("no cartesian product", "CartesianProduct", False),
     ])
 
+    audit("tx_rate (counter window + agg on the same key)",
+          qs["tx_rate"](spark, SF_DIR), [
+        ("map-side partial aggregation present", "partial_", True),
+        ("no join anywhere in the rate path", "Join", False),
+    ])
+
+    audit("tx_deriv (exact-decimal LS moments, one agg)",
+          qs["tx_deriv"](spark, SF_DIR), [
+        ("map-side partial aggregation present", "partial_", True),
+        ("no join anywhere in the slope path", "Join", False),
+        ("no python in the moment path (pure Catalyst decimals)",
+         "FlatMapGroupsInPandas", False),
+    ])
+
+    audit("tx_anomaly (rolling integer z-test, one window shuffle)",
+          qs["tx_anomaly"](spark, SF_DIR), [
+        ("window frame present", "Window", True),
+        ("no join / no python row path", "Join", False),
+        ("no python UDF (pure Catalyst decimals)", "Python", False),
+    ])
+
+    audit("tx_hdr_cascade (sketch merge serve path)",
+          qs["tx_hdr_cascade"](spark, SF_DIR), [
+        ("map-side partial counts before the corpus shuffle", "partial_", True),
+        ("quantile table broadcast (never shuffled against the sketch)",
+         "BroadcastNestedLoopJoin", True),
+        ("text column itself pruned (only length read)", "ReadSchema", True),
+    ])
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)

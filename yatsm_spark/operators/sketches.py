@@ -148,8 +148,22 @@ def hdr_quantiles(df: DataFrame, group_cols: list[str], value_col: str,
     ceil(qn * n / qd) in integer arithmetic; the answer is the smallest
     bucket whose cumulative count reaches it; est_value is the bucket's
     lower bound (relative error bounded by the octave sub-division)."""
+    return hdr_quantiles_from_hist(
+        hdr_histogram(df, group_cols, value_col), group_cols, quantiles)
+
+
+def hdr_quantiles_from_hist(hist: DataFrame, group_cols: list[str],
+                            quantiles=None) -> DataFrame:
+    """Quantiles from an ALREADY-built (group..., bucket, cnt) histogram
+    — the continuous-aggregate serve path: fine-grain histograms are
+    SUM-merged up a tier cascade (counts are commutative integers, so
+    the merged sketch is BIT-identical to one built from raw), then
+    quantiles read off the coarse tier without touching raw data. The
+    input may carry duplicate (group, bucket) rows (e.g. a union of
+    per-partition partials); they are re-summed here first."""
     quantiles = DEFAULT_QUANTILES if quantiles is None else quantiles
-    hist = hdr_histogram(df, group_cols, value_col)
+    hist = (hist.groupBy(*group_cols, "bucket")
+                .agg(F.sum("cnt").alias("cnt")))
     wc = Window.partitionBy(*group_cols).orderBy("bucket") \
                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wn = Window.partitionBy(*group_cols)

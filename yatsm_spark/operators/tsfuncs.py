@@ -165,3 +165,194 @@ def time_weighted_avg(df: DataFrame, value_col: str, by: str = "conv_id",
                           / F.sum(F.col("_dur").cast("decimal(38,0)"))
                               .cast("double")).alias("twa"),
                    F.sum("_dur").cast("long").alias("span_secs")))
+
+
+def rate_per_sec(df: DataFrame, counter_col: str, by: str = "conv_id",
+                 order_col: str = "window_start") -> DataFrame:
+    """(by, rate, total_increase, span_secs): PromQL ``rate()`` — the
+    reset-aware total increase divided by the observed span. Integer
+    numerator/denominator; the single division is 1e-6-snapped.
+    Single-point series have span 0 and yield NULL rate (PromQL returns
+    no sample there). One window shuffle + one agg on the same key —
+    the agg reuses the window partitioning (exchange-reuse subset rule).
+    """
+    secs = F.unix_timestamp(F.col(order_col))
+    inc = counter_increase(df, counter_col, by, order_col)
+    return (inc.withColumn("_secs", secs)
+               .groupBy(by)
+               .agg(F.sum("increase").cast("long").alias("total_increase"),
+                    (F.max("_secs") - F.min("_secs")).cast("long")
+                        .alias("span_secs"))
+               .withColumn(
+                   "rate",
+                   F.when(F.col("span_secs") > 0,
+                          _snap6(F.col("total_increase").cast("double")
+                                 / F.col("span_secs").cast("double"))))
+               .select(by, "rate", "total_increase", "span_secs"))
+
+
+def deriv(df: DataFrame, value_col: str, by: str = "conv_id",
+          order_col: str = "window_start") -> DataFrame:
+    """(by, n_points, slope): PromQL ``deriv()`` — the per-series
+    least-squares slope of value against time (per second).
+
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx) with x = seconds since
+    the series' own first observation (integer shift; slope-invariant —
+    and it keeps every moment well inside decimal(38,0)). All five
+    moments accumulate as exact decimals (order-independent, so the
+    result is bit-identical at any parallelism); numerator and
+    denominator are cast to double once and the one division is
+    1e-6-snapped with the round-half-up floor formula — the DuckDB
+    oracle replays the identical expression tree over HUGEINT moments.
+    Constant-time series (den = 0, needs >= 2 distinct timestamps)
+    yield NULL.
+    """
+    secs = F.unix_timestamp(F.col(order_col))
+    w = Window.partitionBy(by)
+    x = (secs - F.min(secs).over(w)).cast("decimal(38,0)")
+    y = F.col(value_col).cast("decimal(38,0)")
+    m = (df.select(F.col(by), x.alias("_x"), y.alias("_y"))
+           .groupBy(by)
+           .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+                F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy"),
+                F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+                F.sum(F.col("_x") * F.col("_x")).alias("_sxx")))
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+    den = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+    return (m.withColumn("_num", num.cast("decimal(38,0)"))
+             .withColumn("_den", den.cast("decimal(38,0)"))
+             .select(F.col(by),
+                     F.col("_n").cast("long").alias("n_points"),
+                     F.when(F.col("_den") > 0,
+                            _snap6(F.col("_num").cast("double")
+                                   / F.col("_den").cast("double")))
+                      .alias("slope")))
+
+
+def pearson_corr(df: DataFrame, x_col: str, y_col: str,
+                 by: str = "conv_id") -> DataFrame:
+    """(by, n_points, corr): per-series Pearson correlation of two
+    integer measure columns, from exact-decimal moments:
+
+        r = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))
+
+    The two variance terms are cast to double and sqrt'd SEPARATELY
+    (their decimal product could overflow 38 digits; two IEEE sqrts of
+    exact-integer-valued doubles are correctly rounded and identical in
+    any engine), then one snapped division. Zero variance on either
+    side yields NULL. One shuffle (the groupBy).
+    """
+    xd = F.col(x_col).cast("decimal(38,0)")
+    yd = F.col(y_col).cast("decimal(38,0)")
+    m = (df.select(F.col(by), xd.alias("_x"), yd.alias("_y"))
+           .groupBy(by)
+           .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+                F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy"),
+                F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+                F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+                F.sum(F.col("_y") * F.col("_y")).alias("_syy")))
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) \
+        .cast("decimal(38,0)")
+    vx = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")) \
+        .cast("decimal(38,0)")
+    vy = (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")) \
+        .cast("decimal(38,0)")
+    r = num.cast("double") / (F.sqrt(vx.cast("double"))
+                              * F.sqrt(vy.cast("double")))
+    return (m.select(F.col(by),
+                     F.col("_n").cast("long").alias("n_points"),
+                     F.when((vx > 0) & (vy > 0), _snap6(r)).alias("corr")))
+
+
+def rolling_anomaly(df: DataFrame, value_col: str, k: int = 30,
+                    sigma: int = 3, min_n: int = 8, by: str = "conv_id",
+                    order_col: str = "window_start") -> DataFrame:
+    """Rolling z-test anomaly flags: each point is compared against the
+    mean/std of its own k PRECEDING rows (never itself — no
+    contamination). Appends:
+
+    - ``is_anomaly`` — (x - mean)^2 > sigma^2 * var, decided ENTIRELY in
+      exact integer arithmetic (cross-multiplied form, decimal(38,0)):
+          (n*x - S)^2 * (n-1)  >  sigma^2 * n * (n*Q - S^2)
+      so the flag carries zero float risk at any engine/parallelism.
+      NULL while the window holds fewer than ``min_n`` rows; on a
+      zero-variance window any deviation (n*x != S) is anomalous.
+    - ``zscore`` — (n*x - S) * sqrt((n-1) / (n * (n*Q - S^2))), the
+      identical algebraic form both engines evaluate from exact-integer
+      operands (one sqrt, one multiply, 1e-6 snap); NULL on warm-up or
+      zero variance.
+
+    One window shuffle; everything else is per-row expression work.
+    """
+    w = (Window.partitionBy(by).orderBy(order_col)
+               .rowsBetween(-k, -1))
+    x = F.col(value_col).cast("decimal(38,0)")
+    n = F.count(value_col).over(w).cast("decimal(38,0)")
+    s = F.sum(x).over(w).cast("decimal(38,0)")
+    q = F.sum(x * x).over(w).cast("decimal(38,0)")
+    dev = (n * x - s).cast("decimal(38,0)")
+    var_n = (n * q - s * s).cast("decimal(38,0)")  # n^2 * var * (n-1)/n
+    flag = (F.when(var_n > 0,
+                   (dev * dev * (n - 1)).cast("decimal(38,0)")
+                   > (F.lit(sigma * sigma) * n * var_n).cast("decimal(38,0)"))
+             .otherwise(dev != 0))
+    z = (dev.cast("double")
+         * F.sqrt((n - 1).cast("double") / (n * var_n).cast("double")))
+    warm = F.count(value_col).over(w) >= min_n
+    return (df.withColumn("is_anomaly", F.when(warm, flag))
+              .withColumn("zscore",
+                          F.when(warm & (var_n > 0), _snap6_signed(z))))
+
+
+def _snap6_signed(col):
+    # round-half-up on the 1e-6 grid for possibly-negative values; the
+    # oracle replays floor(x*1e6 + 0.5)/1e6 literally, so ties and
+    # negatives land identically in both engines.
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def holt(df: DataFrame, value_col: str, alpha: float = 0.5,
+         beta: float = 0.25, by: str = "conv_id",
+         order_col: str = "window_start") -> DataFrame:
+    """Holt double exponential smoothing (level + trend) per series:
+
+        s_0 = x_0, b_0 = 0
+        s_i = alpha*x_i + (1-alpha)*(s_{i-1} + b_{i-1})
+        b_i = beta*(s_i - s_{i-1}) + (1-beta)*b_{i-1}
+
+    (zero initial trend — total for length-1 series; documented
+    deviation from the classic b_0 = x_1 - x_0 textbook init). Same
+    bit-exactness discipline as ``ewma``: the defaults 0.5/0.25 make
+    alpha, 1-alpha, beta AND 1-beta exact binary fractions, so a DuckDB
+    recursive-CTE replay of the identical recurrence matches the raw
+    double streams to the last bit — no snapping. One applyInPandas
+    pass per series (the recurrence is inherently sequential).
+    """
+    import numpy as np
+
+    a, b1 = alpha, 1.0 - alpha
+    b, b2 = beta, 1.0 - beta
+    src = df.select(by, order_col, value_col)
+
+    def fit(pdf):
+        pdf = (pdf.sort_values(order_col, kind="mergesort")
+                  .reset_index(drop=True))
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        lv = np.empty(len(x), dtype=np.float64)
+        tr = np.empty(len(x), dtype=np.float64)
+        if len(x):
+            lv[0] = x[0]
+            tr[0] = 0.0
+            for i in range(1, len(x)):
+                lv[i] = a * x[i] + b1 * (lv[i - 1] + tr[i - 1])
+                tr[i] = b * (lv[i] - lv[i - 1]) + b2 * tr[i - 1]
+        pdf = pdf.copy()
+        pdf["level"] = lv
+        pdf["trend"] = tr
+        return pdf
+
+    schema = (f"{by} {dict(src.dtypes)[by]}, "
+              f"{order_col} {dict(src.dtypes)[order_col]}, "
+              f"{value_col} {dict(src.dtypes)[value_col]}, "
+              "level double, trend double")
+    return src.groupBy(by).applyInPandas(fit, schema)
