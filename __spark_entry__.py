@@ -425,6 +425,61 @@ def q_tx_asof(spark, sf_dir):
                        tie_break=["turn_idx"])
 
 
+def q_tx_asof_tool(spark, sf_dir):
+    """General as-of JOIN (backward + 600 s tolerance): attribute every
+    tool turn to the most recent assistant turn in its conv. The Spark
+    side is the union-stream window formulation (ONE shuffle, no join);
+    the oracle is DuckDB's NATIVE ASOF JOIN — a genuinely independent
+    implementation of the same semantics. Right side pre-aggregated to
+    one row per (conv, ts) in both engines (the determinism contract)."""
+    from yatsm_spark.operators.joins import asof_join
+
+    tx = _tx(spark, sf_dir)
+    left = tx.filter(F.col("role") == "tool") \
+             .select("conv_id", "turn_idx", "ts")
+    right = (tx.filter(F.col("role") == "assistant")
+               .groupBy("conv_id", F.col("ts").alias("rts"))
+               .agg(F.max("turn_idx").alias("asst_turn")))
+    return asof_join(left, right, "conv_id", "ts", "rts", ["asst_turn"],
+                     direction="backward", tolerance_secs=600) \
+        .orderBy("conv_id", "turn_idx")
+
+
+def q_tx_asof_next(spark, sf_dir):
+    """Forward as-of JOIN: the next user turn at/after every tool turn
+    (exact-ts matches count, pandas/DuckDB convention). Same
+    union-stream single-shuffle plan; DuckDB native ASOF (ts <= rts)
+    oracle."""
+    from yatsm_spark.operators.joins import asof_join
+
+    tx = _tx(spark, sf_dir)
+    left = tx.filter(F.col("role") == "tool") \
+             .select("conv_id", "turn_idx", "ts")
+    right = (tx.filter(F.col("role") == "user")
+               .groupBy("conv_id", F.col("ts").alias("rts"))
+               .agg(F.max("turn_idx").alias("next_user_turn")))
+    return asof_join(left, right, "conv_id", "ts", "rts",
+                     ["next_user_turn"], direction="forward") \
+        .orderBy("conv_id", "turn_idx")
+
+
+def q_tx_hll_cascade(spark, sf_dir):
+    """HLL register MAX-merge up the tier cascade: per-(conv, role)
+    register tables merged to per-conv sketches, estimate served off the
+    merged registers. MAX is commutative/associative, so the merged
+    sketch is BIT-identical to one built from raw — the oracle builds
+    the per-conv registers DIRECTLY and must agree exactly (the A7
+    invariant applied to HLL, the distinct-count dual of
+    tx_hdr_cascade)."""
+    from yatsm_spark.operators.sketches import hll_estimate, hll_registers
+
+    tx = _tx(spark, sf_dir)
+    fine = hll_registers(tx, ["conv_id", "role"], "text")
+    merged = fine.groupBy("conv_id", "bucket") \
+                 .agg(F.max("register").alias("register"))
+    return hll_estimate(merged, ["conv_id"]).orderBy("conv_id")
+
+
 def q_tx_interval_join(spark, sf_dir):
     """J1 interval join: turns inside [first tool-call, +10min] per conv."""
     from yatsm_spark.operators.joins import interval_join
@@ -1387,6 +1442,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_corr": q_tx_corr,
         "tx_anomaly": q_tx_anomaly,
         "tx_hdr_cascade": q_tx_hdr_cascade,
+        "tx_hll_cascade": q_tx_hll_cascade,
+        "tx_asof_tool": q_tx_asof_tool,
+        "tx_asof_next": q_tx_asof_next,
         "tx_cascade_1h": q_tx_cascade_1h,
         "tx_cascade_1d": q_tx_cascade_1d,
         "tx_derived_stats_1h": q_tx_derived_stats_1h,
@@ -1665,6 +1723,40 @@ def _hll_oracle() -> str:
                       ELSE {_HLL_K!r} / numer END) * 1e6 + 0.5) / 1e6
                    AS est_distinct
         FROM g ORDER BY source
+    """
+
+
+def _hll_cascade_oracle() -> str:
+    """Direct per-conv register build from raw turns — the Spark side
+    MAX-merges per-(conv, role) registers instead; exact agreement
+    proves HLL merge correctness (registers are MAX-mergeable)."""
+    from yatsm_spark.operators.sketches import HLL_M, _HLL_K, _HLL_SMALL
+
+    tx = f"read_parquet('{TX_SF01}/*.parquet')"
+    return f"""
+        WITH h AS (SELECT conv_id, md5(text) AS h FROM {tx}
+                   WHERE text IS NOT NULL),
+        r AS (SELECT conv_id,
+                     ('0x' || substr(h, 1, 3))::BIGINT AS bucket,
+                     ('0x' || substr(h, 4, 15))::BIGINT AS w
+              FROM h),
+        reg AS (SELECT conv_id, bucket,
+                       max(CASE WHEN w = 0 THEN 61
+                                ELSE 61 - length(bin(w)) END) AS register
+                FROM r GROUP BY conv_id, bucket),
+        g AS (SELECT conv_id, count(*)::long AS n_buckets_used,
+                     ({HLL_M} - count(*))::long AS v_zero,
+                     (sum(1::HUGEINT << (61 - register))
+                      + ({HLL_M} - count(*))::HUGEINT
+                        * (1::HUGEINT << 61))::DOUBLE AS numer
+              FROM reg GROUP BY conv_id)
+        SELECT conv_id, n_buckets_used, v_zero,
+               floor((CASE WHEN {_HLL_K!r} / numer <= {_HLL_SMALL!r}
+                                AND v_zero > 0
+                      THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v_zero)
+                      ELSE {_HLL_K!r} / numer END) * 1e6 + 0.5) / 1e6
+                   AS est_distinct
+        FROM g ORDER BY conv_id
     """
 
 
@@ -2115,6 +2207,38 @@ def oracle_sql() -> dict[str, str]:
               FROM {tx} WHERE ts <= TIMESTAMP '2025-01-16 00:00:00')
             WHERE rn = 1
         """,
+        "tx_asof_tool": f"""
+            WITH l AS (SELECT conv_id, turn_idx, ts FROM {tx}
+                       WHERE role = 'tool'),
+            r AS (SELECT conv_id, ts AS rts,
+                         max(turn_idx)::int AS asst_turn
+                  FROM {tx} WHERE role = 'assistant'
+                  GROUP BY conv_id, ts)
+            SELECT l.conv_id, l.turn_idx, l.ts,
+                   CASE WHEN epoch_us(l.ts) - epoch_us(r.rts)
+                             <= 600 * 1000000
+                        THEN r.rts END AS matched_ts,
+                   CASE WHEN epoch_us(l.ts) - epoch_us(r.rts)
+                             <= 600 * 1000000
+                        THEN r.asst_turn END AS asst_turn
+            FROM l ASOF LEFT JOIN r
+              ON l.conv_id = r.conv_id AND l.ts >= r.rts
+            ORDER BY l.conv_id, l.turn_idx
+        """,
+        "tx_asof_next": f"""
+            WITH l AS (SELECT conv_id, turn_idx, ts FROM {tx}
+                       WHERE role = 'tool'),
+            r AS (SELECT conv_id, ts AS rts,
+                         max(turn_idx)::int AS next_user_turn
+                  FROM {tx} WHERE role = 'user'
+                  GROUP BY conv_id, ts)
+            SELECT l.conv_id, l.turn_idx, l.ts, r.rts AS matched_ts,
+                   r.next_user_turn
+            FROM l ASOF LEFT JOIN r
+              ON l.conv_id = r.conv_id AND l.ts <= r.rts
+            ORDER BY l.conv_id, l.turn_idx
+        """,
+        "tx_hll_cascade": _hll_cascade_oracle(),
         "tx_interval_join": f"""
             WITH iv AS (
               SELECT conv_id AS iv_conv, min(ts) AS iv_start,

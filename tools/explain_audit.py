@@ -333,6 +333,20 @@ def main():
         ("no python UDF (pure Catalyst decimals)", "Python", False),
     ])
 
+    audit("tx_asof_tool (union-stream as-of: ONE window shuffle, no join)",
+          qs["tx_asof_tool"](spark, SF_DIR), [
+        ("window pass present", "Window", True),
+        ("NO join operator anywhere (union-stream formulation)",
+         "Join", False),
+        ("text column pruned from both scans", "text", False),
+    ])
+
+    audit("tx_hll_cascade (register MAX-merge serve path)",
+          qs["tx_hll_cascade"](spark, SF_DIR), [
+        ("map-side partial MAX before the corpus shuffle", "partial_max", True),
+        ("no join in the merge path", "Join", False),
+    ])
+
     audit("tx_hdr_cascade (sketch merge serve path)",
           qs["tx_hdr_cascade"](spark, SF_DIR), [
         ("map-side partial counts before the corpus shuffle", "partial_", True),

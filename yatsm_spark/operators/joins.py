@@ -19,6 +19,90 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str, right_ts: str, value_cols: list[str],
+              direction: str = "backward",
+              tolerance_secs: int | None = None) -> DataFrame:
+    """General as-of join (the pandas ``merge_asof`` / DuckDB ``ASOF
+    JOIN`` semantics): for every left row, attach the right row with the
+    greatest ``right_ts <= left_ts`` (backward) or the smallest
+    ``right_ts >= left_ts`` (forward); ``nearest`` takes whichever is
+    closer (ties -> backward). Exact timestamp matches count in both
+    directions. ``tolerance_secs`` nulls out matches farther than the
+    bound (the row itself is kept — LEFT join semantics throughout).
+
+    Scale shape: NO join at all — both inputs are tagged and unioned,
+    then ONE window pass per direction over (key, ts) ordering picks the
+    last/first right payload (the classic union-stream formulation, the
+    same one-shuffle shape as gaps-and-islands). At 100 TB this is one
+    hash exchange of (key, ts, pruned payload) — no build side, no skew
+    amplification beyond the key distribution itself, and AQE handles a
+    hot key the same way it does for the rollup shuffles.
+
+    Output: every left column, plus ``matched_ts`` and the requested
+    right ``value_cols``. Right rows must be unique per (key, right_ts)
+    for a deterministic pick — pre-aggregate duplicates first (the same
+    contract DuckDB's ASOF JOIN has).
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, "
+                         f"got {direction!r}")
+    payload = F.struct(F.col(right_ts).alias("_rts"),
+                       *[F.col(c) for c in value_cols])
+    l_tag = (left.withColumn("_t", F.col(left_ts))
+                 .withColumn("_is_left", F.lit(1))
+                 .withColumn("_rp", F.lit(None).cast(
+                     right.select(payload.alias("_rp")).schema["_rp"].dataType)))
+    r_tag = (right.select(F.col(key), F.col(right_ts).alias("_t"),
+                          F.lit(0).alias("_is_left"),
+                          payload.alias("_rp")))
+    u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    out_cols = [F.col(c) for c in left.columns]
+
+    def pick(matched):
+        # microsecond-exact distance: unix_micros, never unix_timestamp
+        # (which truncates to seconds and breaks sub-second ordering)
+        m = matched
+        if tolerance_secs is not None:
+            dt = F.abs(F.unix_micros(F.col(left_ts))
+                       - F.unix_micros(m["_rts"]))
+            m = F.when(dt <= F.lit(int(tolerance_secs) * 1_000_000), m)
+        return m
+
+    # backward: right rows sort BEFORE a left row with the same ts
+    # (tag 0 < 1), so an exact match is inside the preceding frame.
+    # Order on the native timestamp — full microsecond precision.
+    wb = (Window.partitionBy(key).orderBy(F.col("_t"), F.col("_is_left"))
+                .rowsBetween(Window.unboundedPreceding, 0))
+    # forward: right rows sort AFTER the left row at the same ts
+    # (rank 2 > 1), so an exact match is inside the following frame.
+    fwd_rank = F.when(F.col("_is_left") == 0, F.lit(2)).otherwise(F.lit(1))
+    wf = (Window.partitionBy(key).orderBy(F.col("_t"), fwd_rank)
+                .rowsBetween(0, Window.unboundedFollowing))
+
+    if direction == "backward":
+        u = u.withColumn("_m", F.last("_rp", ignorenulls=True).over(wb))
+        m = pick(F.col("_m"))
+    elif direction == "forward":
+        u = u.withColumn("_m", F.first("_rp", ignorenulls=True).over(wf))
+        m = pick(F.col("_m"))
+    else:  # nearest
+        u = (u.withColumn("_mb", F.last("_rp", ignorenulls=True).over(wb))
+              .withColumn("_mf", F.first("_rp", ignorenulls=True).over(wf)))
+        mb, mf = pick(F.col("_mb")), pick(F.col("_mf"))
+        lus = F.unix_micros(F.col(left_ts))
+        db = lus - F.unix_micros(mb["_rts"])
+        df_ = F.unix_micros(mf["_rts"]) - lus
+        m = (F.when(mb.isNull(), mf)
+              .when(mf.isNull(), mb)
+              .when(df_ < db, mf)          # strict: ties go backward
+              .otherwise(mb))
+    return (u.filter(F.col("_is_left") == 1)
+             .select(*out_cols, m["_rts"].alias("matched_ts"),
+                     *[m[c].alias(c) for c in value_cols]))
+
+
 def asof_latest(records: DataFrame, key: str, order_col: str, at,
                 tie_break: list[str] | None = None) -> DataFrame:
     """The record per key with the greatest order_col <= at (as-of pick).
