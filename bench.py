@@ -185,7 +185,8 @@ def main():
                  "minhash_pairs", "cosine_topk", "simhash", "quality",
                  "bm25_topk", "hll_distinct", "curate_corpus",
                  "pca_project", "pq_adc_topk", "zorder_events",
-                 "bloom_join"):
+                 "bloom_join", "tx_asof_tool", "tx_hdr_cascade",
+                 "tx_anomaly", "tx_deriv"):
         fn = e.queries()[name]
         timed(name, lambda fn=fn: sink(fn(spark, SF_DIR)))
 

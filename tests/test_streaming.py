@@ -421,3 +421,120 @@ def test_stream_cms_equals_batch(spark, tmp_path):
     # append mode may withhold only the final open window
     all_windows = {k[0] for k in want}
     assert len(all_windows) - len(seen_windows) <= 1
+
+
+def test_stream_anomaly_equals_batch(spark, tmp_path):
+    """stream_anomaly's flags are BIT-equal to the batch rolling_anomaly
+    on the same rows — the ring-buffer state IS the batch window frame,
+    persisted across micro-batches (two files, maxFilesPerTrigger=1, so
+    the buffer must survive a state round-trip mid-series)."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from yatsm_spark.operators.tsfuncs import rolling_anomaly
+    from yatsm_spark.streaming.stream_rollup import stream_anomaly
+
+    base = pd.Timestamp("2025-01-01")
+    rng = np.random.RandomState(7)
+    rows = []
+    for c in ("c1", "c2"):
+        for m in range(40):
+            v = int(rng.randint(8, 13))
+            if c == "c1" and m in (25, 26):
+                v = 90                      # spikes mid-second-batch
+            rows.append({"conv_id": c,
+                         "window_start": base + pd.Timedelta(minutes=m),
+                         "turn_count": v})
+    pdf = pd.DataFrame(rows)
+    src = str(tmp_path / "anom_src")
+    os.makedirs(src)
+
+    def _write(sub, path):
+        tmp = str(tmp_path / "w")
+        spark.createDataFrame(sub).coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], path)
+        shutil.rmtree(tmp)
+
+    now = _time.time()
+    first = pdf[pdf.window_start < base + pd.Timedelta(minutes=20)]
+    second = pdf[pdf.window_start >= base + pd.Timedelta(minutes=20)]
+    for k, sub in enumerate((first, second)):
+        p = os.path.join(src, f"f{k}.parquet")
+        _write(sub, p)
+        os.utime(p, (now - 60 + 30 * k, now - 60 + 30 * k))
+
+    stream = (spark.readStream
+              .schema("conv_id string, window_start timestamp, turn_count long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream_anomaly(stream, k=8, sigma=3, min_n=4)
+         .writeStream.format("memory").queryName("s_anom")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.conv_id, r.window_start): r.is_anomaly
+           for r in spark.sql("SELECT * FROM s_anom").collect()}
+    batch = rolling_anomaly(spark.createDataFrame(pdf), "turn_count",
+                            k=8, sigma=3, min_n=4)
+    want = {(r.conv_id, r.window_start): r.is_anomaly
+            for r in batch.collect()}
+    assert len(got) == len(want) == len(pdf)
+    assert got == want
+    # sanity: the injected spikes actually flag
+    assert got[("c1", base + pd.Timedelta(minutes=25))] is True
+
+
+def test_stream_ewma_equals_batch_bit_exact(spark, tmp_path):
+    """stream_ewma emits the batch ewma column BIT-for-BIT, including
+    across a micro-batch boundary (the state round-trip must hand back
+    the exact double, not a rounded one)."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from yatsm_spark.operators.tsfuncs import ewma
+    from yatsm_spark.streaming.stream_rollup import stream_ewma
+
+    base = pd.Timestamp("2025-01-01")
+    rng = np.random.RandomState(3)
+    rows = [{"conv_id": c,
+             "window_start": base + pd.Timedelta(minutes=m),
+             "turn_count": int(rng.randint(1, 50))}
+            for c in ("c1", "c2") for m in range(30)]
+    pdf = pd.DataFrame(rows)
+    src = str(tmp_path / "ewma_src")
+    os.makedirs(src)
+
+    def _write(sub, path):
+        tmp = str(tmp_path / "w")
+        spark.createDataFrame(sub).coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], path)
+        shutil.rmtree(tmp)
+
+    now = _time.time()
+    cut = base + pd.Timedelta(minutes=17)
+    for k, sub in enumerate((pdf[pdf.window_start < cut],
+                             pdf[pdf.window_start >= cut])):
+        p = os.path.join(src, f"f{k}.parquet")
+        _write(sub, p)
+        os.utime(p, (now - 60 + 30 * k, now - 60 + 30 * k))
+
+    stream = (spark.readStream
+              .schema("conv_id string, window_start timestamp, turn_count long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream_ewma(stream, 0.25)
+         .writeStream.format("memory").queryName("s_ewma")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.conv_id, r.window_start): r.ewma
+           for r in spark.sql("SELECT * FROM s_ewma").collect()}
+    want = {(r.conv_id, r.window_start): r.ewma
+            for r in ewma(spark.createDataFrame(pdf),
+                          "turn_count", 0.25).collect()}
+    assert len(got) == len(want) == len(pdf)
+    assert got == want          # == on floats: bit-equality demanded

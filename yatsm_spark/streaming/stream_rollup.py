@@ -230,6 +230,123 @@ def online_monitor(
     )
 
 
+#: stream_anomaly output — every input row, flagged (exact batch parity)
+_ANOM_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("window_start", T.TimestampType()),
+    T.StructField("turn_count", T.LongType()),
+    T.StructField("is_anomaly", T.BooleanType()),
+])
+#: state = ring buffer of the last k values (bounded, O(k) per conv)
+_ANOM_STATE = T.StructType([
+    T.StructField("buf", T.ArrayType(T.LongType())),
+])
+
+
+def _anomaly_fn(k: int, sigma: int, min_n: int):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        buf = list(state.get[0]) if state.exists else []
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("window_start", kind="stable")
+            for ws, v in zip(pdf["window_start"], pdf["turn_count"]):
+                v = int(v)
+                n = len(buf)
+                if n >= min_n:
+                    # Python ints: arbitrary precision, so this is the
+                    # SAME exact-integer cross-multiplied test as the
+                    # batch operator's decimal(38,0) arithmetic.
+                    s = sum(buf)
+                    q = sum(x * x for x in buf)
+                    dev = n * v - s
+                    var_n = n * q - s * s
+                    flag = (dev * dev * (n - 1) > sigma * sigma * n * var_n
+                            if var_n > 0 else dev != 0)
+                else:
+                    flag = None
+                out.append((key[0], ws, v, flag))
+                buf.append(v)
+                if len(buf) > k:
+                    buf = buf[-k:]
+        state.update((buf,))
+        if out:
+            yield pd.DataFrame(out, columns=["conv_id", "window_start",
+                                             "turn_count", "is_anomaly"])
+
+    return fn
+
+
+def stream_anomaly(rollup_stream: DataFrame, k: int = 30, sigma: int = 3,
+                   min_n: int = 8) -> DataFrame:
+    """Streaming twin of ``operators.tsfuncs.rolling_anomaly``: per-conv
+    3-sigma z-test of each arriving slot against the k slots that
+    preceded it, with the flag decided in exact integer arithmetic —
+    BIT-equal to the batch operator on the same rows in the same order
+    (pytest pins the parity). State is a bounded ring buffer of the
+    last k values (O(k) longs per conv; the batch operator's window
+    frame, persisted). Rows are processed in window_start order within
+    each micro-batch; cross-batch order is the source's append order —
+    the same contract ``online_monitor`` has."""
+    return rollup_stream.groupBy("conv_id").applyInPandasWithState(
+        _anomaly_fn(k, sigma, min_n),
+        outputStructType=_ANOM_SCHEMA,
+        stateStructType=_ANOM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+#: stream_ewma output — every input row with its smoothed value
+_EWMA_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("window_start", T.TimestampType()),
+    T.StructField("turn_count", T.LongType()),
+    T.StructField("ewma", T.DoubleType()),
+])
+#: state = the last smoothed value (one double per conv)
+_EWMA_STATE = T.StructType([T.StructField("s", T.DoubleType())])
+
+
+def _ewma_fn(alpha: float):
+    beta = 1.0 - alpha
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        s = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("window_start", kind="stable")
+            for ws, v in zip(pdf["window_start"], pdf["turn_count"]):
+                x = float(v)
+                s = x if s is None else alpha * x + beta * s
+                out.append((key[0], ws, int(v), s))
+        if s is not None:
+            state.update((s,))
+        if out:
+            yield pd.DataFrame(out, columns=["conv_id", "window_start",
+                                             "turn_count", "ewma"])
+
+    return fn
+
+
+def stream_ewma(rollup_stream: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """Streaming twin of ``operators.tsfuncs.ewma``: the adjust=False
+    recurrence maintained online with O(1) state per conv (the last
+    smoothed double). Same float64 multiply-add order as the batch
+    kernel, so the emitted stream is BIT-equal to the batch column on
+    the same rows in the same order — including across micro-batch
+    boundaries, where the state round-trip must preserve the exact
+    double (pytest pins it). Pick alpha whose complement is an exact
+    binary fraction (0.25 default) for the cross-engine guarantee the
+    batch operator documents."""
+    return rollup_stream.groupBy("conv_id").applyInPandasWithState(
+        _ewma_fn(alpha),
+        outputStructType=_EWMA_SCHEMA,
+        stateStructType=_EWMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_sessionize(stream: DataFrame, key_col: str = "user_id",
                       ts_col: str = "ts", type_col: str = "event_type",
                       timeout_s: int = 1800,
