@@ -341,6 +341,67 @@ def q_tx_anomaly(spark, sf_dir):
         .orderBy("conv_id", "window_start")
 
 
+def q_tx_ohlc(spark, sf_dir):
+    """Candlestick (OHLC) reduction of the 1m tier into 1h buckets
+    (TimescaleDB candlestick_agg): open/close picked by min_by/max_by
+    on the slot timestamp (unique per conv), high/low/count plain
+    aggregates. Exact integer relation."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.rollup import rollup_from_turns
+    from yatsm_spark.operators.tsanalytics import ohlc
+
+    tier = rollup_from_turns(with_measures(_tx(spark, sf_dir)), "1m")
+    return ohlc(tier, "turn_count", 3600).orderBy("conv_id", "bucket_start")
+
+
+def q_tx_state_durations(spark, sf_dir):
+    """State accounting (TimescaleDB state_agg): microseconds each conv
+    spent in each role state (state holds until the next turn), plus
+    event and run counts. Exact integer relation from unix_micros."""
+    from yatsm_spark.operators.tsanalytics import state_durations
+
+    return state_durations(_tx(spark, sf_dir)).orderBy("conv_id", "state")
+
+
+def q_tx_uptime(spark, sf_dir):
+    """Heartbeat/uptime accounting (TimescaleDB heartbeat_agg): turn
+    timestamps merged into live intervals under a 300s tolerance
+    (gaps-and-islands with a RANGE-frame island id, deterministic under
+    tied beats); per conv the interval count, live microseconds, and
+    covered span."""
+    from yatsm_spark.operators.tsanalytics import uptime_intervals
+
+    return uptime_intervals(_tx(spark, sf_dir), 300).orderBy("conv_id")
+
+
+def q_tx_acf(spark, sf_dir):
+    """Autocorrelation (lags 1..5) of each conv's DENSE 1m turn_count
+    series, from exact decimal moments with denominators cleared by
+    n^2 — one snapped division per lag (see tsanalytics.acf)."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+    from yatsm_spark.operators.tsanalytics import acf
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
+    dense = rollup_gapfilled(with_measures(tx), "1m")
+    return acf(dense, "turn_count", 5).orderBy("conv_id", "lag")
+
+
+def q_tx_seasonal(spark, sf_dir):
+    """Classical additive decomposition (2xMA daily trend, uncentered
+    phase-mean seasonal, residual) of each conv's DENSE 1h turn_count
+    series, period 24. Every emitted float is ONE snapped division of
+    exact integers (common denominator 48*C_p cleared)."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+    from yatsm_spark.operators.tsanalytics import seasonal_decompose
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
+    dense = rollup_gapfilled(with_measures(tx), "1h")
+    return seasonal_decompose(dense, "turn_count", 24, 3600) \
+        .orderBy("conv_id", "window_start")
+
+
 def q_tx_hdr_cascade(spark, sf_dir):
     """Continuous-aggregate quantile serve path: per-(conv, role) HDR
     histograms SUM-merged to per-conv sketches (counts are commutative
@@ -1441,6 +1502,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_deriv": q_tx_deriv,
         "tx_corr": q_tx_corr,
         "tx_anomaly": q_tx_anomaly,
+        "tx_ohlc": q_tx_ohlc,
+        "tx_state_durations": q_tx_state_durations,
+        "tx_uptime": q_tx_uptime,
+        "tx_acf": q_tx_acf,
+        "tx_seasonal": q_tx_seasonal,
         "tx_hdr_cascade": q_tx_hdr_cascade,
         "tx_hll_cascade": q_tx_hll_cascade,
         "tx_asof_tool": q_tx_asof_tool,
@@ -1817,6 +1883,27 @@ def oracle_sql() -> dict[str, str]:
             " + (position(substr(md5(word),3,1) IN '0123456789abcdef')-1)*16"
             " + (position(substr(md5(word),4,1) IN '0123456789abcdef')-1))")
 
+    # tx_acf: per-lag fragments (lags 1..5), mirroring tsanalytics.acf's
+    # n^2-cleared exact-moment formula — generated so the lag count stays
+    # in one place.
+    _acf_k = 5
+    acf_lagsel = ", ".join(
+        f"lag(x, {k}) OVER (PARTITION BY conv_id ORDER BY ws) AS g{k}"
+        for k in range(1, _acf_k + 1))
+    acf_peragg = ", ".join(
+        f"sum(x*g{k})::hugeint AS p{k}, "
+        f"sum(CASE WHEN g{k} IS NOT NULL THEN x END)::hugeint AS h{k}, "
+        f"sum(g{k})::hugeint AS t{k}, count(g{k})::hugeint AS m{k}"
+        for k in range(1, _acf_k + 1))
+    acf_unions = " UNION ALL ".join(
+        f"SELECT conv_id, n::long AS n_points, {k} AS lag, "
+        f"CASE WHEN (n*n*sxx - n*sx*sx) > 0 THEN "
+        f"floor(((n*n*coalesce(p{k},0) "
+        f"- n*sx*(coalesce(h{k},0)+coalesce(t{k},0)) + m{k}*sx*sx)::double "
+        f"/ ((n*n*sxx - n*sx*sx)::double)) * 1e6 + 0.5)/1e6 END AS acf "
+        f"FROM m"
+        for k in range(1, _acf_k + 1))
+
     return {
         "tx_rollup_1m": f"""
             SELECT conv_id, {slot_m} AS window_start, {ROLE_COUNTS_SQL}
@@ -2133,6 +2220,127 @@ def oracle_sql() -> dict[str, str]:
                            * 1e6 + 0.5) / 1e6
                    END AS zscore
             FROM d ORDER BY conv_id, window_start
+        """,
+        "tx_ohlc": f"""
+            WITH r AS (
+              SELECT conv_id, {slot_m} AS ws, count(*)::long AS v
+              FROM {tx} GROUP BY 1, 2)
+            SELECT conv_id,
+                   to_timestamp((floor(epoch(ws)/3600)*3600)::bigint)
+                     ::timestamp AS bucket_start,
+                   arg_min(v, ws) AS open, max(v) AS high, min(v) AS low,
+                   arg_max(v, ws) AS close, count(*)::long AS n_slots
+            FROM r GROUP BY 1, 2 ORDER BY conv_id, bucket_start
+        """,
+        "tx_state_durations": f"""
+            WITH s AS (
+              SELECT conv_id, role AS state,
+                     coalesce(lead(epoch_us(ts)) OVER pw, epoch_us(ts))
+                       - epoch_us(ts) AS dur,
+                     CASE WHEN lag(role) OVER pw IS DISTINCT FROM role
+                          THEN 1 ELSE 0 END AS rs
+              FROM {tx}
+              WINDOW pw AS (PARTITION BY conv_id ORDER BY ts, turn_idx))
+            SELECT conv_id, state, sum(dur)::long AS total_us,
+                   count(*)::long AS n_events, sum(rs)::long AS n_runs
+            FROM s GROUP BY 1, 2 ORDER BY conv_id, state
+        """,
+        "tx_uptime": f"""
+            WITH b AS (
+              SELECT conv_id, epoch_us(ts) AS e,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                            OVER (PARTITION BY conv_id ORDER BY ts)
+                            > 300000000
+                          OR lag(ts) OVER (PARTITION BY conv_id
+                                           ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS st
+              FROM {tx}),
+            i AS (
+              SELECT conv_id, e,
+                     sum(st) OVER (PARTITION BY conv_id ORDER BY e
+                                   RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS isl
+              FROM b),
+            p AS (SELECT conv_id, isl, min(e) AS i0, max(e) AS i1
+                  FROM i GROUP BY 1, 2)
+            SELECT conv_id, count(*)::long AS n_intervals,
+                   sum(i1 - i0)::long AS uptime_us,
+                   (max(i1) - min(i0))::long AS span_us
+            FROM p GROUP BY 1 ORDER BY conv_id
+        """,
+        "tx_acf": f"""
+            WITH t AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000200'),
+            r0 AS (
+              SELECT conv_id, {slot_m} AS ws, count(*)::hugeint AS x
+              FROM t GROUP BY 1, 2),
+            spans AS (SELECT conv_id, min(ws) AS w0, max(ws) AS w1
+                      FROM r0 GROUP BY 1),
+            grid AS (
+              SELECT spans.conv_id,
+                     unnest(generate_series(w0, w1, INTERVAL 1 MINUTE))
+                       AS ws
+              FROM spans),
+            r AS (SELECT grid.conv_id, grid.ws,
+                         coalesce(r0.x, 0)::hugeint AS x
+                  FROM grid LEFT JOIN r0
+                    ON grid.conv_id = r0.conv_id AND grid.ws = r0.ws),
+            lg AS (SELECT conv_id, x, {acf_lagsel} FROM r),
+            m AS (SELECT conv_id, count(*)::hugeint AS n,
+                         sum(x)::hugeint AS sx,
+                         sum(x*x)::hugeint AS sxx, {acf_peragg}
+                  FROM lg GROUP BY 1)
+            SELECT * FROM ({acf_unions}) ORDER BY conv_id, lag
+        """,
+        "tx_seasonal": f"""
+            WITH t0 AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000200'),
+            r0 AS (
+              SELECT conv_id, {slot_h} AS ws, count(*)::hugeint AS x
+              FROM t0 GROUP BY 1, 2),
+            spans AS (SELECT conv_id, min(ws) AS w0, max(ws) AS w1
+                      FROM r0 GROUP BY 1),
+            grid AS (
+              SELECT spans.conv_id,
+                     unnest(generate_series(w0, w1, INTERVAL 1 HOUR))
+                       AS ws
+              FROM spans),
+            r AS (SELECT grid.conv_id, grid.ws,
+                         coalesce(r0.x, 0)::hugeint AS x
+                  FROM grid LEFT JOIN r0
+                    ON grid.conv_id = r0.conv_id AND grid.ws = r0.ws),
+            t AS (
+              SELECT conv_id, ws, x,
+                     (floor(epoch(ws)/3600)::bigint % 24)::int AS phase,
+                     sum(x) OVER w1f AS s1, count(x) OVER w1f AS c1,
+                     sum(x) OVER w2f AS s2, count(x) OVER w2f AS c2
+              FROM r
+              WINDOW w1f AS (PARTITION BY conv_id ORDER BY ws
+                             ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+                     w2f AS (PARTITION BY conv_id ORDER BY ws
+                             ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+            d AS (
+              SELECT conv_id, ws, x, phase,
+                     CASE WHEN c1 = 24 AND c2 = 24
+                          THEN (s1 + s2)::hugeint END AS tr2p,
+                     CASE WHEN c1 = 24 AND c2 = 24
+                          THEN (48*x - (s1 + s2))::hugeint END AS d2p
+              FROM t),
+            f AS (
+              SELECT conv_id, ws, x, phase, tr2p, d2p,
+                     sum(d2p) OVER pp AS sp2,
+                     count(d2p) OVER pp::hugeint AS cp
+              FROM d
+              WINDOW pp AS (PARTITION BY conv_id, phase))
+            SELECT conv_id, ws AS window_start, x::long AS turn_count,
+                   phase,
+                   floor((tr2p::double / 48.0) * 1e6 + 0.5) / 1e6
+                     AS trend,
+                   CASE WHEN cp > 0 THEN
+                     floor((sp2::double / (48*cp)::double) * 1e6 + 0.5)
+                       / 1e6 END AS seasonal,
+                   CASE WHEN d2p IS NOT NULL AND cp > 0 THEN
+                     floor(((d2p*cp - sp2)::double / (48*cp)::double)
+                           * 1e6 + 0.5) / 1e6 END AS resid
+            FROM f ORDER BY conv_id, window_start
         """,
         "tx_hdr_cascade": f"""
             WITH b AS (
