@@ -402,6 +402,53 @@ def q_tx_seasonal(spark, sf_dir):
         .orderBy("conv_id", "window_start")
 
 
+def q_tx_ccf(spark, sf_dir):
+    """Lead-lag cross-correlation (lags -3..+3) between turn_count and
+    tool_call_count on each conv's DENSE 1h series — exact decimal
+    moments, variance terms sqrt'd separately (tx_corr discipline),
+    one snapped division per lag."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+    from yatsm_spark.operators.tsanalytics import ccf
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
+    dense = rollup_gapfilled(with_measures(tx), "1h")
+    return ccf(dense, "turn_count", "tool_call_count", 3) \
+        .orderBy("conv_id", "lag")
+
+
+def q_tx_sax(spark, sf_dir):
+    """SAX symbolic representation (Lin et al. 2003) of each conv's
+    DENSE 1m turn_count series: 16 PAA segments, alphabet 'abcd' at the
+    Gaussian breakpoints. Long form (one row per segment); snapped PAA,
+    deterministic letter binning over exact snapped inputs."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+    from yatsm_spark.operators.tsanalytics import sax_paa
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000100")
+    dense = rollup_gapfilled(with_measures(tx), "1m")
+    return sax_paa(dense, "turn_count", 16, 4).orderBy("conv_id", "seg")
+
+
+def q_tx_holtwinters(spark, sf_dir):
+    """Holt-Winters additive triple smoothing (alpha=0.5, beta=0.25,
+    gamma=0.25, period=24) over each conv's DENSE 1h series. All six
+    multipliers are exact binary fractions; the DuckDB recursive-CTE
+    oracle carries the seasonal state as a 24-slot ring list and
+    replays the identical recurrence — raw doubles match to the LAST
+    BIT (the tx_ewma/tx_holt discipline, third accumulator)."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+    from yatsm_spark.operators.tsfuncs import holt_winters
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
+    dense = rollup_gapfilled(with_measures(tx), "1h") \
+        .select("conv_id", "window_start", "turn_count")
+    return holt_winters(dense, "turn_count", period=24) \
+        .orderBy("conv_id", "window_start")
+
+
 def q_tx_hdr_cascade(spark, sf_dir):
     """Continuous-aggregate quantile serve path: per-(conv, role) HDR
     histograms SUM-merged to per-conv sketches (counts are commutative
@@ -1507,6 +1554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_uptime": q_tx_uptime,
         "tx_acf": q_tx_acf,
         "tx_seasonal": q_tx_seasonal,
+        "tx_ccf": q_tx_ccf,
+        "tx_sax": q_tx_sax,
+        "tx_holtwinters": q_tx_holtwinters,
         "tx_hdr_cascade": q_tx_hdr_cascade,
         "tx_hll_cascade": q_tx_hll_cascade,
         "tx_asof_tool": q_tx_asof_tool,
@@ -1904,6 +1954,39 @@ def oracle_sql() -> dict[str, str]:
         f"FROM m"
         for k in range(1, _acf_k + 1))
 
+    # tx_ccf: per-lag fragments (lags -3..+3), mirroring tsanalytics.ccf.
+    _ccf_k = 3
+    ccf_lagsel = ", ".join(
+        f"lag(x, {k}) OVER pw AS gx{k}, lag(y, {k}) OVER pw AS gy{k}"
+        for k in range(1, _ccf_k + 1))
+    ccf_peragg = ", ".join(
+        f"sum(x*gy{k})::hugeint AS pp{k}, "
+        f"sum(CASE WHEN gy{k} IS NOT NULL THEN x END)::hugeint AS hp{k}, "
+        f"sum(gy{k})::hugeint AS tp{k}, count(gy{k})::hugeint AS mp{k}, "
+        f"sum(gx{k}*y)::hugeint AS pn{k}, sum(gx{k})::hugeint AS hn{k}, "
+        f"sum(CASE WHEN gx{k} IS NOT NULL THEN y END)::hugeint AS tn{k}, "
+        f"count(gx{k})::hugeint AS mn{k}"
+        for k in range(1, _ccf_k + 1))
+
+    def _ccf_sel(lag_lit, p, hx, ty, mm):
+        num = (f"(n*n*coalesce({p},0) - n*sx*coalesce({ty},0)"
+               f" - n*sy*coalesce({hx},0) + {mm}*sx*sy)")
+        return (
+            f"SELECT conv_id, n::long AS n_points, {lag_lit} AS lag, "
+            f"CASE WHEN (n*n*sxx - n*sx*sx) > 0"
+            f" AND (n*n*syy - n*sy*sy) > 0 THEN "
+            f"floor(({num}::double"
+            f" / (sqrt((n*n*sxx - n*sx*sx)::double)"
+            f" * sqrt((n*n*syy - n*sy*sy)::double))) * 1e6 + 0.5)/1e6"
+            f" END AS ccf FROM m")
+
+    ccf_unions = " UNION ALL ".join(
+        [_ccf_sel(-k, f"pn{k}", f"hn{k}", f"tn{k}", f"mn{k}")
+         for k in range(_ccf_k, 0, -1)]
+        + [_ccf_sel(0, "p0", "sx", "sy", "n")]
+        + [_ccf_sel(k, f"pp{k}", f"hp{k}", f"tp{k}", f"mp{k}")
+           for k in range(1, _ccf_k + 1)])
+
     return {
         "tx_rollup_1m": f"""
             SELECT conv_id, {slot_m} AS window_start, {ROLE_COUNTS_SQL}
@@ -2105,6 +2188,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, window_start, turn_count, level, trend
             FROM e ORDER BY conv_id, window_start
         """,
+        "tx_holtwinters": f"""
+            WITH RECURSIVE
+            t AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000200'),
+            r0 AS (
+              SELECT conv_id, {slot_h} AS ws, count(*)::long AS x
+              FROM t GROUP BY 1, 2),
+            spans AS (SELECT conv_id, min(ws) AS w0, max(ws) AS w1
+                      FROM r0 GROUP BY 1),
+            grid AS (
+              SELECT spans.conv_id,
+                     unnest(generate_series(w0, w1, INTERVAL 1 HOUR))
+                       AS ws
+              FROM spans),
+            o AS (
+              SELECT conv_id, ws, x,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY ws) AS rn
+              FROM (SELECT grid.conv_id, grid.ws,
+                           coalesce(r0.x, 0)::long AS x
+                    FROM grid LEFT JOIN r0
+                      ON grid.conv_id = r0.conv_id
+                     AND grid.ws = r0.ws)),
+            -- seasonal ring: after row i the list holds the last 24
+            -- seasonals [s_(i-23) .. s_i] (0.0 for j < 0), so the next
+            -- row's s_prev = ring[1]; same recurrence order as the
+            -- numpy kernel, so the raw doubles are bit-identical.
+            e AS (
+              SELECT conv_id, ws, x, rn,
+                     x::double AS level, 0.0::double AS trend,
+                     0.0::double AS seasonal,
+                     list_append(list_transform(generate_series(1, 23),
+                                                j -> 0.0::double),
+                                 0.0::double) AS ring
+              FROM o WHERE rn = 1
+              UNION ALL
+              SELECT conv_id, ws, x, rn, lv,
+                     0.25*(lv - pl) + 0.75*pt AS trend,
+                     0.25*(x::double - lv) + 0.75*sp AS seasonal,
+                     list_append(ring[2:24],
+                                 0.25*(x::double - lv) + 0.75*sp) AS ring
+              FROM (
+                SELECT o.conv_id, o.ws, o.x, o.rn,
+                       e.ring AS ring, e.ring[1] AS sp,
+                       e.level AS pl, e.trend AS pt,
+                       0.5*(o.x::double - e.ring[1])
+                         + 0.5*(e.level + e.trend) AS lv
+                FROM o JOIN e
+                  ON o.conv_id = e.conv_id AND o.rn = e.rn + 1))
+            SELECT conv_id, ws AS window_start, x AS turn_count,
+                   level, trend, seasonal
+            FROM e ORDER BY conv_id, window_start
+        """,
         "tx_rate": f"""
             WITH r AS (
               SELECT conv_id, {slot_m} AS window_start,
@@ -2290,6 +2425,85 @@ def oracle_sql() -> dict[str, str]:
                          sum(x*x)::hugeint AS sxx, {acf_peragg}
                   FROM lg GROUP BY 1)
             SELECT * FROM ({acf_unions}) ORDER BY conv_id, lag
+        """,
+        "tx_ccf": f"""
+            WITH t AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000200'),
+            r0 AS (
+              SELECT conv_id, {slot_h} AS ws, count(*)::hugeint AS x,
+                     sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
+                       ::hugeint AS y
+              FROM t GROUP BY 1, 2),
+            spans AS (SELECT conv_id, min(ws) AS w0, max(ws) AS w1
+                      FROM r0 GROUP BY 1),
+            grid AS (
+              SELECT spans.conv_id,
+                     unnest(generate_series(w0, w1, INTERVAL 1 HOUR))
+                       AS ws
+              FROM spans),
+            r AS (SELECT grid.conv_id, grid.ws,
+                         coalesce(r0.x, 0)::hugeint AS x,
+                         coalesce(r0.y, 0)::hugeint AS y
+                  FROM grid LEFT JOIN r0
+                    ON grid.conv_id = r0.conv_id AND grid.ws = r0.ws),
+            lg AS (SELECT conv_id, x, y, {ccf_lagsel} FROM r
+                   WINDOW pw AS (PARTITION BY conv_id ORDER BY ws)),
+            m AS (SELECT conv_id, count(*)::hugeint AS n,
+                         sum(x)::hugeint AS sx, sum(y)::hugeint AS sy,
+                         sum(x*x)::hugeint AS sxx,
+                         sum(y*y)::hugeint AS syy,
+                         sum(x*y)::hugeint AS p0, {ccf_peragg}
+                  FROM lg GROUP BY 1)
+            SELECT * FROM ({ccf_unions}) ORDER BY conv_id, lag
+        """,
+        "tx_sax": f"""
+            WITH t AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000100'),
+            r0 AS (
+              SELECT conv_id, {slot_m} AS ws, count(*)::hugeint AS x
+              FROM t GROUP BY 1, 2),
+            spans AS (SELECT conv_id, min(ws) AS w0, max(ws) AS w1
+                      FROM r0 GROUP BY 1),
+            grid AS (
+              SELECT spans.conv_id,
+                     unnest(generate_series(w0, w1, INTERVAL 1 MINUTE))
+                       AS ws
+              FROM spans),
+            r AS (SELECT grid.conv_id, grid.ws,
+                         coalesce(r0.x, 0)::hugeint AS x
+                  FROM grid LEFT JOIN r0
+                    ON grid.conv_id = r0.conv_id AND grid.ws = r0.ws),
+            ix AS (
+              SELECT conv_id, x,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY ws) - 1 AS i,
+                     count(*) OVER (PARTITION BY conv_id)::hugeint AS n,
+                     sum(x) OVER (PARTITION BY conv_id)::hugeint AS sx,
+                     sum(x*x) OVER (PARTITION BY conv_id)::hugeint AS sxx
+              FROM r),
+            sg AS (
+              SELECT conv_id,
+                     floor((i * 16)::double / n::double)::int AS seg,
+                     count(*)::long AS n_in_seg,
+                     sum(x)::hugeint AS sp,
+                     min(n) AS n, min(sx) AS sx, min(sxx) AS sxx
+              FROM ix GROUP BY 1, 2),
+            fin AS (
+              SELECT conv_id, seg, n_in_seg,
+                     floor((sp::double / n_in_seg::double)
+                           * 1e6 + 0.5)/1e6 AS paa,
+                     floor((sx::double / n::double)
+                           * 1e6 + 0.5)/1e6 AS mean,
+                     floor(((n*sxx - sx*sx)::double / (n*n)::double)
+                           * 1e6 + 0.5)/1e6 AS var
+              FROM sg)
+            SELECT conv_id, seg, n_in_seg, paa,
+                   CASE WHEN var > 0 THEN substr('abcd',
+                     1 + (CASE WHEN (paa - mean)/sqrt(var) >= -0.6745
+                               THEN 1 ELSE 0 END
+                          + CASE WHEN (paa - mean)/sqrt(var) >= 0.0
+                                 THEN 1 ELSE 0 END
+                          + CASE WHEN (paa - mean)/sqrt(var) >= 0.6745
+                                 THEN 1 ELSE 0 END), 1) END AS letter
+            FROM fin ORDER BY conv_id, seg
         """,
         "tx_seasonal": f"""
             WITH t0 AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000200'),

@@ -136,3 +136,106 @@ def test_seasonal_requires_even_period(spark):
 def test_acf_requires_positive_lag(spark):
     with pytest.raises(ValueError):
         acf(_tier(spark, [("c1", T0, 1)]), max_lag=0)
+
+
+def _tier2(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "window_start",
+                                    "turn_count", "tool_call_count"]))
+
+
+def test_ccf_matches_numpy_reference(spark):
+    from yatsm_spark.operators.tsanalytics import ccf
+
+    rng = np.random.default_rng(13)
+    xs = rng.integers(0, 50, size=64)
+    ys = np.roll(xs, 2) + rng.integers(0, 5, size=64)  # y lags x by 2
+    rows = [("c1", T0 + dt.timedelta(hours=i), int(x), int(y))
+            for i, (x, y) in enumerate(zip(xs, ys))]
+    got = {r["lag"]: r["ccf"] for r in
+           ccf(_tier2(spark, rows), "turn_count", "tool_call_count", 3)
+           .collect()}
+    assert sorted(got) == list(range(-3, 4))
+    n, mx, my = len(xs), xs.mean(), ys.mean()
+    den = n * xs.std() * ys.std()
+    for lag in range(-3, 4):
+        if lag > 0:
+            num = ((xs[lag:] - mx) * (ys[:-lag] - my)).sum()
+        elif lag < 0:
+            num = ((xs[:lag] - mx) * (ys[-lag:] - my)).sum()
+        else:
+            num = ((xs - mx) * (ys - my)).sum()
+        assert got[lag] == pytest.approx(num / den, abs=2e-6)
+    # y = x shifted by +2 -> the peak must sit at lag -2 (x leads y)
+    assert max(got, key=lambda k: got[k]) == -2
+
+
+def test_ccf_lag0_equals_pearson_scaled(spark):
+    from yatsm_spark.operators.tsanalytics import ccf
+    from yatsm_spark.operators.tsfuncs import pearson_corr
+
+    rng = np.random.default_rng(5)
+    rows = [("c1", T0 + dt.timedelta(hours=i), int(a), int(b))
+            for i, (a, b) in enumerate(
+                zip(rng.integers(0, 9, 32), rng.integers(0, 9, 32)))]
+    t = _tier2(spark, rows)
+    c0 = {r["lag"]: r["ccf"] for r in
+          ccf(t, "turn_count", "tool_call_count", 1).collect()}[0]
+    pr = pearson_corr(t, "turn_count", "tool_call_count").collect()[0]
+    assert c0 == pytest.approx(pr["corr"], abs=2e-6)
+
+
+def test_ccf_constant_series_null(spark):
+    from yatsm_spark.operators.tsanalytics import ccf
+
+    rows = [("c1", T0 + dt.timedelta(hours=i), 5, i % 3)
+            for i in range(16)]
+    out = ccf(_tier2(spark, rows), "turn_count", "tool_call_count", 2) \
+        .collect()
+    assert len(out) == 5 and all(r["ccf"] is None for r in out)
+
+
+def test_sax_letters_match_reference(spark):
+    from yatsm_spark.operators.tsanalytics import sax_paa
+
+    # 32 slots, w=4 -> 8-slot segments with means 0, 10, 20, 30
+    rows = [("c1", T0 + dt.timedelta(minutes=i), (i // 8) * 10)
+            for i in range(32)]
+    out = (sax_paa(_tier(spark, rows), "turn_count", w=4, alphabet=4)
+           .orderBy("seg").collect())
+    assert [r["seg"] for r in out] == [0, 1, 2, 3]
+    assert [r["n_in_seg"] for r in out] == [8, 8, 8, 8]
+    assert [r["paa"] for r in out] == [0.0, 10.0, 20.0, 30.0]
+    # z = (paa-15)/std(xs); std = sqrt(125) -> z = +-1.3416, +-0.4472
+    assert [r["letter"] for r in out] == ["a", "b", "c", "d"]
+
+
+def test_sax_zero_variance_null_letters(spark):
+    from yatsm_spark.operators.tsanalytics import sax_paa, sax_words
+
+    rows = [("c1", T0 + dt.timedelta(minutes=i), 7) for i in range(16)]
+    out = sax_paa(_tier(spark, rows), "turn_count", w=4).collect()
+    assert all(r["letter"] is None for r in out)
+    w = sax_words(_tier(spark, rows), "turn_count", w=4).collect()[0]
+    assert w["sax_word"] is None and w["n_segments"] == 4
+
+
+def test_sax_word_concatenates_in_segment_order(spark):
+    from yatsm_spark.operators.tsanalytics import sax_words
+
+    rows = [("c1", T0 + dt.timedelta(minutes=i), (i // 8) * 10)
+            for i in range(32)]
+    w = sax_words(_tier(spark, rows), "turn_count", w=4).collect()[0]
+    assert w["sax_word"] == "abcd" and w["n_segments"] == 4
+
+
+def test_sax_uneven_segments_and_bad_alphabet(spark):
+    from yatsm_spark.operators.tsanalytics import sax_paa
+
+    # n=10, w=4: floor(i*4/10) -> sizes 3,2,3,2
+    rows = [("c1", T0 + dt.timedelta(minutes=i), i) for i in range(10)]
+    out = (sax_paa(_tier(spark, rows), "turn_count", w=4)
+           .orderBy("seg").collect())
+    assert [r["n_in_seg"] for r in out] == [3, 2, 3, 2]
+    with pytest.raises(ValueError):
+        sax_paa(_tier(spark, rows), "turn_count", alphabet=26)

@@ -220,3 +220,49 @@ def test_hdr_quantiles_from_merged_hist_bit_equal(spark):
     merged = fine.groupBy("g", "bucket").agg(F.sum("cnt").alias("cnt"))
     via = hdr_quantiles_from_hist(merged, ["g"]).orderBy("q_label").collect()
     assert [tuple(r) for r in direct] == [tuple(r) for r in via]
+
+
+def test_holt_winters_recurrence_exact(spark):
+    from yatsm_spark.operators.tsfuncs import holt_winters
+
+    xs = [8, 0, 16, 4, 12, 2, 14, 6, 9, 1]
+    rows = [("c1", _ts(i), v) for i, v in enumerate(xs)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, window_start timestamp, v long")
+    got = holt_winters(df, "v", period=4).orderBy("window_start").collect()
+    lv, tr, se = [8.0], [0.0], [0.0]
+    for i, x in enumerate(xs[1:], start=1):
+        sp = se[i - 4] if i >= 4 else 0.0
+        l_ = 0.5 * (x - sp) + 0.5 * (lv[-1] + tr[-1])
+        tr.append(0.25 * (l_ - lv[-1]) + 0.75 * tr[-1])
+        se.append(0.25 * (x - l_) + 0.75 * sp)
+        lv.append(l_)
+    assert [r.level for r in got] == lv       # bit-exact, no approx
+    assert [r.trend for r in got] == tr
+    assert [r.seasonal for r in got] == se
+
+
+def test_holt_winters_first_period_matches_holt(spark):
+    from yatsm_spark.operators.tsfuncs import holt, holt_winters
+
+    # while i < period, s_prev = 0 and the level/trend recurrences
+    # degenerate to plain Holt
+    xs = [8, 0, 16, 4]
+    rows = [("c1", _ts(i), v) for i, v in enumerate(xs)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, window_start timestamp, v long")
+    hw = holt_winters(df, "v", period=10).orderBy("window_start").collect()
+    h = holt(df, "v").orderBy("window_start").collect()
+    assert [r.level for r in hw] == [r.level for r in h]
+    assert [r.trend for r in hw] == [r.trend for r in h]
+
+
+def test_holt_winters_bad_period(spark):
+    import pytest
+
+    from yatsm_spark.operators.tsfuncs import holt_winters
+
+    df = spark.createDataFrame(
+        [("c", _ts(0), 1)], "conv_id string, window_start timestamp, v long")
+    with pytest.raises(ValueError):
+        holt_winters(df, "v", period=0)

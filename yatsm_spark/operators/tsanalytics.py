@@ -246,3 +246,170 @@ def seasonal_decompose(tier: DataFrame, value_col: str = "turn_count",
                _snap6((F.col("_d2p") * F.col("_cp") - F.col("_sp"))
                       .cast("decimal(38,0)").cast("double") / den_s))
          .alias("resid"))
+
+
+def ccf(tier: DataFrame, x_col: str, y_col: str, max_lag: int = 3,
+        by: str = "conv_id", order_col: str = "window_start") -> DataFrame:
+    """Cross-correlation function between two measures at lags
+    -max_lag..+max_lag per series (positive lag = x correlates with y
+    ``lag`` slots EARLIER; negative = x leads y). Same exact-moment
+    discipline as ``acf``, with the Pearson-style denominator: the two
+    full-series variance terms are sqrt'd separately in double (their
+    decimal product could overflow 38 digits), then one snapped
+    division per lag:
+
+        num_l * n^2 = n^2*P_l - n*Sx*Ty_l - n*Sy*Hx_l + m_l*Sx*Sy
+        r_l = num_l / (sqrt(n^2*Sxx - n*Sx^2) * sqrt(n^2*Syy - n*Sy^2))
+
+    where for l >= 0 the pairs are (x_t, y_{t-l}) and for l < 0 they
+    are (x_{t-|l|}, y_t); P/Hx/Ty/m are the pair product-sum, x-side
+    sum, y-side sum, and pair count. Meaningful on the DENSE tier.
+    One window pass + one groupBy — one shuffle total."""
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    w = Window.partitionBy(by).orderBy("_t")
+    src = tier.select(by, F.col(order_col).alias("_t"),
+                      F.col(x_col).cast("decimal(38,0)").alias("_x"),
+                      F.col(y_col).cast("decimal(38,0)").alias("_y"))
+    for k in range(1, max_lag + 1):
+        src = (src.withColumn(f"_gx{k}", F.lag("_x", k).over(w))
+                  .withColumn(f"_gy{k}", F.lag("_y", k).over(w)))
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+            F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+            F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+            F.sum(F.col("_x") * F.col("_y")).alias("_p0")]
+    for k in range(1, max_lag + 1):
+        gx, gy = F.col(f"_gx{k}"), F.col(f"_gy{k}")
+        aggs += [
+            # +k: pairs (x_t, y_{t-k})
+            F.sum(F.col("_x") * gy).alias(f"_pp{k}"),
+            F.sum(F.when(gy.isNotNull(), F.col("_x"))).alias(f"_hp{k}"),
+            F.sum(gy).alias(f"_tp{k}"),
+            F.count(gy).cast("decimal(38,0)").alias(f"_mp{k}"),
+            # -k: pairs (x_{t-k}, y_t)
+            F.sum(gx * F.col("_y")).alias(f"_pn{k}"),
+            F.sum(gx).alias(f"_hn{k}"),
+            F.sum(F.when(gx.isNotNull(), F.col("_y"))).alias(f"_tn{k}"),
+            F.count(gx).cast("decimal(38,0)").alias(f"_mn{k}"),
+        ]
+    m = src.groupBy(by).agg(*aggs)
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    vx = (n * n * F.col("_sxx") - n * sx * sx).cast("decimal(38,0)")
+    vy = (n * n * F.col("_syy") - n * sy * sy).cast("decimal(38,0)")
+    den = F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))
+
+    def _num(p, hx, ty, mm):
+        return (n * n * F.coalesce(p, F.lit(0))
+                - n * sx * F.coalesce(ty, F.lit(0))
+                - n * sy * F.coalesce(hx, F.lit(0))
+                + mm * sx * sy).cast("decimal(38,0)")
+
+    rows = []
+    for k in range(max_lag, 0, -1):
+        rows.append(F.struct(
+            F.lit(-k).alias("lag"),
+            _num(F.col(f"_pn{k}"), F.col(f"_hn{k}"), F.col(f"_tn{k}"),
+                 F.col(f"_mn{k}")).alias("_num")))
+    rows.append(F.struct(F.lit(0).alias("lag"),
+                         _num(F.col("_p0"), sx, sy, n).alias("_num")))
+    for k in range(1, max_lag + 1):
+        rows.append(F.struct(
+            F.lit(k).alias("lag"),
+            _num(F.col(f"_pp{k}"), F.col(f"_hp{k}"), F.col(f"_tp{k}"),
+                 F.col(f"_mp{k}")).alias("_num")))
+    return (m.select(F.col(by), n.cast("long").alias("n_points"),
+                     (vx > 0).alias("_okx"), (vy > 0).alias("_oky"),
+                     den.alias("_den"),
+                     F.explode(F.array(*rows)).alias("_r"))
+             .select(by, "n_points", F.col("_r.lag").alias("lag"),
+                     F.when(F.col("_okx") & F.col("_oky"),
+                            _snap6(F.col("_r._num").cast("double")
+                                   / F.col("_den"))).alias("ccf")))
+
+
+#: Gaussian breakpoints for the SAX alphabets we support. Literal
+#: doubles — both engines parse the same decimal string, so the binning
+#: comparisons see identical values.
+SAX_BREAKPOINTS = {
+    3: (-0.4307, 0.4307),
+    4: (-0.6745, 0.0, 0.6745),
+    5: (-0.8416, -0.2533, 0.2533, 0.8416),
+}
+SAX_LETTERS = "abcde"
+
+
+def sax_paa(tier: DataFrame, value_col: str = "turn_count", w: int = 16,
+            alphabet: int = 4, by: str = "conv_id",
+            order_col: str = "window_start") -> DataFrame:
+    """SAX (Lin et al. 2003): Piecewise Aggregate Approximation of each
+    series into ``w`` segments, z-normalized per series, binned to
+    letters at the Gaussian breakpoints. Long form: one row per
+    (series, segment) with the segment size, snapped PAA mean, and
+    letter.
+
+    Float discipline: paa = snap6(segment decimal sum / count), mean =
+    snap6(Sx/n), var = snap6 of one exact-integer division, std =
+    sqrt(var) (correctly rounded from an identical double), z =
+    (paa - mean)/std — a short identical expression tree over exact
+    snapped inputs in both engines, so the letter comparisons are
+    deterministic. Zero-variance series emit NULL letters. Plan:
+    row_number window + groupBy(series, seg) + series-moment window —
+    everything hash-partitions on the series key."""
+    if alphabet not in SAX_BREAKPOINTS:
+        raise ValueError(f"alphabet must be one of {set(SAX_BREAKPOINTS)}")
+    wk = Window.partitionBy(by).orderBy(order_col)
+    x = F.col(value_col).cast("decimal(38,0)")
+    src = tier.select(by, order_col, x.alias("_x")).withColumn(
+        "_i", F.row_number().over(wk) - 1)
+    mw = Window.partitionBy(by)
+    src = (src.withColumn("_n", F.count(F.lit(1)).over(mw)
+                                  .cast("decimal(38,0)"))
+              .withColumn("_sx", F.sum("_x").over(mw))
+              .withColumn("_sxx", F.sum(F.col("_x") * F.col("_x"))
+                                   .over(mw))
+              .withColumn("seg", F.floor(F.col("_i") * w
+                                         / F.col("_n").cast("long"))
+                                  .cast("int")))
+    g = (src.groupBy(by, "seg")
+            .agg(F.count(F.lit(1)).alias("n_in_seg"),
+                 F.sum("_x").alias("_sp"),
+                 F.first("_n").alias("_n"), F.first("_sx").alias("_sx"),
+                 F.first("_sxx").alias("_sxx")))
+    n, sx, sxx = F.col("_n"), F.col("_sx"), F.col("_sxx")
+    paa = _snap6(F.col("_sp").cast("double")
+                 / F.col("n_in_seg").cast("double"))
+    mean = _snap6(sx.cast("double") / n.cast("double"))
+    varn = (n * sxx - sx * sx).cast("decimal(38,0)")
+    var = _snap6(varn.cast("double") / (n * n).cast("double"))
+    z = (F.col("paa") - F.col("_mean")) / F.sqrt(F.col("_var"))
+    bps = SAX_BREAKPOINTS[alphabet]
+    idx = sum((F.when(F.col("_z") >= F.lit(b), 1).otherwise(0)
+               for b in bps), F.lit(0))
+    return (g.withColumn("paa", paa)
+             .withColumn("_mean", mean).withColumn("_var", var)
+             .withColumn("_z", F.when(F.col("_var") > 0, z))
+             .withColumn("letter",
+                         F.when(F.col("_z").isNotNull(),
+                                F.substring(F.lit(SAX_LETTERS[:alphabet]),
+                                            1, alphabet)
+                                 .substr(idx + 1, F.lit(1))))
+             .select(by, "seg", "n_in_seg", "paa", "letter"))
+
+
+def sax_words(tier: DataFrame, value_col: str = "turn_count", w: int = 16,
+              alphabet: int = 4, by: str = "conv_id",
+              order_col: str = "window_start") -> DataFrame:
+    """The SAX word per series: letters of ``sax_paa`` concatenated in
+    segment order (struct-sort — no order-sensitive collect). NULL when
+    the series has zero variance."""
+    p = sax_paa(tier, value_col, w, alphabet, by, order_col)
+    word = F.concat_ws("", F.transform(
+        F.array_sort(F.collect_list(F.struct("seg", "letter"))),
+        lambda s: s["letter"]))
+    return (p.groupBy(by)
+             .agg(F.count(F.lit(1)).alias("n_segments"),
+                  F.min(F.col("letter").isNotNull()).alias("_has"),
+                  word.alias("_w"))
+             .select(by, "n_segments",
+                     F.when(F.col("_has"), F.col("_w")).alias("sax_word")))

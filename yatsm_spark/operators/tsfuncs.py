@@ -356,3 +356,58 @@ def holt(df: DataFrame, value_col: str, alpha: float = 0.5,
               f"{value_col} {dict(src.dtypes)[value_col]}, "
               "level double, trend double")
     return src.groupBy(by).applyInPandas(fit, schema)
+
+
+def holt_winters(df: DataFrame, value_col: str, alpha: float = 0.5,
+                 beta: float = 0.25, gamma: float = 0.25,
+                 period: int = 24, by: str = "conv_id",
+                 order_col: str = "window_start") -> DataFrame:
+    """Holt-Winters additive triple exponential smoothing per series:
+
+        l_0 = x_0, b_0 = 0, s_0 = 0
+        s_prev(i) = s_{i-period}  (0.0 while i < period)
+        l_i = alpha*(x_i - s_prev) + (1-alpha)*(l_{i-1} + b_{i-1})
+        b_i = beta*(l_i - l_{i-1}) + (1-beta)*b_{i-1}
+        s_i = gamma*(x_i - l_i) + (1-gamma)*s_prev
+
+    (zero-initialized seasonals — the first period behaves like plain
+    Holt and the seasonal profile is learned online; deterministic and
+    total for any series length, unlike textbook inits that need a full
+    first cycle). The defaults 0.5/0.25/0.25 make all six multipliers
+    exact binary fractions, so a DuckDB recursive-CTE replay of the
+    identical recurrence (seasonal state carried as a p-slot ring list)
+    matches the raw double streams to the LAST BIT — no snapping (the
+    ewma/holt discipline, extended to a third accumulator). One
+    applyInPandas pass per series; O(period) state."""
+    import numpy as np
+
+    a, a1 = alpha, 1.0 - alpha
+    b, b1 = beta, 1.0 - beta
+    g, g1 = gamma, 1.0 - gamma
+    p = int(period)
+    if p < 1:
+        raise ValueError("period must be >= 1")
+    src = df.select(by, order_col, value_col)
+
+    def fit(pdf):
+        pdf = (pdf.sort_values(order_col, kind="mergesort")
+                  .reset_index(drop=True))
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        n = len(x)
+        lv = np.empty(n); tr = np.empty(n); se = np.empty(n)
+        if n:
+            lv[0] = x[0]; tr[0] = 0.0; se[0] = g * (x[0] - lv[0])
+            for i in range(1, n):
+                sp = se[i - p] if i >= p else 0.0
+                lv[i] = a * (x[i] - sp) + a1 * (lv[i - 1] + tr[i - 1])
+                tr[i] = b * (lv[i] - lv[i - 1]) + b1 * tr[i - 1]
+                se[i] = g * (x[i] - lv[i]) + g1 * sp
+        pdf = pdf.copy()
+        pdf["level"] = lv; pdf["trend"] = tr; pdf["seasonal"] = se
+        return pdf
+
+    schema = (f"{by} {dict(src.dtypes)[by]}, "
+              f"{order_col} {dict(src.dtypes)[order_col]}, "
+              f"{value_col} {dict(src.dtypes)[value_col]}, "
+              "level double, trend double, seasonal double")
+    return src.groupBy(by).applyInPandas(fit, schema)
