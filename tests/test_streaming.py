@@ -538,3 +538,61 @@ def test_stream_ewma_equals_batch_bit_exact(spark, tmp_path):
                           "turn_count", 0.25).collect()}
     assert len(got) == len(want) == len(pdf)
     assert got == want          # == on floats: bit-equality demanded
+
+
+def test_stream_holtwinters_equals_batch_bit_exact(spark, tmp_path):
+    """stream_holtwinters emits the batch level/trend/seasonal columns
+    BIT-for-BIT, including across a micro-batch boundary that lands
+    mid-seasonal-cycle (the array-typed ring state round-trip must hand
+    back exact doubles)."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from yatsm_spark.operators.tsfuncs import holt_winters
+    from yatsm_spark.streaming.stream_rollup import stream_holtwinters
+
+    base = pd.Timestamp("2025-01-01")
+    rng = np.random.RandomState(7)
+    rows = [{"conv_id": c,
+             "window_start": base + pd.Timedelta(hours=h),
+             "turn_count": int(rng.randint(1, 50))}
+            for c in ("c1", "c2") for h in range(20)]
+    pdf = pd.DataFrame(rows)
+    src = str(tmp_path / "hw_src")
+    os.makedirs(src)
+
+    def _write(sub, path):
+        tmp = str(tmp_path / "w")
+        spark.createDataFrame(sub).coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], path)
+        shutil.rmtree(tmp)
+
+    now = _time.time()
+    # period=6 -> the cut at h=9 lands mid-cycle, so the restored ring
+    # must carry live (non-zero) seasonals across the boundary
+    cut = base + pd.Timedelta(hours=9)
+    for k, sub in enumerate((pdf[pdf.window_start < cut],
+                             pdf[pdf.window_start >= cut])):
+        p = os.path.join(src, f"f{k}.parquet")
+        _write(sub, p)
+        os.utime(p, (now - 60 + 30 * k, now - 60 + 30 * k))
+
+    stream = (spark.readStream
+              .schema("conv_id string, window_start timestamp, turn_count long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream_holtwinters(stream, period=6)
+         .writeStream.format("memory").queryName("s_hw")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.conv_id, r.window_start): (r.level, r.trend, r.seasonal)
+           for r in spark.sql("SELECT * FROM s_hw").collect()}
+    want = {(r.conv_id, r.window_start): (r.level, r.trend, r.seasonal)
+            for r in holt_winters(
+                spark.createDataFrame(pdf), "turn_count", period=6)
+            .collect()}
+    assert len(got) == len(want) == len(pdf)
+    assert got == want          # == on floats: bit-equality demanded

@@ -347,6 +347,83 @@ def stream_ewma(rollup_stream: DataFrame, alpha: float = 0.25) -> DataFrame:
     )
 
 
+_HW_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("window_start", T.TimestampType()),
+    T.StructField("turn_count", T.LongType()),
+    T.StructField("level", T.DoubleType()),
+    T.StructField("trend", T.DoubleType()),
+    T.StructField("seasonal", T.DoubleType()),
+])
+#: state = (level, trend, ring of the last `period` seasonals). The
+#: zero-initialized ring makes the warm-up window implicit: while fewer
+#: than `period` rows have been seen, s_prev reads a 0.0 slot — exactly
+#: the batch kernel's `se[i-p] if i >= p else 0.0`.
+_HW_STATE = T.StructType([
+    T.StructField("level", T.DoubleType()),
+    T.StructField("trend", T.DoubleType()),
+    T.StructField("ring", T.ArrayType(T.DoubleType())),
+])
+
+
+def _hw_fn(alpha: float, beta: float, gamma: float, period: int):
+    a, a1 = alpha, 1.0 - alpha
+    b, b1 = beta, 1.0 - beta
+    g, g1 = gamma, 1.0 - gamma
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            lv, tr, ring = state.get[0], state.get[1], list(state.get[2])
+        else:
+            lv, tr, ring = None, 0.0, [0.0] * period
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("window_start", kind="stable")
+            for ws, v in zip(pdf["window_start"], pdf["turn_count"]):
+                x = float(v)
+                if lv is None:
+                    lv, tr, se = x, 0.0, 0.0
+                else:
+                    sp = ring[0]
+                    nl = a * (x - sp) + a1 * (lv + tr)
+                    tr = b * (nl - lv) + b1 * tr
+                    se = g * (x - nl) + g1 * sp
+                    lv = nl
+                ring = ring[1:] + [se]
+                out.append((key[0], ws, int(v), lv, tr, se))
+        if lv is not None:
+            state.update((lv, tr, ring))
+        if out:
+            yield pd.DataFrame(out, columns=["conv_id", "window_start",
+                                             "turn_count", "level",
+                                             "trend", "seasonal"])
+
+    return fn
+
+
+def stream_holtwinters(rollup_stream: DataFrame, alpha: float = 0.5,
+                       beta: float = 0.25, gamma: float = 0.25,
+                       period: int = 24) -> DataFrame:
+    """Streaming twin of ``operators.tsfuncs.holt_winters``: the additive
+    triple-smoothing recurrence maintained online with O(period) state
+    per conv (level + trend doubles and a `period`-slot seasonal ring,
+    the same ring the DuckDB oracle carries). The recurrence evaluates
+    the identical float64 expressions in the identical order as the
+    batch kernel, so emitted level/trend/seasonal streams are BIT-equal
+    to the batch columns — including across micro-batch boundaries,
+    where the array-typed state round-trip must hand back exact doubles
+    (pytest pins it)."""
+    if period < 1:
+        raise ValueError("period must be >= 1")
+    return rollup_stream.groupBy("conv_id").applyInPandasWithState(
+        _hw_fn(alpha, beta, gamma, period),
+        outputStructType=_HW_SCHEMA,
+        stateStructType=_HW_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_sessionize(stream: DataFrame, key_col: str = "user_id",
                       ts_col: str = "ts", type_col: str = "event_type",
                       timeout_s: int = 1800,
