@@ -341,6 +341,22 @@ def q_tx_anomaly(spark, sf_dir):
         .orderBy("conv_id", "window_start")
 
 
+def q_tx_alert_episodes(spark, sf_dir):
+    """Anomaly flags collapsed into alert episodes (maximal consecutive
+    flagged runs): first/last slot, length, peak snapped zscore, value
+    at the peak. Same rolling-anomaly base as tx_anomaly; the episode
+    reduction is pure integer/snapped-value relational algebra."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.rollup import rollup_from_turns
+    from yatsm_spark.operators.tsfuncs import alert_episodes, rolling_anomaly
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000100")
+    tier = rollup_from_turns(with_measures(tx), "1m") \
+        .select("conv_id", "window_start", "turn_count")
+    flags = rolling_anomaly(tier, "turn_count", k=30, sigma=3, min_n=8)
+    return alert_episodes(flags).orderBy("conv_id", "episode_start")
+
+
 def q_tx_ohlc(spark, sf_dir):
     """Candlestick (OHLC) reduction of the 1m tier into 1h buckets
     (TimescaleDB candlestick_agg): open/close picked by min_by/max_by
@@ -1549,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_deriv": q_tx_deriv,
         "tx_corr": q_tx_corr,
         "tx_anomaly": q_tx_anomaly,
+        "tx_alert_episodes": q_tx_alert_episodes,
         "tx_ohlc": q_tx_ohlc,
         "tx_state_durations": q_tx_state_durations,
         "tx_uptime": q_tx_uptime,
@@ -2355,6 +2372,64 @@ def oracle_sql() -> dict[str, str]:
                            * 1e6 + 0.5) / 1e6
                    END AS zscore
             FROM d ORDER BY conv_id, window_start
+        """,
+        "tx_alert_episodes": f"""
+            WITH t AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000100'),
+            r AS (
+              SELECT conv_id, {slot_m} AS window_start,
+                     count(*)::long AS turn_count
+              FROM t GROUP BY 1, 2),
+            w AS (
+              SELECT conv_id, window_start, turn_count,
+                     count(turn_count) OVER pw AS n,
+                     sum(turn_count::hugeint) OVER pw AS s,
+                     sum(turn_count::hugeint * turn_count::hugeint)
+                       OVER pw AS q
+              FROM r
+              WINDOW pw AS (PARTITION BY conv_id ORDER BY window_start
+                            ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)),
+            d AS (
+              SELECT conv_id, window_start, turn_count, n,
+                     (n::hugeint * turn_count::hugeint - s) AS dev,
+                     (n::hugeint * q - s * s) AS var_n
+              FROM w),
+            f AS (
+              SELECT conv_id, window_start, turn_count,
+                     CASE WHEN n >= 8 THEN
+                       CASE WHEN var_n > 0 THEN
+                         dev * dev * (n::hugeint - 1)
+                           > 9 * n::hugeint * var_n
+                       ELSE dev != 0 END
+                     END AS flag,
+                     CASE WHEN n >= 8 AND var_n > 0 THEN
+                       floor((dev::double
+                              * sqrt((n - 1)::double
+                                     / (n::hugeint * var_n)::double))
+                             * 1e6 + 0.5) / 1e6
+                     END AS z,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY window_start) AS rn_all
+              FROM d),
+            h AS (
+              SELECT *, row_number() OVER (PARTITION BY conv_id
+                                           ORDER BY window_start) AS rn_f
+              FROM f WHERE flag),
+            g AS (
+              SELECT conv_id, rn_all - rn_f AS isl, window_start,
+                     turn_count, z,
+                     row_number() OVER (
+                       PARTITION BY conv_id, rn_all - rn_f
+                       ORDER BY coalesce(z, '-infinity'::double) DESC,
+                                window_start DESC) AS pk
+              FROM h)
+            SELECT conv_id,
+                   min(window_start) AS episode_start,
+                   max(window_start) AS episode_end,
+                   count(*)::long AS n_slots,
+                   max(z) AS peak_zscore,
+                   max(CASE WHEN pk = 1 THEN turn_count END) AS peak_value
+            FROM g GROUP BY conv_id, isl
+            ORDER BY conv_id, episode_start
         """,
         "tx_ohlc": f"""
             WITH r AS (

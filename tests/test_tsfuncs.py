@@ -266,3 +266,52 @@ def test_holt_winters_bad_period(spark):
         [("c", _ts(0), 1)], "conv_id string, window_start timestamp, v long")
     with pytest.raises(ValueError):
         holt_winters(df, "v", period=0)
+
+
+def _flags_df(spark, rows):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "window_start",
+                                    "turn_count", "is_anomaly", "zscore"]))
+
+
+def test_alert_episodes_islands_and_peaks(spark):
+    from yatsm_spark.operators.tsfuncs import alert_episodes
+
+    t0 = datetime(2026, 1, 1)
+
+    def m(i):
+        return t0.replace(minute=i)
+
+    rows = [
+        # episode 1: slots 1-3, peak z at slot 2
+        ("c1", m(0), 5, False, None),
+        ("c1", m(1), 9, True, 2.5),
+        ("c1", m(2), 20, True, 7.25),
+        ("c1", m(3), 8, True, 3.0),
+        ("c1", m(4), 5, None, None),       # NULL flag breaks the run
+        # episode 2: single slot, zero-variance anomaly (NULL z)
+        ("c1", m(5), 99, True, None),
+        ("c2", m(0), 4, False, None),      # conv with no episodes
+    ]
+    out = (alert_episodes(_flags_df(spark, rows))
+           .orderBy("conv_id", "episode_start").collect())
+    assert len(out) == 2
+    e1, e2 = out
+    assert (e1["episode_start"], e1["episode_end"], e1["n_slots"]) \
+        == (m(1), m(3), 3)
+    assert e1["peak_zscore"] == 7.25 and e1["peak_value"] == 20
+    assert (e2["n_slots"], e2["peak_zscore"], e2["peak_value"]) \
+        == (1, None, 99)
+
+
+def test_alert_episodes_peak_tiebreak_latest_slot(spark):
+    from yatsm_spark.operators.tsfuncs import alert_episodes
+
+    t0 = datetime(2026, 1, 1)
+    rows = [("c1", t0.replace(minute=i), v, True, z)
+            for i, (v, z) in enumerate([(10, 4.0), (11, 4.0), (3, 1.0)])]
+    r = alert_episodes(_flags_df(spark, rows)).collect()[0]
+    # equal peak z on the first two slots -> the LATER slot's value wins
+    assert r["peak_zscore"] == 4.0 and r["peak_value"] == 11

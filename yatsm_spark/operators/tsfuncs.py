@@ -311,6 +311,55 @@ def _snap6_signed(col):
     return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
 
+def alert_episodes(flags: DataFrame, value_col: str = "turn_count",
+                   flag_col: str = "is_anomaly", z_col: str = "zscore",
+                   by: str = "conv_id",
+                   order_col: str = "window_start") -> DataFrame:
+    """Collapse per-slot anomaly flags into ALERT EPISODES — maximal
+    runs of consecutive flagged rows (the Prometheus `ALERTS` /
+    "pending for N" shape, applied after the fact): per episode the
+    first/last slot, its length, the peak deviation and the value at
+    the peak.
+
+    Islands by the classic row_number difference: within a series
+    ordered by slot, ``rn_all - rn_flagged`` is constant across a run
+    of flagged rows and strictly separates runs (NULL and false flags
+    both break a run). Works on sparse or dense tiers — "consecutive"
+    means adjacent surviving ROWS in slot order, which on the dense
+    tier is adjacent slots.
+
+    Float discipline: z_col is already 1e-6-snapped by
+    ``rolling_anomaly``; max/arg-max over snapped values is exact, so
+    no new float risk is introduced. peak_value is picked by max_by on
+    (zscore, slot) with the slot as a unique tie-break.
+
+    Plan: one window shuffle on the series key (two row_numbers share
+    the frame), then a groupBy whose keys are a superset of the window
+    partitioning — with
+    ``spark.sql.requireAllClusterKeysForDistribution=false`` (default)
+    the agg reuses the window's exchange, so the operator costs ONE
+    shuffle total."""
+    w = Window.partitionBy(by).orderBy(order_col)
+    flagged = F.col(flag_col) == True  # noqa: E712 — NULL-safe on purpose
+    base = (flags
+            .withColumn("_rn", F.row_number().over(w))
+            .where(flagged)
+            .withColumn("_isl", F.col("_rn")
+                        - F.row_number().over(w)))
+    # zscore can be NULL inside an episode (zero-variance window flagged
+    # by dev != 0): order those FIRST so max_by picks a real peak when
+    # one exists, deterministically via the unique slot tie-break.
+    zkey = F.struct(F.coalesce(F.col(z_col), F.lit(float("-inf"))).alias("z"),
+                    F.col(order_col).alias("t"))
+    return (base.groupBy(by, "_isl")
+                .agg(F.min(order_col).alias("episode_start"),
+                     F.max(order_col).alias("episode_end"),
+                     F.count(F.lit(1)).alias("n_slots"),
+                     F.max(z_col).alias("peak_zscore"),
+                     F.max_by(F.col(value_col), zkey).alias("peak_value"))
+                .drop("_isl"))
+
+
 def holt(df: DataFrame, value_col: str, alpha: float = 0.5,
          beta: float = 0.25, by: str = "conv_id",
          order_col: str = "window_start") -> DataFrame:
