@@ -465,6 +465,21 @@ def q_tx_holtwinters(spark, sf_dir):
         .orderBy("conv_id", "window_start")
 
 
+def q_tx_theilsen(spark, sf_dir):
+    """Theil-Sen robust trend per conv on the 1h tier: lower-median of
+    pairwise slopes + lower-median intercept from the snapped slope —
+    pure selection medians (no interpolation arithmetic), so both
+    engines pick the identical correctly-rounded doubles."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.rollup import rollup_from_turns
+    from yatsm_spark.operators.tsfuncs import theil_sen
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
+    tier = rollup_from_turns(with_measures(tx), "1h") \
+        .select("conv_id", "window_start", "turn_count")
+    return theil_sen(tier, "turn_count").orderBy("conv_id")
+
+
 def q_tx_hdr_cascade(spark, sf_dir):
     """Continuous-aggregate quantile serve path: per-(conv, role) HDR
     histograms SUM-merged to per-conv sketches (counts are commutative
@@ -1574,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_ccf": q_tx_ccf,
         "tx_sax": q_tx_sax,
         "tx_holtwinters": q_tx_holtwinters,
+        "tx_theilsen": q_tx_theilsen,
         "tx_hdr_cascade": q_tx_hdr_cascade,
         "tx_hll_cascade": q_tx_hll_cascade,
         "tx_asof_tool": q_tx_asof_tool,
@@ -2256,6 +2272,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, ws AS window_start, x AS turn_count,
                    level, trend, seasonal
             FROM e ORDER BY conv_id, window_start
+        """,
+        "tx_theilsen": f"""
+            WITH t AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000200'),
+            r AS (
+              SELECT conv_id, {slot_h} AS ws, count(*)::long AS x
+              FROM t GROUP BY 1, 2),
+            b AS (
+              SELECT conv_id,
+                     epoch(ws)::bigint
+                       - min(epoch(ws)::bigint)
+                           OVER (PARTITION BY conv_id) AS ts,
+                     x
+              FROM r),
+            p AS (
+              SELECT a.conv_id,
+                     (b2.x - a.x)::double / (b2.ts - a.ts)::double AS sl
+              FROM b a JOIN b b2
+                ON a.conv_id = b2.conv_id AND a.ts < b2.ts),
+            ps AS (
+              SELECT conv_id, sl,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY sl) AS rn,
+                     count(*) OVER (PARTITION BY conv_id) AS m
+              FROM p),
+            sm AS (SELECT conv_id, floor(sl*1e6 + 0.5)/1e6 AS slope
+                   FROM ps WHERE rn = (m + 1)//2),
+            res AS (
+              SELECT b.conv_id, b.x::double - sm.slope * b.ts::double AS rv
+              FROM b JOIN sm ON b.conv_id = sm.conv_id),
+            rs AS (
+              SELECT conv_id, rv,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY rv) AS rn,
+                     count(*) OVER (PARTITION BY conv_id) AS m
+              FROM res),
+            ic AS (SELECT conv_id, floor(rv*1e6 + 0.5)/1e6 AS intercept
+                   FROM rs WHERE rn = (m + 1)//2),
+            nn AS (SELECT conv_id, count(*)::long AS n_points
+                   FROM r GROUP BY 1)
+            SELECT nn.conv_id, nn.n_points, sm.slope, ic.intercept
+            FROM nn LEFT JOIN sm ON nn.conv_id = sm.conv_id
+                    LEFT JOIN ic ON nn.conv_id = ic.conv_id
+            ORDER BY nn.conv_id
         """,
         "tx_rate": f"""
             WITH r AS (

@@ -3,6 +3,8 @@ counter increase, and time-weighted averages — closed-form fixtures."""
 
 from datetime import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from yatsm_spark.operators.tsfuncs import (
@@ -258,8 +260,6 @@ def test_holt_winters_first_period_matches_holt(spark):
 
 
 def test_holt_winters_bad_period(spark):
-    import pytest
-
     from yatsm_spark.operators.tsfuncs import holt_winters
 
     df = spark.createDataFrame(
@@ -315,3 +315,44 @@ def test_alert_episodes_peak_tiebreak_latest_slot(spark):
     r = alert_episodes(_flags_df(spark, rows)).collect()[0]
     # equal peak z on the first two slots -> the LATER slot's value wins
     assert r["peak_zscore"] == 4.0 and r["peak_value"] == 11
+
+
+def test_theil_sen_exact_line_and_outlier_robustness(spark):
+    from yatsm_spark.operators.tsfuncs import theil_sen
+
+    t0 = datetime(2026, 1, 1)
+    # exact line x = 100 + 2*t_hours -> slope 2/3600 per second
+    clean = [("c1", t0 + __import__("datetime").timedelta(hours=h),
+              100 + 2 * h) for h in range(20)]
+    # same line with 4 wild outliers (20% contamination)
+    noisy = [("c2", ws, 9999 if i in (3, 7, 11, 15) else v)
+             for i, (_, ws, v) in enumerate(clean)]
+    df = spark.createDataFrame(
+        clean + noisy, "conv_id string, window_start timestamp, "
+                       "turn_count long")
+    out = {r["conv_id"]: r for r in theil_sen(df).collect()}
+    want_slope = round(2 / 3600, 6)
+    assert out["c1"]["slope"] == pytest.approx(want_slope, abs=2e-6)
+    # intercept drift bound: 1e-6 slope snap x max t (68400 s) ~= 0.035
+    assert out["c1"]["intercept"] == pytest.approx(100.0, abs=0.05)
+    # the contaminated series still recovers the clean trend
+    assert out["c2"]["slope"] == pytest.approx(want_slope, abs=2e-6)
+    assert out["c2"]["intercept"] == pytest.approx(100.0, abs=0.05)
+
+
+def test_theil_sen_single_point_nulls_and_cap(spark):
+    from yatsm_spark.operators.tsfuncs import theil_sen
+
+    one = spark.createDataFrame(
+        [("c", datetime(2026, 1, 1), 5)],
+        "conv_id string, window_start timestamp, turn_count long")
+    r = theil_sen(one).collect()[0]
+    assert r["n_points"] == 1 and r["slope"] is None \
+        and r["intercept"] is None
+    import datetime as dt
+    many = spark.createDataFrame(
+        [("c", datetime(2026, 1, 1) + dt.timedelta(minutes=i), i)
+         for i in range(10)],
+        "conv_id string, window_start timestamp, turn_count long")
+    with pytest.raises(Exception, match="max_n"):
+        theil_sen(many, max_n=5).collect()

@@ -360,6 +360,75 @@ def alert_episodes(flags: DataFrame, value_col: str = "turn_count",
                 .drop("_isl"))
 
 
+def theil_sen(tier: DataFrame, value_col: str = "turn_count",
+              by: str = "conv_id", order_col: str = "window_start",
+              max_n: int = 4096) -> DataFrame:
+    """Theil–Sen robust trend per series: slope = median of all
+    pairwise slopes (x_j - x_i) / (t_j - t_i), i < j; intercept =
+    median of (x_i - slope * t_i) with t in SECONDS SINCE THE SERIES'
+    FIRST SLOT (the deriv() convention — slope-invariant, keeps
+    operands small and the intercept meaningful as the level at the
+    series start). The robust companion to ``deriv()``'s least-squares
+    slope — up to ~29% outlier contamination cannot move it (same
+    motivation as the reference's RLM screening, yatsm
+    robust estimators).
+
+    Determinism/exactness: each pairwise slope is ONE correctly-rounded
+    double division of exact integers, identical in both engines; the
+    median is the LOWER median — pure selection (sorted[(m-1)//2]),
+    never the interpolated average of two middles, which engines spell
+    with different float expressions ((a+b)/2 vs a+(b-a)*0.5). Emitted
+    slope/intercept are 1e-6-snapped; the intercept residuals are
+    computed from the SNAPPED slope so both engines subtract the same
+    double.
+
+    Scale shape: O(n^2) pairs per series, vectorized in one numpy
+    outer-difference per conv (applyInPandas, one shuffle on the series
+    key). Series longer than ``max_n`` raise — downsample first (lttb /
+    m4 / cascade to a coarser tier); a silent cap would change the
+    estimator."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    src = tier.select(by, order_col, value_col)
+
+    def fit(pdf):
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        n = len(pdf)
+        if n > max_n:
+            raise ValueError(
+                f"theil_sen: series of {n} rows exceeds max_n={max_n}; "
+                "downsample (lttb/m4/cascade) before the O(n^2) fit")
+        key = pdf.iloc[0, 0]
+        if n < 2:
+            # nullable Float64 -> Arrow null (a bare np.nan would emit
+            # NaN, which Spark treats as a VALUE distinct from NULL)
+            return pd.DataFrame(
+                {by: [key], "n_points": [n],
+                 "slope": pd.array([None], dtype="Float64"),
+                 "intercept": pd.array([None], dtype="Float64")})
+        t_us = pdf[order_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        t = (t_us - t_us[0]) // 1_000_000          # exact int seconds
+        x = pdf[value_col].to_numpy(dtype=np.int64)
+        iu = np.triu_indices(n, k=1)
+        dx = (x[iu[1]] - x[iu[0]]).astype(np.float64)
+        dt = (t[iu[1]] - t[iu[0]]).astype(np.float64)
+        slopes = np.sort(dx / dt)
+        sl = float(slopes[(len(slopes) - 1) // 2])
+        sl = math.floor(sl * 1e6 + 0.5) / 1e6
+        resid = np.sort(x.astype(np.float64) - sl * t.astype(np.float64))
+        ic = float(resid[(len(resid) - 1) // 2])
+        ic = math.floor(ic * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({by: [key], "n_points": [n],
+                             "slope": [sl], "intercept": [ic]})
+
+    schema = (f"{by} {dict(src.dtypes)[by]}, n_points long, "
+              "slope double, intercept double")
+    return src.groupBy(by).applyInPandas(fit, schema)
+
+
 def holt(df: DataFrame, value_col: str, alpha: float = 0.5,
          beta: float = 0.25, by: str = "conv_id",
          order_col: str = "window_start") -> DataFrame:
