@@ -36,6 +36,7 @@ GOLDEN_MULTI = os.path.join(REPO, "data", "golden_segments_multi_sf0.01.parquet"
 GOLDEN_KM = os.path.join(REPO, "data", "golden_kmeans_sf0.01.parquet")
 GOLDEN_PCA = os.path.join(REPO, "data", "golden_pca_sf0.01.parquet")
 GOLDEN_LTTB = os.path.join(REPO, "data", "golden_lttb_sf0.01.parquet")
+GOLDEN_MP = os.path.join(REPO, "data", "golden_mp_sf0.01.parquet")
 
 ROLE_COUNTS_SQL = """
        count(*)::long AS turn_count,
@@ -463,6 +464,34 @@ def q_tx_holtwinters(spark, sf_dir):
         .select("conv_id", "window_start", "turn_count")
     return holt_winters(dense, "turn_count", period=24) \
         .orderBy("conv_id", "window_start")
+
+
+def q_tx_matrix_profile(spark, sf_dir):
+    """Matrix profile (Yeh et al. 2016) of each conv's DENSE 1h series,
+    window m=12: per window the z-normalized nearest-neighbor distance
+    and partner index. Oracle: a pure-numpy twin driven outside Spark
+    (tools/make_goldens.py::matrix_profile_twin,
+    data/golden_mp_sf0.01.parquet) — same kernel bits on the same dense
+    series, so the row is a Spark-vs-numpy plumbing differential."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.matrixprofile import matrix_profile
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
+    dense = rollup_gapfilled(with_measures(tx), "1h") \
+        .select("conv_id", "window_start", "turn_count")
+    return matrix_profile(dense, m=12).orderBy("conv_id", "idx")
+
+
+def q_tx_mp_extrema(spark, sf_dir):
+    """Per-conv motif + discord summary off the matrix profile —
+    min_by/max_by with (mp, idx) tie-break keys, deterministic at any
+    parallelism. Oracle: the identical reduction in SQL over the
+    matrix-profile golden."""
+    from yatsm_spark.operators.matrixprofile import mp_extrema
+
+    return mp_extrema(q_tx_matrix_profile(spark, sf_dir)) \
+        .orderBy("conv_id")
 
 
 def q_tx_theilsen(spark, sf_dir):
@@ -1590,6 +1619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_sax": q_tx_sax,
         "tx_holtwinters": q_tx_holtwinters,
         "tx_theilsen": q_tx_theilsen,
+        "tx_matrix_profile": q_tx_matrix_profile,
+        "tx_mp_extrema": q_tx_mp_extrema,
         "tx_hdr_cascade": q_tx_hdr_cascade,
         "tx_hll_cascade": q_tx_hll_cascade,
         "tx_asof_tool": q_tx_asof_tool,
@@ -2272,6 +2303,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, ws AS window_start, x AS turn_count,
                    level, trend, seasonal
             FROM e ORDER BY conv_id, window_start
+        """,
+        "tx_matrix_profile": f"""
+            SELECT conv_id, idx::long AS idx,
+                   window_start::timestamp AS window_start,
+                   mp::double AS mp, mp_idx::long AS mp_idx
+            FROM read_parquet('{GOLDEN_MP}')
+            ORDER BY conv_id, idx
+        """,
+        "tx_mp_extrema": f"""
+            WITH p AS (SELECT * FROM read_parquet('{GOLDEN_MP}')
+                       WHERE mp IS NOT NULL),
+            mo AS (
+              SELECT conv_id, idx AS motif_idx, mp_idx AS motif_pair,
+                     mp AS motif_dist,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY mp ASC, idx ASC) AS rk
+              FROM p),
+            di AS (
+              SELECT conv_id, idx AS discord_idx, mp AS discord_dist,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY mp DESC, idx ASC) AS rk
+              FROM p),
+            nn AS (SELECT conv_id, count(*)::long AS n_windows
+                   FROM p GROUP BY 1)
+            SELECT nn.conv_id, mo.motif_idx::long AS motif_idx,
+                   mo.motif_pair::long AS motif_pair,
+                   mo.motif_dist::double AS motif_dist,
+                   di.discord_idx::long AS discord_idx,
+                   di.discord_dist::double AS discord_dist, nn.n_windows
+            FROM nn
+            JOIN mo ON nn.conv_id = mo.conv_id AND mo.rk = 1
+            JOIN di ON nn.conv_id = di.conv_id AND di.rk = 1
+            ORDER BY nn.conv_id
         """,
         "tx_theilsen": f"""
             WITH t AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000200'),

@@ -102,3 +102,10 @@ def test_goldens_are_fresh():
     stored_lt = pd.read_parquet(
         os.path.join(REPO, "data", "golden_lttb_sf0.01.parquet"))
     pd.testing.assert_frame_equal(lt, stored_lt, check_exact=True)
+
+    from make_goldens import matrix_profile_twin
+
+    mp = matrix_profile_twin()
+    stored_mp = pd.read_parquet(
+        os.path.join(REPO, "data", "golden_mp_sf0.01.parquet"))
+    pd.testing.assert_frame_equal(mp, stored_mp, check_exact=True)

@@ -532,6 +532,57 @@ def lttb_twin(conv_max: str = "conv00000100", n_out: int = 64) -> pd.DataFrame:
     return pd.concat(outs, ignore_index=True)
 
 
+def matrix_profile_twin(conv_max: str = "conv00000200",
+                        m: int = 12) -> pd.DataFrame:
+    """tx_matrix_profile twin: the DENSE 1h tier recomputed in DuckDB
+    (the exact grid shape the green tx_acf/tx_holtwinters oracle rows
+    pin), each conv profiled by the SAME kernel
+    (kernel/matrixprofile.py::matrix_profile_core) the Spark operator
+    calls — the differential covers the applyInPandas grouping,
+    densify lineage, per-group ordering, and Arrow null round-trip."""
+    from yatsm_spark.kernel.matrixprofile import matrix_profile_core
+
+    tier = duckdb.sql(f"""
+        WITH r0 AS (
+          SELECT conv_id,
+                 to_timestamp((floor(epoch(ts)/3600)*3600)::bigint)
+                   ::timestamp AS ws,
+                 count(*)::long AS x
+          FROM read_parquet('{TX}/*.parquet')
+          WHERE conv_id < '{conv_max}'
+          GROUP BY 1, 2),
+        spans AS (SELECT conv_id, min(ws) AS w0, max(ws) AS w1
+                  FROM r0 GROUP BY 1),
+        grid AS (SELECT spans.conv_id,
+                        unnest(generate_series(w0, w1, INTERVAL 1 HOUR))
+                          AS ws
+                 FROM spans)
+        SELECT grid.conv_id AS conv_id, grid.ws AS window_start,
+               coalesce(r0.x, 0)::long AS turn_count
+        FROM grid LEFT JOIN r0
+          ON grid.conv_id = r0.conv_id AND grid.ws = r0.ws
+        ORDER BY grid.conv_id, grid.ws
+    """).df()
+    outs = []
+    for conv, g in tier.groupby("conv_id", sort=True):
+        g = g.reset_index(drop=True)
+        L = len(g) - m + 1
+        if L <= 0:
+            continue
+        mp, mpi = matrix_profile_core(
+            g["turn_count"].to_numpy(np.int64), m)
+        outs.append(pd.DataFrame({
+            "conv_id": conv,
+            "idx": np.arange(L, dtype=np.int64),
+            "window_start": g["window_start"].iloc[:L].to_numpy(),
+            "mp": pd.array([None if not np.isfinite(v) else float(v)
+                            for v in mp], dtype="Float64"),
+            "mp_idx": pd.array([None if v < 0 else int(v) for v in mpi],
+                               dtype="Int64"),
+        }))
+    return pd.concat(outs, ignore_index=True)
+
+
 def main() -> None:
     segs = segments_twin("conv00000300")
     seg_path = os.path.join(REPO, "data", "golden_segments_sf0.01.parquet")
@@ -598,6 +649,11 @@ def main() -> None:
     path = os.path.join(REPO, "data", "golden_lttb_sf0.01.parquet")
     lt.to_parquet(path, index=False)
     print(f"wrote {path}: {len(lt)} rows")
+
+    mp = matrix_profile_twin()
+    path = os.path.join(REPO, "data", "golden_mp_sf0.01.parquet")
+    mp.to_parquet(path, index=False)
+    print(f"wrote {path}: {len(mp)} rows")
 
 
 if __name__ == "__main__":
