@@ -466,6 +466,24 @@ def q_tx_holtwinters(spark, sf_dir):
         .orderBy("conv_id", "window_start")
 
 
+def q_tx_hw_backtest(spark, sf_dir):
+    """One-step-ahead Holt-Winters forecast backtest per conv (mae /
+    rmse / smape / mase). The recurrence doubles are bit-identical in
+    both engines (the tx_holtwinters guarantee); every per-row error
+    term is snapped to an INTEGER on the 1e-6 grid and summed exactly
+    (Python ints vs HUGEINT), so each metric is one final snapped
+    division of exact integers — no order-dependent float reduction."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+    from yatsm_spark.operators.tsfuncs import holt_winters_backtest
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
+    dense = rollup_gapfilled(with_measures(tx), "1h") \
+        .select("conv_id", "window_start", "turn_count")
+    return holt_winters_backtest(dense, "turn_count", period=24) \
+        .orderBy("conv_id")
+
+
 def q_tx_matrix_profile(spark, sf_dir):
     """Matrix profile (Yeh et al. 2016) of each conv's DENSE 1h series,
     window m=12: per window the z-normalized nearest-neighbor distance
@@ -1618,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_ccf": q_tx_ccf,
         "tx_sax": q_tx_sax,
         "tx_holtwinters": q_tx_holtwinters,
+        "tx_hw_backtest": q_tx_hw_backtest,
         "tx_theilsen": q_tx_theilsen,
         "tx_matrix_profile": q_tx_matrix_profile,
         "tx_mp_extrema": q_tx_mp_extrema,
@@ -2303,6 +2322,91 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, ws AS window_start, x AS turn_count,
                    level, trend, seasonal
             FROM e ORDER BY conv_id, window_start
+        """,
+        "tx_hw_backtest": f"""
+            WITH RECURSIVE
+            t AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000200'),
+            r0 AS (
+              SELECT conv_id, {slot_h} AS ws, count(*)::long AS x
+              FROM t GROUP BY 1, 2),
+            spans AS (SELECT conv_id, min(ws) AS w0, max(ws) AS w1
+                      FROM r0 GROUP BY 1),
+            grid AS (
+              SELECT spans.conv_id,
+                     unnest(generate_series(w0, w1, INTERVAL 1 HOUR))
+                       AS ws
+              FROM spans),
+            o AS (
+              SELECT conv_id, ws, x,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY ws) AS rn
+              FROM (SELECT grid.conv_id, grid.ws,
+                           coalesce(r0.x, 0)::long AS x
+                    FROM grid LEFT JOIN r0
+                      ON grid.conv_id = r0.conv_id
+                     AND grid.ws = r0.ws)),
+            e AS (
+              SELECT conv_id, ws, x, rn,
+                     x::double AS level, 0.0::double AS trend,
+                     NULL::double AS fc,
+                     list_append(list_transform(generate_series(1, 23),
+                                                j -> 0.0::double),
+                                 0.0::double) AS ring
+              FROM o WHERE rn = 1
+              UNION ALL
+              SELECT conv_id, ws, x, rn, lv,
+                     0.25*(lv - pl) + 0.75*pt AS trend,
+                     (pl + pt) + sp AS fc,
+                     list_append(ring[2:24],
+                                 0.25*(x::double - lv) + 0.75*sp) AS ring
+              FROM (
+                SELECT o.conv_id, o.ws, o.x, o.rn,
+                       e.ring AS ring, e.ring[1] AS sp,
+                       e.level AS pl, e.trend AS pt,
+                       0.5*(o.x::double - e.ring[1])
+                         + 0.5*(e.level + e.trend) AS lv
+                FROM o JOIN e
+                  ON o.conv_id = e.conv_id AND o.rn = e.rn + 1)),
+            m AS (
+              SELECT conv_id, rn, x, fc,
+                     x::double - fc AS err,
+                     lag(x, 24) OVER (PARTITION BY conv_id
+                                      ORDER BY rn) AS xlag
+              FROM e),
+            s AS (
+              SELECT conv_id,
+                     count(CASE WHEN rn >= 2 THEN 1 END)::hugeint AS ne,
+                     sum(CASE WHEN rn >= 2 THEN
+                       abs(floor(err*1e6 + 0.5)::hugeint) END) AS sae,
+                     sum(CASE WHEN rn >= 2 THEN
+                       floor(err*1e6 + 0.5)::hugeint
+                         * floor(err*1e6 + 0.5)::hugeint END) AS ssq,
+                     sum(CASE WHEN rn >= 2 THEN
+                       floor((CASE WHEN abs(x::double) + abs(fc) = 0
+                                   THEN 0.0
+                                   ELSE 2.0*abs(err)
+                                        / (abs(x::double) + abs(fc))
+                              END)*1e6 + 0.5)::hugeint END) AS st,
+                     sum(CASE WHEN rn > 24 THEN
+                       abs(x - xlag)::hugeint END) AS snv,
+                     count(CASE WHEN rn > 24 THEN 1 END)::hugeint AS nnv
+              FROM m GROUP BY 1)
+            SELECT conv_id, ne::long AS n_eval,
+                   CASE WHEN ne > 0 THEN
+                     floor((sae::double / (ne*1000000)::double)
+                           * 1e6 + 0.5)/1e6 END AS mae,
+                   CASE WHEN ne > 0 THEN
+                     floor(sqrt(ssq::double
+                                / (ne*1000000000000)::double)
+                           * 1e6 + 0.5)/1e6 END AS rmse,
+                   CASE WHEN ne > 0 THEN
+                     floor((st::double / (ne*1000000)::double)
+                           * 1e6 + 0.5)/1e6 END AS smape,
+                   CASE WHEN ne > 0 AND snv > 0 THEN
+                     floor(((sae*nnv)::double
+                            / (ne*snv*1000000)::double)
+                           * 1e6 + 0.5)/1e6 END AS mase
+            FROM s ORDER BY conv_id
         """,
         "tx_matrix_profile": f"""
             SELECT conv_id, idx::long AS idx,

@@ -356,3 +356,67 @@ def test_theil_sen_single_point_nulls_and_cap(spark):
         "conv_id string, window_start timestamp, turn_count long")
     with pytest.raises(Exception, match="max_n"):
         theil_sen(many, max_n=5).collect()
+
+
+def test_hw_backtest_hand_computed(spark):
+    from yatsm_spark.operators.tsfuncs import holt_winters_backtest
+
+    xs = [8, 0, 16, 4, 12, 2]
+    rows = [("c1", _ts(i), v) for i, v in enumerate(xs)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, window_start timestamp, v long")
+    r = holt_winters_backtest(df, "v", period=3).collect()[0]
+    # replay the recurrence by hand and derive the expected metrics
+    import math
+    lv, tr, se = [8.0], [0.0], [0.0]
+    errs, terms = [], []
+    for i, x in enumerate(xs[1:], start=1):
+        sp = se[i - 3] if i >= 3 else 0.0
+        f = (lv[-1] + tr[-1]) + sp
+        e = x - f
+        errs.append(math.floor(e * 1e6 + 0.5))
+        den = abs(x) + abs(f)
+        t = 0.0 if den == 0 else 2.0 * abs(e) / den
+        terms.append(math.floor(t * 1e6 + 0.5))
+        l_ = 0.5 * (x - sp) + 0.5 * (lv[-1] + tr[-1])
+        tr.append(0.25 * (l_ - lv[-1]) + 0.75 * tr[-1])
+        se.append(0.25 * (x - l_) + 0.75 * sp)
+        lv.append(l_)
+    ne = 5
+    want_mae = math.floor(sum(abs(v) for v in errs) / (ne * 1e6)
+                          * 1e6 + 0.5) / 1e6
+    want_rmse = math.floor(
+        math.sqrt(sum(v * v for v in errs) / (ne * 1e12)) * 1e6 + 0.5) / 1e6
+    naive = [abs(xs[i] - xs[i - 3]) for i in range(3, 6)]
+    want_mase = math.floor(
+        sum(abs(v) for v in errs) * len(naive)
+        / (ne * sum(naive) * 1e6) * 1e6 + 0.5) / 1e6
+    assert r["n_eval"] == 5
+    assert r["mae"] == want_mae and r["rmse"] == want_rmse
+    assert r["smape"] == math.floor(sum(terms) / (ne * 1e6)
+                                    * 1e6 + 0.5) / 1e6
+    assert r["mase"] == want_mase
+
+
+def test_hw_backtest_edge_series(spark):
+    from yatsm_spark.operators.tsfuncs import holt_winters_backtest
+
+    # constant series: every one-step forecast is exact -> zero errors;
+    # the seasonal-naive error is 0 -> mase NULL
+    const = spark.createDataFrame(
+        [("c", _ts(i), 7) for i in range(10)],
+        "conv_id string, window_start timestamp, v long")
+    r = holt_winters_backtest(const, "v", period=3).collect()[0]
+    assert (r["mae"], r["rmse"], r["mase"]) == (0.0, 0.0, None)
+    # all-zero series: smape's 0/0 convention -> term 0, smape 0
+    zero = spark.createDataFrame(
+        [("c", _ts(i), 0) for i in range(6)],
+        "conv_id string, window_start timestamp, v long")
+    r = holt_winters_backtest(zero, "v", period=3).collect()[0]
+    assert r["smape"] == 0.0
+    # single point: nothing to evaluate
+    one = spark.createDataFrame(
+        [("c", _ts(0), 5)],
+        "conv_id string, window_start timestamp, v long")
+    r = holt_winters_backtest(one, "v").collect()[0]
+    assert r["n_eval"] == 0 and r["mae"] is None and r["mase"] is None

@@ -360,6 +360,109 @@ def alert_episodes(flags: DataFrame, value_col: str = "turn_count",
                 .drop("_isl"))
 
 
+def holt_winters_backtest(df: DataFrame, value_col: str,
+                          alpha: float = 0.5, beta: float = 0.25,
+                          gamma: float = 0.25, period: int = 24,
+                          by: str = "conv_id",
+                          order_col: str = "window_start",
+                          max_n: int = 4096) -> DataFrame:
+    """One-step-ahead forecast backtest of ``holt_winters``: replay the
+    identical recurrence, forecast each slot i >= 1 as
+    f_i = (l_{i-1} + b_{i-1}) + s_prev(i) BEFORE observing x_i, and
+    report per-series accuracy:
+
+    - mae, rmse — mean absolute / root-mean-square one-step error
+    - smape — mean of 2|e|/(|x|+|f|) (term 0 when both are 0)
+    - mase — mae / seasonal-naive MAE (|x_i - x_{i-p}| over i >= p);
+      NULL when the series is too short or the naive error is 0
+
+    Cross-engine float discipline: the recurrence's doubles are
+    bit-identical in both engines (the tx_holtwinters guarantee), so
+    each PER-ROW error term is an identical double; every term is then
+    snapped to an INTEGER on the 1e-6 grid and the per-series sums run
+    in exact integer arithmetic (Python ints here, HUGEINT in the
+    oracle) — the one float reduction a naive implementation would do
+    (summing raw doubles, order-dependent) never happens. Each metric
+    is ONE final snapped division of exact integers. ``max_n`` (4096)
+    also keeps n*1e12 inside double's exact-integer range for the rmse
+    denominator."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    a, a1 = alpha, 1.0 - alpha
+    b, b1 = beta, 1.0 - beta
+    g, g1 = gamma, 1.0 - gamma
+    p = int(period)
+    if p < 1:
+        raise ValueError("period must be >= 1")
+    src = df.select(by, order_col, value_col)
+
+    def snap6i(v):
+        return int(math.floor(v * 1e6 + 0.5))
+
+    def snap6(v):
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    def fit(pdf):
+        pdf = (pdf.sort_values(order_col, kind="mergesort")
+                  .reset_index(drop=True))
+        n = len(pdf)
+        if n > max_n:
+            raise ValueError(
+                f"holt_winters_backtest: {n} rows exceeds max_n={max_n}")
+        key = pdf.iloc[0, 0]
+        xi = pdf[value_col].to_numpy(dtype=np.int64)
+        x = xi.astype(np.float64)
+        sum_ae6 = sum_sq = sum_t6 = 0
+        sum_naive = n_naive = 0
+        lv, tr = (x[0], 0.0) if n else (0.0, 0.0)
+        ring = [0.0] * p
+        if n:
+            ring = ring[1:] + [0.0]
+        for i in range(1, n):
+            sp = ring[0]
+            f = (lv + tr) + sp
+            e = x[i] - f
+            e6 = snap6i(e)
+            sum_ae6 += abs(e6)
+            sum_sq += e6 * e6
+            den = abs(x[i]) + abs(f)
+            t = 0.0 if den == 0.0 else 2.0 * abs(e) / den
+            sum_t6 += snap6i(t)
+            if i >= p:
+                sum_naive += int(abs(xi[i] - xi[i - p]))
+                n_naive += 1
+            nl = a * (x[i] - sp) + a1 * (lv + tr)
+            tr = b * (nl - lv) + b1 * tr
+            se = g * (x[i] - nl) + g1 * sp
+            lv = nl
+            ring = ring[1:] + [se]
+        ne = max(n - 1, 0)
+        mae = rmse = smape = mase = None
+        if ne > 0:
+            # numerator and denominator each converted int -> double
+            # ONCE, then one division — the exact op sequence the
+            # oracle's ::double casts perform
+            mae = snap6(float(sum_ae6) / float(ne * 10 ** 6))
+            rmse = snap6(math.sqrt(float(sum_sq) / float(ne * 10 ** 12)))
+            smape = snap6(float(sum_t6) / float(ne * 10 ** 6))
+            if sum_naive > 0:
+                mase = snap6(float(sum_ae6 * n_naive)
+                             / float(ne * sum_naive * 10 ** 6))
+        return pd.DataFrame(
+            {by: [key], "n_eval": [ne],
+             "mae": pd.array([mae], dtype="Float64"),
+             "rmse": pd.array([rmse], dtype="Float64"),
+             "smape": pd.array([smape], dtype="Float64"),
+             "mase": pd.array([mase], dtype="Float64")})
+
+    schema = (f"{by} {dict(src.dtypes)[by]}, n_eval long, mae double, "
+              "rmse double, smape double, mase double")
+    return src.groupBy(by).applyInPandas(fit, schema)
+
+
 def theil_sen(tier: DataFrame, value_col: str = "turn_count",
               by: str = "conv_id", order_col: str = "window_start",
               max_n: int = 4096) -> DataFrame:
