@@ -448,6 +448,32 @@ def q_tx_sax(spark, sf_dir):
     return sax_paa(dense, "turn_count", 16, 4).orderBy("conv_id", "seg")
 
 
+def q_tx_sax_neardups(spark, sf_dir):
+    """Series near-duplicate candidates via SAX words (the MinHash-LSH
+    idea applied to SHAPE): convs whose dense 1m series share the exact
+    16-segment/4-letter symbolic word pair up, (a < b). The word is a
+    locality bucket — identical words mean the series' coarse shapes
+    match after z-normalization; zero-variance series (NULL word) never
+    pair. Bucketed self-join, the lsh_pairs plan shape."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+    from yatsm_spark.operators.tsanalytics import sax_words
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000100")
+    dense = rollup_gapfilled(with_measures(tx), "1m")
+    w = sax_words(dense, "turn_count", 16, 4) \
+        .where(F.col("sax_word").isNotNull()) \
+        .select("conv_id", "sax_word")
+    a = w.alias("a")
+    b = w.alias("b")
+    return (a.join(b, (F.col("a.sax_word") == F.col("b.sax_word"))
+                   & (F.col("a.conv_id") < F.col("b.conv_id")))
+             .select(F.col("a.conv_id").alias("conv_a"),
+                     F.col("b.conv_id").alias("conv_b"),
+                     F.col("a.sax_word").alias("sax_word"))
+             .orderBy("conv_a", "conv_b"))
+
+
 def q_tx_holtwinters(spark, sf_dir):
     """Holt-Winters additive triple smoothing (alpha=0.5, beta=0.25,
     gamma=0.25, period=24) over each conv's DENSE 1h series. All six
@@ -464,6 +490,23 @@ def q_tx_holtwinters(spark, sf_dir):
         .select("conv_id", "window_start", "turn_count")
     return holt_winters(dense, "turn_count", period=24) \
         .orderBy("conv_id", "window_start")
+
+
+def q_tx_dist_shift(spark, sf_dir):
+    """Two-sample chi-square between the first and second half of each
+    conv's DENSE 1m turn-count distribution — the batch regime-shift
+    detector. Per-bucket terms snapped to 1e-6 integers and summed
+    exactly, so the reduction is parallelism-invariant; no
+    transcendentals anywhere (chi2 chosen over PSI/KL because ln is
+    not correctly-rounded across engines)."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+    from yatsm_spark.operators.tsanalytics import distribution_shift
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000100")
+    dense = rollup_gapfilled(with_measures(tx), "1m")
+    return distribution_shift(dense, "turn_count", cap=64) \
+        .orderBy("conv_id")
 
 
 def q_tx_hw_backtest(spark, sf_dir):
@@ -1635,8 +1678,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_seasonal": q_tx_seasonal,
         "tx_ccf": q_tx_ccf,
         "tx_sax": q_tx_sax,
+        "tx_sax_neardups": q_tx_sax_neardups,
         "tx_holtwinters": q_tx_holtwinters,
         "tx_hw_backtest": q_tx_hw_backtest,
+        "tx_dist_shift": q_tx_dist_shift,
         "tx_theilsen": q_tx_theilsen,
         "tx_matrix_profile": q_tx_matrix_profile,
         "tx_mp_extrema": q_tx_mp_extrema,
@@ -2070,6 +2115,60 @@ def oracle_sql() -> dict[str, str]:
         + [_ccf_sel(k, f"pp{k}", f"hp{k}", f"tp{k}", f"mp{k}")
            for k in range(1, _ccf_k + 1)])
 
+    # shared SAX CTE body (dense 1m grid -> PAA -> letters), used by
+    # tx_sax (long form) and tx_sax_neardups (word self-join)
+    sax_body = """
+            WITH t AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000100'),
+            r0 AS (
+              SELECT conv_id, {slot_m} AS ws, count(*)::hugeint AS x
+              FROM t GROUP BY 1, 2),
+            spans AS (SELECT conv_id, min(ws) AS w0, max(ws) AS w1
+                      FROM r0 GROUP BY 1),
+            grid AS (
+              SELECT spans.conv_id,
+                     unnest(generate_series(w0, w1, INTERVAL 1 MINUTE))
+                       AS ws
+              FROM spans),
+            r AS (SELECT grid.conv_id, grid.ws,
+                         coalesce(r0.x, 0)::hugeint AS x
+                  FROM grid LEFT JOIN r0
+                    ON grid.conv_id = r0.conv_id AND grid.ws = r0.ws),
+            ix AS (
+              SELECT conv_id, x,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY ws) - 1 AS i,
+                     count(*) OVER (PARTITION BY conv_id)::hugeint AS n,
+                     sum(x) OVER (PARTITION BY conv_id)::hugeint AS sx,
+                     sum(x*x) OVER (PARTITION BY conv_id)::hugeint AS sxx
+              FROM r),
+            sg AS (
+              SELECT conv_id,
+                     floor((i * 16)::double / n::double)::int AS seg,
+                     count(*)::long AS n_in_seg,
+                     sum(x)::hugeint AS sp,
+                     min(n) AS n, min(sx) AS sx, min(sxx) AS sxx
+              FROM ix GROUP BY 1, 2),
+            fin AS (
+              SELECT conv_id, seg, n_in_seg,
+                     floor((sp::double / n_in_seg::double)
+                           * 1e6 + 0.5)/1e6 AS paa,
+                     floor((sx::double / n::double)
+                           * 1e6 + 0.5)/1e6 AS mean,
+                     floor(((n*sxx - sx*sx)::double / (n*n)::double)
+                           * 1e6 + 0.5)/1e6 AS var
+              FROM sg),
+            lets AS (
+              SELECT conv_id, seg, n_in_seg, paa,
+                   CASE WHEN var > 0 THEN substr('abcd',
+                     1 + (CASE WHEN (paa - mean)/sqrt(var) >= -0.6745
+                               THEN 1 ELSE 0 END
+                          + CASE WHEN (paa - mean)/sqrt(var) >= 0.0
+                                 THEN 1 ELSE 0 END
+                          + CASE WHEN (paa - mean)/sqrt(var) >= 0.6745
+                                 THEN 1 ELSE 0 END), 1) END AS letter
+              FROM fin)
+    """.format(tx=tx, slot_m=slot_m)
+
     return {
         "tx_rollup_1m": f"""
             SELECT conv_id, {slot_m} AS window_start, {ROLE_COUNTS_SQL}
@@ -2322,6 +2421,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, ws AS window_start, x AS turn_count,
                    level, trend, seasonal
             FROM e ORDER BY conv_id, window_start
+        """,
+        "tx_dist_shift": f"""
+            WITH t AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000100'),
+            r0 AS (
+              SELECT conv_id, {slot_m} AS ws, count(*)::hugeint AS x
+              FROM t GROUP BY 1, 2),
+            spans AS (SELECT conv_id, min(ws) AS w0, max(ws) AS w1
+                      FROM r0 GROUP BY 1),
+            grid AS (
+              SELECT spans.conv_id,
+                     unnest(generate_series(w0, w1, INTERVAL 1 MINUTE))
+                       AS ws
+              FROM spans),
+            r AS (SELECT grid.conv_id, grid.ws,
+                         coalesce(r0.x, 0)::hugeint AS x
+                  FROM grid LEFT JOIN r0
+                    ON grid.conv_id = r0.conv_id AND grid.ws = r0.ws),
+            ix AS (
+              SELECT conv_id, x,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY ws) - 1 AS i,
+                     count(*) OVER (PARTITION BY conv_id) AS n
+              FROM r),
+            h AS (
+              SELECT conv_id, n,
+                     CASE WHEN i < n//2 THEN 0 ELSE 1 END AS half,
+                     least(x, 64) AS b
+              FROM ix),
+            g AS (
+              SELECT conv_id, b, min(n) AS n,
+                     sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                       ::hugeint AS o1,
+                     sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                       ::hugeint AS o2
+              FROM h GROUP BY 1, 2),
+            tm AS (
+              SELECT conv_id, n, (n//2)::hugeint AS n1,
+                     (n - n//2)::hugeint AS n2, o1, o2
+              FROM g),
+            t6 AS (
+              SELECT conv_id, n,
+                     CASE WHEN n1 > 0 AND n2 > 0 THEN
+                       floor(((o1*n2 - o2*n1)*(o1*n2 - o2*n1))::double
+                             / (n1*n2*(o1 + o2))::double
+                             * 1e6 + 0.5)::hugeint END AS term6
+              FROM tm)
+            SELECT conv_id, min(n)::long AS n_points,
+                   (CASE WHEN min(n) >= 2
+                         THEN count(*) - 1 END)::long AS dof,
+                   CASE WHEN min(n) >= 2
+                        THEN sum(term6)::double / 1e6 END AS chi2
+            FROM t6 GROUP BY conv_id ORDER BY conv_id
         """,
         "tx_hw_backtest": f"""
             WITH RECURSIVE
@@ -2758,54 +2909,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM ({ccf_unions}) ORDER BY conv_id, lag
         """,
         "tx_sax": f"""
-            WITH t AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000100'),
-            r0 AS (
-              SELECT conv_id, {slot_m} AS ws, count(*)::hugeint AS x
-              FROM t GROUP BY 1, 2),
-            spans AS (SELECT conv_id, min(ws) AS w0, max(ws) AS w1
-                      FROM r0 GROUP BY 1),
-            grid AS (
-              SELECT spans.conv_id,
-                     unnest(generate_series(w0, w1, INTERVAL 1 MINUTE))
-                       AS ws
-              FROM spans),
-            r AS (SELECT grid.conv_id, grid.ws,
-                         coalesce(r0.x, 0)::hugeint AS x
-                  FROM grid LEFT JOIN r0
-                    ON grid.conv_id = r0.conv_id AND grid.ws = r0.ws),
-            ix AS (
-              SELECT conv_id, x,
-                     row_number() OVER (PARTITION BY conv_id
-                                        ORDER BY ws) - 1 AS i,
-                     count(*) OVER (PARTITION BY conv_id)::hugeint AS n,
-                     sum(x) OVER (PARTITION BY conv_id)::hugeint AS sx,
-                     sum(x*x) OVER (PARTITION BY conv_id)::hugeint AS sxx
-              FROM r),
-            sg AS (
+            {sax_body}
+            SELECT conv_id, seg, n_in_seg, paa, letter
+            FROM lets ORDER BY conv_id, seg
+        """,
+        "tx_sax_neardups": f"""
+            {sax_body},
+            w AS (
               SELECT conv_id,
-                     floor((i * 16)::double / n::double)::int AS seg,
-                     count(*)::long AS n_in_seg,
-                     sum(x)::hugeint AS sp,
-                     min(n) AS n, min(sx) AS sx, min(sxx) AS sxx
-              FROM ix GROUP BY 1, 2),
-            fin AS (
-              SELECT conv_id, seg, n_in_seg,
-                     floor((sp::double / n_in_seg::double)
-                           * 1e6 + 0.5)/1e6 AS paa,
-                     floor((sx::double / n::double)
-                           * 1e6 + 0.5)/1e6 AS mean,
-                     floor(((n*sxx - sx*sx)::double / (n*n)::double)
-                           * 1e6 + 0.5)/1e6 AS var
-              FROM sg)
-            SELECT conv_id, seg, n_in_seg, paa,
-                   CASE WHEN var > 0 THEN substr('abcd',
-                     1 + (CASE WHEN (paa - mean)/sqrt(var) >= -0.6745
-                               THEN 1 ELSE 0 END
-                          + CASE WHEN (paa - mean)/sqrt(var) >= 0.0
-                                 THEN 1 ELSE 0 END
-                          + CASE WHEN (paa - mean)/sqrt(var) >= 0.6745
-                                 THEN 1 ELSE 0 END), 1) END AS letter
-            FROM fin ORDER BY conv_id, seg
+                     string_agg(letter, '' ORDER BY seg) AS sax_word
+              FROM lets GROUP BY conv_id
+              HAVING bool_and(letter IS NOT NULL))
+            SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+                   a.sax_word AS sax_word
+            FROM w a JOIN w b
+              ON a.sax_word = b.sax_word AND a.conv_id < b.conv_id
+            ORDER BY conv_a, conv_b
         """,
         "tx_seasonal": f"""
             WITH t0 AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000200'),

@@ -239,3 +239,50 @@ def test_sax_uneven_segments_and_bad_alphabet(spark):
     assert [r["n_in_seg"] for r in out] == [3, 2, 3, 2]
     with pytest.raises(ValueError):
         sax_paa(_tier(spark, rows), "turn_count", alphabet=26)
+
+
+def test_dist_shift_identical_halves_zero(spark):
+    from yatsm_spark.operators.tsanalytics import distribution_shift
+
+    # same multiset in both halves -> chi2 == 0 exactly
+    vals = [1, 2, 3, 4, 1, 2, 3, 4]
+    rows = [("c1", T0 + dt.timedelta(minutes=i), v)
+            for i, v in enumerate(vals)]
+    r = distribution_shift(_tier(spark, rows)).collect()[0]
+    assert r["chi2"] == 0.0 and r["dof"] == 3 and r["n_points"] == 8
+
+
+def test_dist_shift_detects_regime_change(spark):
+    from yatsm_spark.operators.tsanalytics import distribution_shift
+
+    calm = [("c1", T0 + dt.timedelta(minutes=i), 1 + i % 2)
+            for i in range(30)]
+    burst = [("c1", T0 + dt.timedelta(minutes=30 + i), 20 + i % 3)
+             for i in range(30)]
+    same = [("c2", T0 + dt.timedelta(minutes=i), 1 + i % 2)
+            for i in range(60)]
+    out = {r["conv_id"]: r for r in
+           distribution_shift(_tier(spark, calm + burst + same)).collect()}
+    # disjoint supports: every row sits in a bucket the other half
+    # never touches -> chi2 = sum over buckets of N1*N2... = n exactly? no:
+    # each term (o*N2)^2/(N1*N2*o) = o*N2/N1 (first-half buckets) etc.
+    assert out["c1"]["chi2"] == pytest.approx(60.0, abs=1e-5)
+    assert out["c2"]["chi2"] == 0.0
+    assert out["c1"]["chi2"] > 10 * out["c2"]["chi2"] + 1
+
+
+def test_dist_shift_short_series_null(spark):
+    from yatsm_spark.operators.tsanalytics import distribution_shift
+
+    r = distribution_shift(_tier(spark, [("c", T0, 5)])).collect()[0]
+    assert r["n_points"] == 1 and r["dof"] is None and r["chi2"] is None
+
+
+def test_dist_shift_cap_buckets(spark):
+    from yatsm_spark.operators.tsanalytics import distribution_shift
+
+    # values far beyond the cap collapse into one bucket
+    rows = [("c", T0 + dt.timedelta(minutes=i), 1000 + i)
+            for i in range(10)]
+    r = distribution_shift(_tier(spark, rows), cap=64).collect()[0]
+    assert r["dof"] == 0 and r["chi2"] == 0.0

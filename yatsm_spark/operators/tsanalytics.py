@@ -413,3 +413,66 @@ def sax_words(tier: DataFrame, value_col: str = "turn_count", w: int = 16,
                   word.alias("_w"))
              .select(by, "n_segments",
                      F.when(F.col("_has"), F.col("_w")).alias("sax_word")))
+
+
+def distribution_shift(tier: DataFrame, value_col: str = "turn_count",
+                       cap: int = 64, by: str = "conv_id",
+                       order_col: str = "window_start") -> DataFrame:
+    """Two-sample chi-square homogeneity test between the FIRST and
+    SECOND half of each series' value distribution — the batch
+    regime-shift detector complementing the online monitor
+    (streaming/stream_rollup.py::online_monitor): a large chi2 says the
+    value histogram changed between the halves.
+
+    Buckets are ``least(value, cap)`` (counts are small integers; the
+    cap bounds bucket cardinality like the HDR sketch's octaves bound
+    theirs). With half sizes N1 = n//2, N2 = n - N1 and per-bucket
+    counts o1, o2, the statistic in cleared-denominator form is
+
+        chi2 = sum_b (o1*N2 - o2*N1)^2 / (N1*N2*(o1+o2))
+
+    — each term one division of exact decimal integers, deliberately
+    chosen over PSI/KL because it needs NO transcendentals (ln is not
+    correctly-rounded across engines). Terms are snapped to 1e-6-grid
+    INTEGERS and summed exactly (decimal), so the reduction is
+    order-independent — bit-identical at any parallelism; the final
+    chi2 is one division of that exact sum by 1e6. dof = live buckets
+    minus 1. NULL for series shorter than 2 rows.
+
+    Plan: one window pass (row index + series length share the frame),
+    then two hash aggs that both cluster on the series key — the
+    (conv, bucket) agg and the final conv agg reuse the window's
+    exchange (subset rule); one shuffle total."""
+    w = Window.partitionBy(by).orderBy(order_col)
+    cw = Window.partitionBy(by)
+    src = (tier.select(by, order_col, F.col(value_col).alias("_v"))
+               .withColumn("_i", F.row_number().over(w) - 1)
+               .withColumn("_n", F.count(F.lit(1)).over(cw)))
+    src = (src.withColumn("_half",
+                          F.when(F.col("_i") < F.floor(F.col("_n") / 2), 0)
+                           .otherwise(1))
+              .withColumn("_b", F.least(F.col("_v"), F.lit(cap))))
+    g = (src.groupBy(by, "_b")
+            .agg(F.sum(F.when(F.col("_half") == 0, 1).otherwise(0))
+                  .cast("decimal(38,0)").alias("_o1"),
+                 F.sum(F.when(F.col("_half") == 1, 1).otherwise(0))
+                  .cast("decimal(38,0)").alias("_o2"),
+                 F.first("_n").alias("_n")))
+    n = F.col("_n").cast("decimal(38,0)")
+    n1 = F.floor(F.col("_n") / 2).cast("decimal(38,0)")
+    n2 = (n - n1).cast("decimal(38,0)")
+    o1, o2 = F.col("_o1"), F.col("_o2")
+    num = ((o1 * n2 - o2 * n1) * (o1 * n2 - o2 * n1)).cast("decimal(38,0)")
+    den = (n1 * n2 * (o1 + o2)).cast("decimal(38,0)")
+    term6 = F.floor(num.cast("double") / den.cast("double")
+                    * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
+    agg = (g.withColumn("_t6", F.when((n1 > 0) & (n2 > 0), term6))
+            .groupBy(by)
+            .agg(F.max("_n").alias("n_points"),
+                 F.count(F.lit(1)).alias("_nb"),
+                 F.sum("_t6").alias("_s6")))
+    ok = F.col("n_points") >= 2
+    return agg.select(
+        by, F.col("n_points"),
+        F.when(ok, F.col("_nb") - 1).cast("long").alias("dof"),
+        F.when(ok, F.col("_s6").cast("double") / F.lit(1e6)).alias("chi2"))
