@@ -596,3 +596,80 @@ def test_stream_holtwinters_equals_batch_bit_exact(spark, tmp_path):
             .collect()}
     assert len(got) == len(want) == len(pdf)
     assert got == want          # == on floats: bit-equality demanded
+
+
+def test_stream_alert_episodes_matches_batch(spark, tmp_path):
+    """stream_alert_episodes over the batch flag rows emits exactly the
+    batch alert_episodes, including an episode whose run straddles a
+    micro-batch boundary (the open-episode state must carry bounds,
+    count, and running peak across the restart)."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from yatsm_spark.operators.tsfuncs import alert_episodes
+    from yatsm_spark.streaming.stream_rollup import stream_alert_episodes
+
+    base = pd.Timestamp("2025-01-01")
+    # handcrafted flag rows: episode 1 (slots 22-26) straddles the file
+    # cut at 25; a tie peak (equal z at 23/24 -> later slot wins); a
+    # NULL-z zero-variance anomaly episode (33-34); NULL flags break runs
+    def _flag_rows(c):
+        rows = []
+        for m in range(40):
+            flag, z, v = False, None, 5
+            if 22 <= m <= 26:
+                flag = True
+                z = {22: 3.5, 23: 7.25, 24: 7.25, 25: 4.0, 26: 3.1}[m]
+                v = 50 + m
+            elif m in (33, 34):
+                flag, z, v = True, None, 99
+            elif m == 30:
+                flag = None
+            rows.append({"conv_id": c,
+                         "window_start": base + pd.Timedelta(minutes=m),
+                         "turn_count": v, "is_anomaly": flag,
+                         "zscore": z})
+        return rows
+
+    fpdf = pd.DataFrame(_flag_rows("c1") + _flag_rows("c2"))
+    flags = spark.createDataFrame(
+        fpdf, "conv_id string, window_start timestamp, turn_count long, "
+              "is_anomaly boolean, zscore double")
+
+    src = str(tmp_path / "ep_src")
+    os.makedirs(src)
+
+    def _write(sub, path):
+        tmp = str(tmp_path / "w")
+        spark.createDataFrame(sub).coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], path)
+        shutil.rmtree(tmp)
+
+    now = _time.time()
+    cut = base + pd.Timedelta(minutes=25)
+    for k, sub in enumerate((fpdf[fpdf.window_start < cut],
+                             fpdf[fpdf.window_start >= cut])):
+        p = os.path.join(src, f"f{k}.parquet")
+        _write(sub, p)
+        os.utime(p, (now - 60 + 30 * k, now - 60 + 30 * k))
+
+    stream = (spark.readStream
+              .schema("conv_id string, window_start timestamp, "
+                      "turn_count long, is_anomaly boolean, zscore double")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream_alert_episodes(stream)
+         .writeStream.format("memory").queryName("s_episodes")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in
+           spark.sql("SELECT * FROM s_episodes").collect()}
+    want_all = alert_episodes(flags).collect()
+    # both bursts are followed by calm rows, so every batch episode is
+    # CLOSED in the stream too -> exact set equality
+    want = {tuple(r) for r in want_all}
+    assert len(want) >= 4          # two bursts x two convs
+    assert got == want

@@ -296,6 +296,101 @@ def stream_anomaly(rollup_stream: DataFrame, k: int = 30, sigma: int = 3,
     )
 
 
+#: stream_alert_episodes output — one row per CLOSED episode
+_EPISODE_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("episode_start", T.TimestampType()),
+    T.StructField("episode_end", T.TimestampType()),
+    T.StructField("n_slots", T.LongType()),
+    T.StructField("peak_zscore", T.DoubleType()),
+    T.StructField("peak_value", T.LongType()),
+])
+#: state = the currently-open episode (epoch-micros bounds, slot count,
+#: peak snapped zscore + its value; has_z distinguishes "all peaks were
+#: NULL-z zero-variance anomalies" from a real peak)
+_EPISODE_STATE = T.StructType([
+    T.StructField("start_us", T.LongType()),
+    T.StructField("end_us", T.LongType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("peakz", T.DoubleType()),
+    T.StructField("has_z", T.BooleanType()),
+    T.StructField("peakv", T.LongType()),
+])
+
+
+def _episode_fn():
+    NEG = float("-inf")
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            s0, e0, n0, pz, has_z, pv = state.get
+            open_ep = (s0, e0, n0, pz if has_z else NEG, pv)
+        else:
+            open_ep = None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("window_start", kind="stable")
+            for ws, v, flag, z in zip(pdf["window_start"],
+                                      pdf["turn_count"],
+                                      pdf["is_anomaly"], pdf["zscore"]):
+                us = int(pd.Timestamp(ws).value // 1_000)
+                if (not pd.isna(flag)) and bool(flag):
+                    zz = NEG if pd.isna(z) else float(z)
+                    if open_ep is None:
+                        open_ep = (us, us, 1, zz, int(v))
+                    else:
+                        s0, _, n0, bz, bv = open_ep
+                        # >= : equal peaks resolve to the LATER slot,
+                        # matching batch max_by((zscore, slot))
+                        if zz >= bz:
+                            bz, bv = zz, int(v)
+                        open_ep = (s0, us, n0 + 1, bz, bv)
+                elif open_ep is not None:
+                    out.append(open_ep)
+                    open_ep = None
+        if open_ep is not None:
+            s0, e0, n0, bz, bv = open_ep
+            state.update((s0, e0, n0,
+                          0.0 if bz == NEG else bz, bz != NEG, bv))
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                [(key[0], pd.Timestamp(s, unit="us"),
+                  pd.Timestamp(e, unit="us"), n,
+                  None if z == NEG else z, v)
+                 for s, e, n, z, v in out],
+                columns=["conv_id", "episode_start", "episode_end",
+                         "n_slots", "peak_zscore", "peak_value"])
+
+    return fn
+
+
+def stream_alert_episodes(flag_stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators.tsfuncs.alert_episodes``: consumes
+    a flag stream (``stream_anomaly``'s output shape) and emits each
+    alert episode THE MOMENT IT CLOSES — when the first non-flagged
+    (false or NULL) row arrives after a run of flagged rows. O(1) state
+    per conv (the open episode: bounds, count, running peak). Peak
+    semantics match the batch max_by((zscore, slot)) key exactly: a
+    later slot with an equal snapped zscore replaces the peak (>=), and
+    zero-variance anomalies (NULL z) rank below any real z.
+
+    Batch-parity contract (pytest): the emitted episodes equal
+    ``alert_episodes`` of the same rows MINUS any still-open trailing
+    episode per conv (append-mode semantics — it closes when a
+    non-flagged row eventually arrives). Input rows must arrive in
+    window_start order per conv, the contract every stream in this
+    module shares."""
+    return flag_stream.groupBy("conv_id").applyInPandasWithState(
+        _episode_fn(),
+        outputStructType=_EPISODE_SCHEMA,
+        stateStructType=_EPISODE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 #: stream_ewma output — every input row with its smoothed value
 _EWMA_SCHEMA = T.StructType([
     T.StructField("conv_id", T.StringType()),
