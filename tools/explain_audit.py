@@ -355,6 +355,54 @@ def main():
         ("text column itself pruned (only length read)", "ReadSchema", True),
     ])
 
+    audit("tx_ccf (lead-lag moments: one window pass + one agg, "
+          "shared conv key)",
+          qs["tx_ccf"](spark, SF_DIR), [
+        ("window pass present", "Window", True),
+        ("no join", "Join", False),
+        ("no python UDF (pure Catalyst decimals)", "BatchEvalPython", False),
+    ])
+
+    audit("tx_sax (PAA via row windows + agg on the series key)",
+          qs["tx_sax"](spark, SF_DIR), [
+        ("window pass present", "Window", True),
+        ("no join on the letter path", "SortMergeJoin", False),
+        ("no python UDF", "BatchEvalPython", False),
+    ])
+
+    audit("tx_alert_episodes (islands: window + agg reuse ONE exchange)",
+          qs["tx_alert_episodes"](spark, SF_DIR), [
+        ("window pass present", "Window", True),
+        ("no join", "Join", False),
+        ("no python UDF", "BatchEvalPython", False),
+    ])
+
+    audit("tx_dist_shift (chi2 halves: window + two aggs, one conv "
+          "shuffle)",
+          qs["tx_dist_shift"](spark, SF_DIR), [
+        ("window pass present", "Window", True),
+        ("map-side partial agg on the bucket counts", "partial_", True),
+        ("no join", "Join", False),
+        ("no python UDF", "BatchEvalPython", False),
+    ])
+
+    audit("tx_matrix_profile (bounded O(n^2) kernel per conv, one "
+          "group shuffle)",
+          qs["tx_matrix_profile"](spark, SF_DIR), [
+        ("applyInPandas group map (Arrow, not per-row python)",
+         "FlatMapGroupsInPandas", True),
+        ("no join", "Join", False),
+        ("text column pruned from scan", "text", False),
+    ])
+
+    audit("tx_theilsen (pairwise-median kernel per conv)",
+          qs["tx_theilsen"](spark, SF_DIR), [
+        ("applyInPandas group map (Arrow, not per-row python)",
+         "FlatMapGroupsInPandas", True),
+        ("no join", "Join", False),
+        ("text column pruned from scan", "text", False),
+    ])
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
