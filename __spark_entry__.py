@@ -37,6 +37,7 @@ GOLDEN_KM = os.path.join(REPO, "data", "golden_kmeans_sf0.01.parquet")
 GOLDEN_PCA = os.path.join(REPO, "data", "golden_pca_sf0.01.parquet")
 GOLDEN_LTTB = os.path.join(REPO, "data", "golden_lttb_sf0.01.parquet")
 GOLDEN_MP = os.path.join(REPO, "data", "golden_mp_sf0.01.parquet")
+GOLDEN_PELT = os.path.join(REPO, "data", "golden_pelt_sf0.01.parquet")
 
 ROLE_COUNTS_SQL = """
        count(*)::long AS turn_count,
@@ -525,6 +526,24 @@ def q_tx_hw_backtest(spark, sf_dir):
         .select("conv_id", "window_start", "turn_count")
     return holt_winters_backtest(dense, "turn_count", period=24) \
         .orderBy("conv_id")
+
+
+def q_tx_pelt(spark, sf_dir):
+    """PELT globally-optimal changepoints (L2 mean-shift cost, BIC-ish
+    per-series default penalty) of each conv's DENSE 1h series — the
+    offline complement to the CCDC-style online monitor. Oracle: a
+    pure-numpy twin driven outside Spark (tools/make_goldens.py::
+    pelt_twin, data/golden_pelt_sf0.01.parquet); optimality itself is
+    pinned separately by a brute-force exhaustive-segmentation pytest."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.changepoint import pelt_changepoints
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
+    dense = rollup_gapfilled(with_measures(tx), "1h") \
+        .select("conv_id", "window_start", "turn_count")
+    return pelt_changepoints(dense, "turn_count") \
+        .orderBy("conv_id", "cp_ord")
 
 
 def q_tx_matrix_profile(spark, sf_dir):
@@ -1683,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_hw_backtest": q_tx_hw_backtest,
         "tx_dist_shift": q_tx_dist_shift,
         "tx_theilsen": q_tx_theilsen,
+        "tx_pelt": q_tx_pelt,
         "tx_matrix_profile": q_tx_matrix_profile,
         "tx_mp_extrema": q_tx_mp_extrema,
         "tx_hdr_cascade": q_tx_hdr_cascade,
@@ -2558,6 +2578,13 @@ def oracle_sql() -> dict[str, str]:
                             / (ne*snv*1000000)::double)
                            * 1e6 + 0.5)/1e6 END AS mase
             FROM s ORDER BY conv_id
+        """,
+        "tx_pelt": f"""
+            SELECT conv_id, cp_ord::long AS cp_ord, idx::long AS idx,
+                   window_start::timestamp AS window_start,
+                   n_changepoints::long AS n_changepoints
+            FROM read_parquet('{GOLDEN_PELT}')
+            ORDER BY conv_id, cp_ord
         """,
         "tx_matrix_profile": f"""
             SELECT conv_id, idx::long AS idx,

@@ -109,3 +109,10 @@ def test_goldens_are_fresh():
     stored_mp = pd.read_parquet(
         os.path.join(REPO, "data", "golden_mp_sf0.01.parquet"))
     pd.testing.assert_frame_equal(mp, stored_mp, check_exact=True)
+
+    from make_goldens import pelt_twin
+
+    pl = pelt_twin()
+    stored_pl = pd.read_parquet(
+        os.path.join(REPO, "data", "golden_pelt_sf0.01.parquet"))
+    pd.testing.assert_frame_equal(pl, stored_pl, check_exact=True)

@@ -583,6 +583,49 @@ def matrix_profile_twin(conv_max: str = "conv00000200",
     return pd.concat(outs, ignore_index=True)
 
 
+def pelt_twin(conv_max: str = "conv00000200") -> pd.DataFrame:
+    """tx_pelt twin: the dense 1h tier recomputed in DuckDB, each conv
+    segmented by the SAME kernel (kernel/pelt.py::pelt_core, default
+    per-series penalty) the Spark operator calls."""
+    from yatsm_spark.kernel.pelt import pelt_core
+
+    tier = duckdb.sql(f"""
+        WITH r0 AS (
+          SELECT conv_id,
+                 to_timestamp((floor(epoch(ts)/3600)*3600)::bigint)
+                   ::timestamp AS ws,
+                 count(*)::long AS x
+          FROM read_parquet('{TX}/*.parquet')
+          WHERE conv_id < '{conv_max}'
+          GROUP BY 1, 2),
+        spans AS (SELECT conv_id, min(ws) AS w0, max(ws) AS w1
+                  FROM r0 GROUP BY 1),
+        grid AS (SELECT spans.conv_id,
+                        unnest(generate_series(w0, w1, INTERVAL 1 HOUR))
+                          AS ws
+                 FROM spans)
+        SELECT grid.conv_id AS conv_id, grid.ws AS window_start,
+               coalesce(r0.x, 0)::long AS turn_count
+        FROM grid LEFT JOIN r0
+          ON grid.conv_id = r0.conv_id AND grid.ws = r0.ws
+        ORDER BY grid.conv_id, grid.ws
+    """).df()
+    outs = []
+    for conv, g in tier.groupby("conv_id", sort=True):
+        g = g.reset_index(drop=True)
+        cps = pelt_core(g["turn_count"].to_numpy(np.int64))
+        if cps.size == 0:
+            continue
+        outs.append(pd.DataFrame({
+            "conv_id": conv,
+            "cp_ord": np.arange(1, cps.size + 1, dtype=np.int64),
+            "idx": cps,
+            "window_start": g["window_start"].iloc[cps].to_numpy(),
+            "n_changepoints": np.int64(cps.size),
+        }))
+    return pd.concat(outs, ignore_index=True)
+
+
 def main() -> None:
     segs = segments_twin("conv00000300")
     seg_path = os.path.join(REPO, "data", "golden_segments_sf0.01.parquet")
@@ -654,6 +697,11 @@ def main() -> None:
     path = os.path.join(REPO, "data", "golden_mp_sf0.01.parquet")
     mp.to_parquet(path, index=False)
     print(f"wrote {path}: {len(mp)} rows")
+
+    pl = pelt_twin()
+    path = os.path.join(REPO, "data", "golden_pelt_sf0.01.parquet")
+    pl.to_parquet(path, index=False)
+    print(f"wrote {path}: {len(pl)} rows")
 
 
 if __name__ == "__main__":
