@@ -38,6 +38,7 @@ GOLDEN_PCA = os.path.join(REPO, "data", "golden_pca_sf0.01.parquet")
 GOLDEN_LTTB = os.path.join(REPO, "data", "golden_lttb_sf0.01.parquet")
 GOLDEN_MP = os.path.join(REPO, "data", "golden_mp_sf0.01.parquet")
 GOLDEN_PELT = os.path.join(REPO, "data", "golden_pelt_sf0.01.parquet")
+GOLDEN_DTW = os.path.join(REPO, "data", "golden_dtw_sf0.01.parquet")
 
 ROLE_COUNTS_SQL = """
        count(*)::long AS turn_count,
@@ -526,6 +527,32 @@ def q_tx_hw_backtest(spark, sf_dir):
         .select("conv_id", "window_start", "turn_count")
     return holt_winters_backtest(dense, "turn_count", period=24) \
         .orderBy("conv_id")
+
+
+def q_tx_dtw_rerank(spark, sf_dir):
+    """Bucket-then-exact series near-dup pipeline: SAX words on the
+    DENSE 1h tier generate candidate pairs (cheap, bucketed), then
+    exact DTW re-ranks each pair — integer DP end-to-end, zero floats
+    in the distance. Oracle: a twin that recomputes the words with the
+    proven-equal SQL and replays the SAME integer kernel
+    (data/golden_dtw_sf0.01.parquet)."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.dtw import dtw_rerank
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+    from yatsm_spark.operators.tsanalytics import sax_words
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000100")
+    dense = rollup_gapfilled(with_measures(tx), "1h") \
+        .select("conv_id", "window_start", "turn_count")
+    w = sax_words(dense, "turn_count", 16, 4) \
+        .where(F.col("sax_word").isNotNull()) \
+        .select("conv_id", "sax_word")
+    a, b = w.alias("a"), w.alias("b")
+    pairs = (a.join(b, (F.col("a.sax_word") == F.col("b.sax_word"))
+                    & (F.col("a.conv_id") < F.col("b.conv_id")))
+              .select(F.col("a.conv_id").alias("conv_a"),
+                      F.col("b.conv_id").alias("conv_b")))
+    return dtw_rerank(dense, pairs).orderBy("conv_a", "conv_b")
 
 
 def q_tx_pelt(spark, sf_dir):
@@ -1703,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_dist_shift": q_tx_dist_shift,
         "tx_theilsen": q_tx_theilsen,
         "tx_pelt": q_tx_pelt,
+        "tx_dtw_rerank": q_tx_dtw_rerank,
         "tx_matrix_profile": q_tx_matrix_profile,
         "tx_mp_extrema": q_tx_mp_extrema,
         "tx_hdr_cascade": q_tx_hdr_cascade,
@@ -2578,6 +2606,12 @@ def oracle_sql() -> dict[str, str]:
                             / (ne*snv*1000000)::double)
                            * 1e6 + 0.5)/1e6 END AS mase
             FROM s ORDER BY conv_id
+        """,
+        "tx_dtw_rerank": f"""
+            SELECT conv_a, conv_b, len_a::long AS len_a,
+                   len_b::long AS len_b, dtw::long AS dtw
+            FROM read_parquet('{GOLDEN_DTW}')
+            ORDER BY conv_a, conv_b
         """,
         "tx_pelt": f"""
             SELECT conv_id, cp_ord::long AS cp_ord, idx::long AS idx,

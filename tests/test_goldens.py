@@ -116,3 +116,10 @@ def test_goldens_are_fresh():
     stored_pl = pd.read_parquet(
         os.path.join(REPO, "data", "golden_pelt_sf0.01.parquet"))
     pd.testing.assert_frame_equal(pl, stored_pl, check_exact=True)
+
+    from make_goldens import dtw_twin
+
+    dt = dtw_twin()
+    stored_dt = pd.read_parquet(
+        os.path.join(REPO, "data", "golden_dtw_sf0.01.parquet"))
+    pd.testing.assert_frame_equal(dt, stored_dt, check_exact=True)

@@ -626,6 +626,92 @@ def pelt_twin(conv_max: str = "conv00000200") -> pd.DataFrame:
     return pd.concat(outs, ignore_index=True)
 
 
+def dtw_twin(conv_max: str = "conv00000100") -> pd.DataFrame:
+    """tx_dtw_rerank twin: dense 1h tier + SAX letters recomputed with
+    the SAME snapped SQL formulas the green tx_sax row pins, words
+    assembled by ordered string_agg, candidate pairs self-joined, and
+    each pair re-ranked by the SAME integer DTW kernel
+    (kernel/dtw.py::dtw_core) the Spark operator calls — integer DP,
+    so the distances are exact by construction."""
+    from yatsm_spark.kernel.dtw import dtw_core
+
+    con = duckdb.connect()
+    con.execute(f"""
+        CREATE TEMP TABLE dense AS
+        WITH r0 AS (
+          SELECT conv_id,
+                 to_timestamp((floor(epoch(ts)/3600)*3600)::bigint)
+                   ::timestamp AS ws,
+                 count(*)::hugeint AS x
+          FROM read_parquet('{TX}/*.parquet')
+          WHERE conv_id < '{conv_max}'
+          GROUP BY 1, 2),
+        spans AS (SELECT conv_id, min(ws) AS w0, max(ws) AS w1
+                  FROM r0 GROUP BY 1),
+        grid AS (SELECT spans.conv_id,
+                        unnest(generate_series(w0, w1, INTERVAL 1 HOUR))
+                          AS ws
+                 FROM spans)
+        SELECT grid.conv_id AS conv_id, grid.ws AS ws,
+               coalesce(r0.x, 0)::hugeint AS x
+        FROM grid LEFT JOIN r0
+          ON grid.conv_id = r0.conv_id AND grid.ws = r0.ws
+    """)
+    pairs = con.execute("""
+        WITH ix AS (
+          SELECT conv_id, x,
+                 row_number() OVER (PARTITION BY conv_id
+                                    ORDER BY ws) - 1 AS i,
+                 count(*) OVER (PARTITION BY conv_id)::hugeint AS n,
+                 sum(x) OVER (PARTITION BY conv_id)::hugeint AS sx,
+                 sum(x*x) OVER (PARTITION BY conv_id)::hugeint AS sxx
+          FROM dense),
+        sg AS (
+          SELECT conv_id,
+                 floor((i * 16)::double / n::double)::int AS seg,
+                 count(*)::long AS n_in_seg, sum(x)::hugeint AS sp,
+                 min(n) AS n, min(sx) AS sx, min(sxx) AS sxx
+          FROM ix GROUP BY 1, 2),
+        fin AS (
+          SELECT conv_id, seg,
+                 floor((sp::double / n_in_seg::double)*1e6 + 0.5)/1e6
+                   AS paa,
+                 floor((sx::double / n::double)*1e6 + 0.5)/1e6 AS mean,
+                 floor(((n*sxx - sx*sx)::double / (n*n)::double)
+                       *1e6 + 0.5)/1e6 AS var
+          FROM sg),
+        lets AS (
+          SELECT conv_id, seg,
+               CASE WHEN var > 0 THEN substr('abcd',
+                 1 + (CASE WHEN (paa - mean)/sqrt(var) >= -0.6745
+                           THEN 1 ELSE 0 END
+                      + CASE WHEN (paa - mean)/sqrt(var) >= 0.0
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN (paa - mean)/sqrt(var) >= 0.6745
+                             THEN 1 ELSE 0 END), 1) END AS letter
+          FROM fin),
+        w AS (
+          SELECT conv_id, string_agg(letter, '' ORDER BY seg) AS word
+          FROM lets GROUP BY conv_id
+          HAVING bool_and(letter IS NOT NULL))
+        SELECT a.conv_id AS conv_a, b.conv_id AS conv_b
+        FROM w a JOIN w b
+          ON a.word = b.word AND a.conv_id < b.conv_id
+        ORDER BY conv_a, conv_b
+    """).df()
+    series = {
+        conv: g.sort_values("ws")["x"].astype("int64").tolist()
+        for conv, g in con.execute(
+            "SELECT conv_id, ws, x FROM dense").df().groupby("conv_id")}
+    rows = []
+    for ca, cb in zip(pairs["conv_a"], pairs["conv_b"]):
+        sa, sb = series[ca], series[cb]
+        rows.append((ca, cb, len(sa), len(sb), dtw_core(sa, sb)))
+    return pd.DataFrame(rows, columns=["conv_a", "conv_b", "len_a",
+                                       "len_b", "dtw"]).astype(
+        {"len_a": "int64", "len_b": "int64", "dtw": "int64"})
+
+
 def main() -> None:
     segs = segments_twin("conv00000300")
     seg_path = os.path.join(REPO, "data", "golden_segments_sf0.01.parquet")
@@ -702,6 +788,11 @@ def main() -> None:
     path = os.path.join(REPO, "data", "golden_pelt_sf0.01.parquet")
     pl.to_parquet(path, index=False)
     print(f"wrote {path}: {len(pl)} rows")
+
+    dt = dtw_twin()
+    path = os.path.join(REPO, "data", "golden_dtw_sf0.01.parquet")
+    dt.to_parquet(path, index=False)
+    print(f"wrote {path}: {len(dt)} rows")
 
 
 if __name__ == "__main__":
