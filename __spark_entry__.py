@@ -39,6 +39,7 @@ GOLDEN_LTTB = os.path.join(REPO, "data", "golden_lttb_sf0.01.parquet")
 GOLDEN_MP = os.path.join(REPO, "data", "golden_mp_sf0.01.parquet")
 GOLDEN_PELT = os.path.join(REPO, "data", "golden_pelt_sf0.01.parquet")
 GOLDEN_DTW = os.path.join(REPO, "data", "golden_dtw_sf0.01.parquet")
+GOLDEN_BURSTS = os.path.join(REPO, "data", "golden_bursts_sf0.01.parquet")
 
 ROLE_COUNTS_SQL = """
        count(*)::long AS turn_count,
@@ -527,6 +528,18 @@ def q_tx_hw_backtest(spark, sf_dir):
         .select("conv_id", "window_start", "turn_count")
     return holt_winters_backtest(dense, "turn_count", period=24) \
         .orderBy("conv_id")
+
+
+def q_tx_bursts(spark, sf_dir):
+    """Kleinberg two-state bursts per conv over RAW turn arrivals (no
+    tier, no binning): intervals where the turn rate jumps to 3x the
+    conv's own base rate. Oracle: numpy twin on the same sorted
+    arrival times (data/golden_bursts_sf0.01.parquet)."""
+    from yatsm_spark.operators.changepoint import burst_intervals
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000300")
+    return burst_intervals(tx, s=3.0, gamma=1.0) \
+        .orderBy("conv_id", "burst_ord")
 
 
 def q_tx_dtw_rerank(spark, sf_dir):
@@ -1731,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_theilsen": q_tx_theilsen,
         "tx_pelt": q_tx_pelt,
         "tx_dtw_rerank": q_tx_dtw_rerank,
+        "tx_bursts": q_tx_bursts,
         "tx_matrix_profile": q_tx_matrix_profile,
         "tx_mp_extrema": q_tx_mp_extrema,
         "tx_hdr_cascade": q_tx_hdr_cascade,
@@ -2606,6 +2620,15 @@ def oracle_sql() -> dict[str, str]:
                             / (ne*snv*1000000)::double)
                            * 1e6 + 0.5)/1e6 END AS mase
             FROM s ORDER BY conv_id
+        """,
+        "tx_bursts": f"""
+            SELECT conv_id, burst_ord::long AS burst_ord,
+                   start_us::long AS start_us, end_us::long AS end_us,
+                   burst_start::timestamp AS burst_start,
+                   burst_end::timestamp AS burst_end,
+                   n_events::long AS n_events
+            FROM read_parquet('{GOLDEN_BURSTS}')
+            ORDER BY conv_id, burst_ord
         """,
         "tx_dtw_rerank": f"""
             SELECT conv_a, conv_b, len_a::long AS len_a,

@@ -100,3 +100,60 @@ def test_spark_operator_matches_kernel(spark):
         # the slot column is the idx-th slot
         assert list(g["window_start"]) == \
             [T0 + dt.timedelta(hours=int(i)) for i in want]
+
+
+def test_kleinberg_planted_burst():
+    from yatsm_spark.kernel.bursts import kleinberg_bursts
+
+    t, cur = [], 0
+    for _ in range(40):
+        t.append(cur)
+        cur += 60_000_000
+    for _ in range(30):
+        t.append(cur)
+        cur += 2_000_000
+    for _ in range(40):
+        t.append(cur)
+        cur += 60_000_000
+    bursts = kleinberg_bursts(np.array(t), s=3.0, gamma=1.0)
+    assert len(bursts) == 1
+    b0, b1, ne = bursts[0]
+    assert (b0, b1, ne) == (2_400_000_000, 2_460_000_000, 31)
+    # homogeneous stream: no bursts
+    rng = np.random.default_rng(0)
+    t2 = (np.cumsum(rng.exponential(60, 100)) * 1e6).astype(np.int64)
+    assert kleinberg_bursts(t2, s=3.0, gamma=1.0) == []
+    # guards / degenerate inputs
+    assert kleinberg_bursts(np.array([0, 10])) == []
+    assert kleinberg_bursts(np.array([5, 5, 5])) == []   # zero span
+    with pytest.raises(ValueError, match="s must be"):
+        kleinberg_bursts(np.array([0, 1, 2]), s=1.0)
+
+
+def test_burst_operator_matches_kernel(spark):
+    from yatsm_spark.kernel.bursts import kleinberg_bursts
+    from yatsm_spark.operators.changepoint import burst_intervals
+
+    t, cur = [], 0
+    for _ in range(20):
+        t.append(cur)
+        cur += 60_000_000
+    for _ in range(15):
+        t.append(cur)
+        cur += 1_000_000
+    for _ in range(20):
+        t.append(cur)
+        cur += 60_000_000
+    rows = [("c1", i, "user", dt.datetime(2026, 1, 1)
+             + dt.timedelta(microseconds=int(us)))
+            for i, us in enumerate(t)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp")
+    got = burst_intervals(df, s=3.0, gamma=1.0).collect()
+    base = int(dt.datetime(2026, 1, 1)
+               .replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    want = kleinberg_bursts(np.array(t) + base, 3.0, 1.0)
+    # compare interval geometry (absolute epoch depends on session tz)
+    assert [(r["end_us"] - r["start_us"], r["n_events"]) for r in got] \
+        == [(e - s0, ne) for s0, e, ne in want]
+    assert all(r["burst_end"] > r["burst_start"] for r in got)

@@ -123,3 +123,10 @@ def test_goldens_are_fresh():
     stored_dt = pd.read_parquet(
         os.path.join(REPO, "data", "golden_dtw_sf0.01.parquet"))
     pd.testing.assert_frame_equal(dt, stored_dt, check_exact=True)
+
+    from make_goldens import bursts_twin
+
+    bu = bursts_twin()
+    stored_bu = pd.read_parquet(
+        os.path.join(REPO, "data", "golden_bursts_sf0.01.parquet"))
+    pd.testing.assert_frame_equal(bu, stored_bu, check_exact=True)

@@ -712,6 +712,33 @@ def dtw_twin(conv_max: str = "conv00000100") -> pd.DataFrame:
         {"len_a": "int64", "len_b": "int64", "dtw": "int64"})
 
 
+def bursts_twin(conv_max: str = "conv00000300", s: float = 3.0,
+                gamma: float = 1.0) -> pd.DataFrame:
+    """tx_bursts twin: sorted raw arrival times per conv from DuckDB,
+    each conv run through the SAME kernel
+    (kernel/bursts.py::kleinberg_bursts)."""
+    from yatsm_spark.kernel.bursts import kleinberg_bursts
+
+    ts = duckdb.sql(f"""
+        SELECT conv_id, epoch_us(ts)::bigint AS t_us
+        FROM read_parquet('{TX}/*.parquet')
+        WHERE conv_id < '{conv_max}'
+        ORDER BY conv_id, t_us
+    """).df()
+    rows = []
+    for conv, g in ts.groupby("conv_id", sort=True):
+        bursts = kleinberg_bursts(g["t_us"].to_numpy(np.int64), s, gamma)
+        for k, (b0, b1, ne) in enumerate(bursts, start=1):
+            rows.append((conv, k, b0, b1,
+                         pd.Timestamp(b0, unit="us"),
+                         pd.Timestamp(b1, unit="us"), ne))
+    return pd.DataFrame(rows, columns=[
+        "conv_id", "burst_ord", "start_us", "end_us",
+        "burst_start", "burst_end", "n_events"]).astype(
+        {"burst_ord": "int64", "start_us": "int64", "end_us": "int64",
+         "n_events": "int64"})
+
+
 def main() -> None:
     segs = segments_twin("conv00000300")
     seg_path = os.path.join(REPO, "data", "golden_segments_sf0.01.parquet")
@@ -793,6 +820,11 @@ def main() -> None:
     path = os.path.join(REPO, "data", "golden_dtw_sf0.01.parquet")
     dt.to_parquet(path, index=False)
     print(f"wrote {path}: {len(dt)} rows")
+
+    bu = bursts_twin()
+    path = os.path.join(REPO, "data", "golden_bursts_sf0.01.parquet")
+    bu.to_parquet(path, index=False)
+    print(f"wrote {path}: {len(bu)} rows")
 
 
 if __name__ == "__main__":

@@ -15,6 +15,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def burst_intervals(turns: DataFrame, s: float = 3.0,
+                    gamma: float = 1.0, by: str = "conv_id",
+                    ts_col: str = "ts",
+                    max_n: int = 100_000) -> DataFrame:
+    """Kleinberg two-state burst detection per conversation over RAW
+    turn arrival times (kernel/bursts.py) — no tier, no binning. Long
+    form: one row per burst with its rank, bounds (epoch micros AND
+    timestamps), and event count. Series with no bursts emit nothing.
+    One shuffle on the conv key; O(n) kernel per conv."""
+    import numpy as np
+    import pandas as pd
+
+    from yatsm_spark.kernel.bursts import kleinberg_bursts
+
+    src = turns.select(by, ts_col)
+
+    def fit(pdf):
+        n = len(pdf)
+        if n > max_n:
+            raise ValueError(
+                f"burst_intervals: conv of {n} turns exceeds "
+                f"max_n={max_n}")
+        t_us = pdf[ts_col].to_numpy(dtype="datetime64[us]") \
+            .astype(np.int64)
+        bursts = kleinberg_bursts(t_us, s, gamma)
+        if not bursts:
+            return pd.DataFrame(columns=[by, "burst_ord", "start_us",
+                                         "end_us", "burst_start",
+                                         "burst_end", "n_events"])
+        return pd.DataFrame({
+            by: pdf.iloc[0, 0],
+            "burst_ord": np.arange(1, len(bursts) + 1, dtype=np.int64),
+            "start_us": [b[0] for b in bursts],
+            "end_us": [b[1] for b in bursts],
+            "burst_start": [pd.Timestamp(b[0], unit="us")
+                            for b in bursts],
+            "burst_end": [pd.Timestamp(b[1], unit="us")
+                          for b in bursts],
+            "n_events": [b[2] for b in bursts],
+        })
+
+    schema = (f"{by} {dict(src.dtypes)[by]}, burst_ord long, "
+              "start_us long, end_us long, burst_start timestamp, "
+              "burst_end timestamp, n_events long")
+    return src.groupBy(by).applyInPandas(fit, schema)
+
+
 def pelt_changepoints(tier: DataFrame, value_col: str = "turn_count",
                       penalty: float | None = None, min_size: int = 2,
                       by: str = "conv_id",
