@@ -530,6 +530,21 @@ def q_tx_hw_backtest(spark, sf_dir):
         .orderBy("conv_id")
 
 
+def q_tx_topk_slots(spark, sf_dir):
+    """Each conv's 5 busiest 1m slots (rank by count desc, earlier slot
+    on ties) — rank-limit with a partial WindowGroupLimit below the
+    exchange, so a hot conv ships k x maps rows, never its full
+    series."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.rollup import rollup_from_turns
+    from yatsm_spark.operators.tsfuncs import topk_slots
+
+    tier = rollup_from_turns(with_measures(_tx(spark, sf_dir)), "1m") \
+        .select("conv_id", "window_start", "turn_count")
+    return topk_slots(tier, "turn_count", k=5) \
+        .orderBy("conv_id", "rank")
+
+
 def q_tx_bursts(spark, sf_dir):
     """Kleinberg two-state bursts per conv over RAW turn arrivals (no
     tier, no binning): intervals where the turn rate jumps to 3x the
@@ -1745,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_pelt": q_tx_pelt,
         "tx_dtw_rerank": q_tx_dtw_rerank,
         "tx_bursts": q_tx_bursts,
+        "tx_topk_slots": q_tx_topk_slots,
         "tx_matrix_profile": q_tx_matrix_profile,
         "tx_mp_extrema": q_tx_mp_extrema,
         "tx_hdr_cascade": q_tx_hdr_cascade,
@@ -2620,6 +2636,21 @@ def oracle_sql() -> dict[str, str]:
                             / (ne*snv*1000000)::double)
                            * 1e6 + 0.5)/1e6 END AS mase
             FROM s ORDER BY conv_id
+        """,
+        "tx_topk_slots": f"""
+            WITH r AS (
+              SELECT conv_id, {slot_m} AS window_start,
+                     count(*)::long AS turn_count
+              FROM {tx} GROUP BY 1, 2),
+            k AS (
+              SELECT conv_id, window_start, turn_count,
+                     row_number() OVER (
+                       PARTITION BY conv_id
+                       ORDER BY turn_count DESC, window_start ASC)
+                       ::int AS rank
+              FROM r)
+            SELECT * FROM k WHERE rank <= 5
+            ORDER BY conv_id, rank
         """,
         "tx_bursts": f"""
             SELECT conv_id, burst_ord::long AS burst_ord,

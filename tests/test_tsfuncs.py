@@ -420,3 +420,18 @@ def test_hw_backtest_edge_series(spark):
         "conv_id string, window_start timestamp, v long")
     r = holt_winters_backtest(one, "v").collect()[0]
     assert r["n_eval"] == 0 and r["mae"] is None and r["mase"] is None
+
+
+def test_topk_slots_rank_and_ties(spark):
+    from yatsm_spark.operators.tsfuncs import topk_slots
+
+    rows = [("c1", _ts(0), 5), ("c1", _ts(1), 9), ("c1", _ts(2), 9),
+            ("c1", _ts(3), 1), ("c2", _ts(0), 2)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, window_start timestamp, turn_count long")
+    out = topk_slots(df, "turn_count", k=2).orderBy("conv_id", "rank") \
+        .collect()
+    # tie at 9: the EARLIER slot takes rank 1
+    assert [(r["conv_id"], r["rank"], r["window_start"], r["turn_count"])
+            for r in out] == [
+        ("c1", 1, _ts(1), 9), ("c1", 2, _ts(2), 9), ("c2", 1, _ts(0), 2)]

@@ -403,6 +403,14 @@ def main():
         ("text column pruned from scan", "text", False),
     ])
 
+    audit("tx_topk_slots (rank-limit: partial WindowGroupLimit below "
+          "the exchange)",
+          qs["tx_topk_slots"](spark, SF_DIR), [
+        ("partial WindowGroupLimit planned (hot conv ships k x maps "
+         "rows, not its series)", "WindowGroupLimit", True),
+        ("no join", "Join", False),
+    ])
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)

@@ -311,6 +311,23 @@ def _snap6_signed(col):
     return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
 
+def topk_slots(tier: DataFrame, value_col: str = "turn_count",
+               k: int = 5, by: str = "conv_id",
+               order_col: str = "window_start") -> DataFrame:
+    """Each series' k busiest slots, ranked: rank 1 = largest value,
+    ties broken by the EARLIER slot (the unique slot makes the rank
+    total). Because the row_number filter matches the window's own
+    ordering, Spark plans a PARTIAL WindowGroupLimit below the exchange
+    (the sample_stratified trick): each map task ships at most k rows
+    per series it has seen — a hot conv costs k x maps rows in the
+    shuffle, not its full series. Audited in BENCH/PLANS.md."""
+    w = Window.partitionBy(by).orderBy(F.col(value_col).desc(),
+                                       F.col(order_col).asc())
+    return (tier.select(by, order_col, value_col)
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k))
+
+
 def alert_episodes(flags: DataFrame, value_col: str = "turn_count",
                    flag_col: str = "is_anomaly", z_col: str = "zscore",
                    by: str = "conv_id",
