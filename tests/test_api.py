@@ -88,3 +88,23 @@ def test_map_predict_matches_kernel_design(engine):
     for _, r in out.iterrows():
         want = float(np.dot(np.asarray(r["coef"], dtype=float), xd))
         assert r["predicted"] == pytest.approx(want, rel=1e-9, abs=1e-9)
+
+
+def test_monitoring_toolkit_surface(engine):
+    """The facade's monitoring methods run end-to-end on the engine's
+    own tier lineage and return the documented schemas."""
+    ep = engine.alert_episodes(k=10, sigma=3, min_n=5)
+    assert set(ep.columns) == {"conv_id", "episode_start", "episode_end",
+                               "n_slots", "peak_zscore", "peak_value"}
+    ep.limit(1).collect()
+    cp = engine.changepoints()
+    assert {"conv_id", "cp_ord", "idx", "window_start",
+            "n_changepoints"} == set(cp.columns)
+    cp.limit(1).collect()
+    bu = engine.bursts(s=3.0)
+    assert "burst_start" in bu.columns and "n_events" in bu.columns
+    bu.limit(1).collect()
+    mp = engine.profile(m=6)
+    assert {"conv_id", "idx", "window_start", "mp", "mp_idx"} \
+        == set(mp.columns)
+    mp.limit(1).collect()

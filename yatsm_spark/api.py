@@ -114,3 +114,42 @@ class Engine:
         """`yatsm changemap` analogue (W7): first/last/num breaks per conv."""
         breaks = segments.filter(F.col("break_ts").isNotNull())
         return changemap(breaks, "conv_id", "break_ts")
+
+    # ---- monitoring / series-analytics toolkit (beyond the reference
+    # CLI surface; same tier lineage as the methods above) ----
+
+    def anomalies(self, tier: str = "1m", **kw) -> DataFrame:
+        """Rolling integer-exact z-test flags over the dense tier."""
+        from yatsm_spark.operators.tsfuncs import rolling_anomaly
+
+        t = self.rollup(tier).select("conv_id", "window_start",
+                                     "turn_count")
+        return rolling_anomaly(t, "turn_count", **kw)
+
+    def alert_episodes(self, tier: str = "1m", **kw) -> DataFrame:
+        """Anomaly flags collapsed into alert episodes."""
+        from yatsm_spark.operators.tsfuncs import alert_episodes
+
+        return alert_episodes(self.anomalies(tier, **kw))
+
+    def changepoints(self, tier: str = "1h", **kw) -> DataFrame:
+        """PELT globally-optimal mean-shift changepoints per conv."""
+        from yatsm_spark.operators.changepoint import pelt_changepoints
+
+        t = self.rollup(tier).select("conv_id", "window_start",
+                                     "turn_count")
+        return pelt_changepoints(t, "turn_count", **kw)
+
+    def bursts(self, **kw) -> DataFrame:
+        """Kleinberg burst intervals over raw turn arrivals."""
+        from yatsm_spark.operators.changepoint import burst_intervals
+
+        return burst_intervals(self.transcripts, **kw)
+
+    def profile(self, tier: str = "1h", m: int = 12, **kw) -> DataFrame:
+        """Matrix profile (motif/discord) of each conv's dense tier."""
+        from yatsm_spark.operators.matrixprofile import matrix_profile
+
+        t = self.rollup(tier).select("conv_id", "window_start",
+                                     "turn_count")
+        return matrix_profile(t, "turn_count", m=m, **kw)
