@@ -462,19 +462,13 @@ def q_tx_sax_neardups(spark, sf_dir):
     from yatsm_spark.operators.rollup import rollup_gapfilled
     from yatsm_spark.operators.tsanalytics import sax_words
 
+    from yatsm_spark.operators.tsanalytics import sax_candidate_pairs
+
     tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000100")
     dense = rollup_gapfilled(with_measures(tx), "1m")
-    w = sax_words(dense, "turn_count", 16, 4) \
-        .where(F.col("sax_word").isNotNull()) \
-        .select("conv_id", "sax_word")
-    a = w.alias("a")
-    b = w.alias("b")
-    return (a.join(b, (F.col("a.sax_word") == F.col("b.sax_word"))
-                   & (F.col("a.conv_id") < F.col("b.conv_id")))
-             .select(F.col("a.conv_id").alias("conv_a"),
-                     F.col("b.conv_id").alias("conv_b"),
-                     F.col("a.sax_word").alias("sax_word"))
-             .orderBy("conv_a", "conv_b"))
+    w = sax_words(dense, "turn_count", 16, 4)
+    return sax_candidate_pairs(w, max_bucket=64) \
+        .orderBy("conv_a", "conv_b")
 
 
 def q_tx_holtwinters(spark, sf_dir):
@@ -572,14 +566,11 @@ def q_tx_dtw_rerank(spark, sf_dir):
     tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000100")
     dense = rollup_gapfilled(with_measures(tx), "1h") \
         .select("conv_id", "window_start", "turn_count")
-    w = sax_words(dense, "turn_count", 16, 4) \
-        .where(F.col("sax_word").isNotNull()) \
-        .select("conv_id", "sax_word")
-    a, b = w.alias("a"), w.alias("b")
-    pairs = (a.join(b, (F.col("a.sax_word") == F.col("b.sax_word"))
-                    & (F.col("a.conv_id") < F.col("b.conv_id")))
-              .select(F.col("a.conv_id").alias("conv_a"),
-                      F.col("b.conv_id").alias("conv_b")))
+    from yatsm_spark.operators.tsanalytics import sax_candidate_pairs
+
+    w = sax_words(dense, "turn_count", 16, 4)
+    pairs = sax_candidate_pairs(w, max_bucket=64) \
+        .select("conv_a", "conv_b")
     return dtw_rerank(dense, pairs).orderBy("conv_a", "conv_b")
 
 
@@ -3034,10 +3025,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT conv_id,
                      string_agg(letter, '' ORDER BY seg) AS sax_word
               FROM lets GROUP BY conv_id
-              HAVING bool_and(letter IS NOT NULL))
+              HAVING bool_and(letter IS NOT NULL)),
+            w2 AS (
+              SELECT * FROM w WHERE sax_word NOT IN (
+                SELECT sax_word FROM w
+                GROUP BY sax_word HAVING count(*) > 64))
             SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
                    a.sax_word AS sax_word
-            FROM w a JOIN w b
+            FROM w2 a JOIN w2 b
               ON a.sax_word = b.sax_word AND a.conv_id < b.conv_id
             ORDER BY conv_a, conv_b
         """,

@@ -286,3 +286,16 @@ def test_dist_shift_cap_buckets(spark):
             for i in range(10)]
     r = distribution_shift(_tier(spark, rows), cap=64).collect()[0]
     assert r["dof"] == 0 and r["chi2"] == 0.0
+
+
+def test_sax_candidate_pairs_hot_bucket_cap(spark):
+    from yatsm_spark.operators.tsanalytics import sax_candidate_pairs
+
+    rows = [(f"c{i:03d}", "abca") for i in range(10)] \
+        + [("x1", "dcba"), ("x2", "dcba"), ("n1", None)]
+    w = spark.createDataFrame(rows, "conv_id string, sax_word string")
+    # cap below the hot bucket: only the cold pair survives
+    out = sax_candidate_pairs(w, max_bucket=5).collect()
+    assert [(r["conv_a"], r["conv_b"]) for r in out] == [("x1", "x2")]
+    # cap above it: the hot bucket pairs too (10 choose 2 + 1)
+    assert sax_candidate_pairs(w, max_bucket=64).count() == 46

@@ -693,9 +693,12 @@ def dtw_twin(conv_max: str = "conv00000100") -> pd.DataFrame:
         w AS (
           SELECT conv_id, string_agg(letter, '' ORDER BY seg) AS word
           FROM lets GROUP BY conv_id
-          HAVING bool_and(letter IS NOT NULL))
+          HAVING bool_and(letter IS NOT NULL)),
+        w2 AS (
+          SELECT * FROM w WHERE word NOT IN (
+            SELECT word FROM w GROUP BY word HAVING count(*) > 64))
         SELECT a.conv_id AS conv_a, b.conv_id AS conv_b
-        FROM w a JOIN w b
+        FROM w2 a JOIN w2 b
           ON a.word = b.word AND a.conv_id < b.conv_id
         ORDER BY conv_a, conv_b
     """).df()

@@ -415,6 +415,28 @@ def sax_words(tier: DataFrame, value_col: str = "turn_count", w: int = 16,
                      F.when(F.col("_has"), F.col("_w")).alias("sax_word")))
 
 
+def sax_candidate_pairs(words: DataFrame, max_bucket: int = 64,
+                        by: str = "conv_id",
+                        word_col: str = "sax_word") -> DataFrame:
+    """Series near-dup candidate pairs from SAX words (a < b), with the
+    dedup family's hot-bucket discipline: a word shared by m series
+    emits m(m-1)/2 pairs, so one degenerate shape (e.g. the word every
+    near-idle conv collapses to) would go quadratic at corpus scale.
+    Words over ``max_bucket`` are removed BEFORE the self-join by a
+    broadcast anti-join of the (tiny by construction) hot-word set —
+    never by broadcasting the corpus-sized keep set."""
+    w = words.where(F.col(word_col).isNotNull()).select(by, word_col)
+    hot = (w.groupBy(word_col).agg(F.count(F.lit(1)).alias("_sz"))
+             .filter(F.col("_sz") > max_bucket))
+    w = w.join(F.broadcast(hot.select(word_col)), word_col, "left_anti")
+    a, b = w.alias("a"), w.alias("b")
+    return (a.join(b, (F.col(f"a.{word_col}") == F.col(f"b.{word_col}"))
+                   & (F.col(f"a.{by}") < F.col(f"b.{by}")))
+             .select(F.col(f"a.{by}").alias("conv_a"),
+                     F.col(f"b.{by}").alias("conv_b"),
+                     F.col(f"a.{word_col}").alias(word_col)))
+
+
 def distribution_shift(tier: DataFrame, value_col: str = "turn_count",
                        cap: int = 64, by: str = "conv_id",
                        order_col: str = "window_start") -> DataFrame:
