@@ -40,6 +40,7 @@ GOLDEN_MP = os.path.join(REPO, "data", "golden_mp_sf0.01.parquet")
 GOLDEN_PELT = os.path.join(REPO, "data", "golden_pelt_sf0.01.parquet")
 GOLDEN_DTW = os.path.join(REPO, "data", "golden_dtw_sf0.01.parquet")
 GOLDEN_BURSTS = os.path.join(REPO, "data", "golden_bursts_sf0.01.parquet")
+GOLDEN_SWING = os.path.join(REPO, "data", "golden_swing_sf0.01.parquet")
 
 ROLE_COUNTS_SQL = """
        count(*)::long AS turn_count,
@@ -522,6 +523,23 @@ def q_tx_hw_backtest(spark, sf_dir):
         .select("conv_id", "window_start", "turn_count")
     return holt_winters_backtest(dense, "turn_count", period=24) \
         .orderBy("conv_id")
+
+
+def q_tx_swing(spark, sf_dir):
+    """Swinging-door compression of each conv's sparse 1m series
+    (E=2): the archive points whose door corridor covers everything
+    dropped, with reconstruction within 2E (exact-integer-verified in
+    pytest). All door decisions are integer cross-multiplications.
+    Oracle: same-kernel twin (data/golden_swing_sf0.01.parquet)."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.downsample import swing_door
+    from yatsm_spark.operators.rollup import rollup_from_turns
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
+    tier = rollup_from_turns(with_measures(tx), "1m") \
+        .select("conv_id", "window_start", "turn_count")
+    return swing_door(tier, "turn_count", e=2) \
+        .orderBy("conv_id", "pos")
 
 
 def q_tx_topk_slots(spark, sf_dir):
@@ -1752,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_dtw_rerank": q_tx_dtw_rerank,
         "tx_bursts": q_tx_bursts,
         "tx_topk_slots": q_tx_topk_slots,
+        "tx_swing": q_tx_swing,
         "tx_matrix_profile": q_tx_matrix_profile,
         "tx_mp_extrema": q_tx_mp_extrema,
         "tx_hdr_cascade": q_tx_hdr_cascade,
@@ -2627,6 +2646,13 @@ def oracle_sql() -> dict[str, str]:
                             / (ne*snv*1000000)::double)
                            * 1e6 + 0.5)/1e6 END AS mase
             FROM s ORDER BY conv_id
+        """,
+        "tx_swing": f"""
+            SELECT conv_id, window_start::timestamp AS window_start,
+                   turn_count::long AS turn_count, pos::long AS pos,
+                   n_in::long AS n_in
+            FROM read_parquet('{GOLDEN_SWING}')
+            ORDER BY conv_id, pos
         """,
         "tx_topk_slots": f"""
             WITH r AS (

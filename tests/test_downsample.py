@@ -114,3 +114,58 @@ def test_m4_tie_breaks_earliest(spark):
            m4_downsample(df, "turn_count", 3600).collect()}
     assert out[0].is_min and out[0].is_max and out[0].is_first
     assert out[3].is_last and not out[3].is_min
+
+
+def test_swing_compress_bound_and_shapes():
+    import numpy as np
+    import pytest
+
+    from yatsm_spark.kernel.swing import swing_check_bound, swing_compress
+
+    t = np.arange(50, dtype=np.int64) * 60_000_000
+    # perfect ramp: two archive points, zero loss
+    ramp = np.arange(50, dtype=np.int64) * 3
+    k = swing_compress(t, ramp, 2)
+    assert k.tolist() == [0, 49]
+    assert swing_check_bound(t, ramp, k, 0)     # exact on a line
+    # random walk: classical 2E reconstruction bound, exact rationals
+    rng = np.random.default_rng(7)
+    for e in (0, 1, 5):
+        x = np.cumsum(rng.integers(-4, 5, size=200)).astype(np.int64)
+        tt = np.arange(200, dtype=np.int64) * 60_000_000
+        kk = swing_compress(tt, x, e)
+        assert kk[0] == 0 and kk[-1] == 199
+        assert swing_check_bound(tt, x, kk, 2 * e)
+        # E=0 must reproduce the series exactly on reconstruction
+        if e == 0:
+            assert swing_check_bound(tt, x, kk, 0)
+    with pytest.raises(ValueError, match="increasing"):
+        swing_compress(np.array([0, 0]), np.array([1, 2]), 1)
+    with pytest.raises(ValueError, match="e must be"):
+        swing_compress(t, ramp, -1)
+
+
+def test_swing_door_operator(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from yatsm_spark.kernel.swing import swing_compress
+
+    from yatsm_spark.operators.downsample import swing_door
+
+    t0 = dt.datetime(2026, 1, 1)
+    rng = np.random.default_rng(3)
+    xs = np.cumsum(rng.integers(-3, 4, size=60)).astype(np.int64) + 50
+    rows = [("c1", t0 + dt.timedelta(minutes=i), int(v))
+            for i, v in enumerate(xs)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, window_start timestamp, turn_count long")
+    got = swing_door(df, "turn_count", e=2).orderBy("pos").collect()
+    t_us = (np.arange(60, dtype=np.int64) * 60_000_000
+            + int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6))
+    keep = swing_compress(np.arange(60, dtype=np.int64) * 60_000_000,
+                          xs, 2)
+    assert [r["turn_count"] for r in got] == [int(xs[i]) for i in keep]
+    assert [r["pos"] for r in got] == list(range(len(keep)))
+    assert all(r["n_in"] == 60 for r in got)

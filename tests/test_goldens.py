@@ -130,3 +130,10 @@ def test_goldens_are_fresh():
     stored_bu = pd.read_parquet(
         os.path.join(REPO, "data", "golden_bursts_sf0.01.parquet"))
     pd.testing.assert_frame_equal(bu, stored_bu, check_exact=True)
+
+    from make_goldens import swing_twin
+
+    sw = swing_twin()
+    stored_sw = pd.read_parquet(
+        os.path.join(REPO, "data", "golden_swing_sf0.01.parquet"))
+    pd.testing.assert_frame_equal(sw, stored_sw, check_exact=True)

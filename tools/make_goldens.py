@@ -742,6 +742,35 @@ def bursts_twin(conv_max: str = "conv00000300", s: float = 3.0,
          "n_events": "int64"})
 
 
+def swing_twin(conv_max: str = "conv00000200", e: int = 2) -> pd.DataFrame:
+    """tx_swing twin: sparse 1m tier from DuckDB, each conv compressed
+    by the SAME kernel (kernel/swing.py::swing_compress) — integer
+    cross-multiplication decisions, exact by construction."""
+    from yatsm_spark.kernel.swing import swing_compress
+
+    tier = duckdb.sql(f"""
+        SELECT conv_id,
+               to_timestamp((floor(epoch(ts)/60)*60)::bigint)::timestamp
+                 AS window_start,
+               count(*)::long AS turn_count
+        FROM read_parquet('{TX}/*.parquet')
+        WHERE conv_id < '{conv_max}'
+        GROUP BY 1, 2 ORDER BY conv_id, window_start
+    """).df()
+    outs = []
+    for conv, g in tier.groupby("conv_id", sort=True):
+        g = g.reset_index(drop=True)
+        t_us = g["window_start"].to_numpy(dtype="datetime64[us]") \
+            .astype(np.int64)
+        keep = swing_compress(t_us, g["turn_count"].to_numpy(np.int64), e)
+        o = g.iloc[keep][["conv_id", "window_start", "turn_count"]] \
+            .reset_index(drop=True)
+        o["pos"] = np.arange(len(keep), dtype=np.int64)
+        o["n_in"] = np.int64(len(g))
+        outs.append(o)
+    return pd.concat(outs, ignore_index=True)
+
+
 def main() -> None:
     segs = segments_twin("conv00000300")
     seg_path = os.path.join(REPO, "data", "golden_segments_sf0.01.parquet")
@@ -828,6 +857,11 @@ def main() -> None:
     path = os.path.join(REPO, "data", "golden_bursts_sf0.01.parquet")
     bu.to_parquet(path, index=False)
     print(f"wrote {path}: {len(bu)} rows")
+
+    sw = swing_twin()
+    path = os.path.join(REPO, "data", "golden_swing_sf0.01.parquet")
+    sw.to_parquet(path, index=False)
+    print(f"wrote {path}: {len(sw)} rows")
 
 
 if __name__ == "__main__":

@@ -72,3 +72,49 @@ def m4_downsample(tier: DataFrame, value_col: str = "turn_count",
     for flag, w in rn.items():
         out = out.withColumn(flag, F.row_number().over(w) == 1)
     return out.filter("is_min OR is_max OR is_first OR is_last")
+
+
+def swing_door(tier: DataFrame, value_col: str = "turn_count",
+               e: int = 2, by: str = "conv_id",
+               order_col: str = "window_start",
+               max_n: int = 1_000_000) -> DataFrame:
+    """Swinging-door trend compression per series (kernel/swing.py —
+    Bristol 1990, the PI-historian retention codec): emit only the
+    archive points whose E-half-width door corridor covers every
+    dropped point (reconstruction by linear interpolation is within 2E
+    everywhere — the classical guarantee, exact-integer-verified in
+    tests). The lossy-but-bounded retention companion to the exact
+    Gorilla chunks: old tiers keep the shape at a fraction of the
+    points, with the error contract explicit.
+
+    All door decisions are integer cross-multiplications — zero floats,
+    so the kept-point set is bit-identical at any parallelism. One
+    shuffle on the series key; O(n) kernel per conv."""
+    import numpy as np
+    import pandas as pd
+
+    from yatsm_spark.kernel.swing import swing_compress
+
+    src = tier.select(by, order_col, value_col)
+
+    def fit(pdf):
+        pdf = (pdf.sort_values(order_col, kind="mergesort")
+                  .reset_index(drop=True))
+        n = len(pdf)
+        if n > max_n:
+            raise ValueError(
+                f"swing_door: series of {n} rows exceeds max_n={max_n}")
+        t_us = pdf[order_col].to_numpy(dtype="datetime64[us]") \
+            .astype(np.int64)
+        keep = swing_compress(t_us, pdf[value_col].to_numpy(np.int64), e)
+        out = pdf.iloc[keep][[by, order_col, value_col]] \
+            .reset_index(drop=True)
+        out["pos"] = np.arange(len(keep), dtype=np.int64)
+        out["n_in"] = np.int64(n)
+        return out
+
+    schema = (f"{by} {dict(src.dtypes)[by]}, "
+              f"{order_col} {dict(src.dtypes)[order_col]}, "
+              f"{value_col} {dict(src.dtypes)[value_col]}, "
+              "pos long, n_in long")
+    return src.groupBy(by).applyInPandas(fit, schema)
