@@ -673,3 +673,66 @@ def test_stream_alert_episodes_matches_batch(spark, tmp_path):
     want = {tuple(r) for r in want_all}
     assert len(want) >= 4          # two bursts x two convs
     assert got == want
+
+
+def test_stream_swing_matches_batch_keepset(spark, tmp_path):
+    """stream_swing emits EXACTLY the batch swing_door archive points
+    minus the series-final one (unobservable before end-of-stream),
+    across a micro-batch boundary landing mid-corridor."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from yatsm_spark.operators.downsample import swing_door
+    from yatsm_spark.streaming.stream_rollup import stream_swing
+
+    base = pd.Timestamp("2025-01-01")
+    rng = np.random.RandomState(9)
+    rows = []
+    for c in ("c1", "c2"):
+        xs = (np.cumsum(rng.randint(-3, 4, size=50)) + 40).tolist()
+        rows += [{"conv_id": c,
+                  "window_start": base + pd.Timedelta(minutes=m),
+                  "turn_count": int(v)} for m, v in enumerate(xs)]
+    pdf = pd.DataFrame(rows)
+    src = str(tmp_path / "sw_src")
+    os.makedirs(src)
+
+    def _write(sub, path):
+        tmp = str(tmp_path / "w")
+        spark.createDataFrame(sub).coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+                    path)
+        shutil.rmtree(tmp)
+
+    now = _time.time()
+    cut = base + pd.Timedelta(minutes=23)
+    for k, sub in enumerate((pdf[pdf.window_start < cut],
+                             pdf[pdf.window_start >= cut])):
+        p = os.path.join(src, f"f{k}.parquet")
+        _write(sub, p)
+        os.utime(p, (now - 60 + 30 * k, now - 60 + 30 * k))
+
+    stream = (spark.readStream
+              .schema("conv_id string, window_start timestamp, "
+                      "turn_count long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream_swing(stream, e=2)
+         .writeStream.format("memory").queryName("s_swing")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.conv_id, r.window_start, r.turn_count)
+           for r in spark.sql("SELECT * FROM s_swing").collect()}
+    batch = swing_door(spark.createDataFrame(pdf), "turn_count", e=2) \
+        .collect()
+    # drop each conv's final archive point (max pos)
+    last = {}
+    for r in batch:
+        last[r["conv_id"]] = max(last.get(r["conv_id"], -1), r["pos"])
+    want = {(r["conv_id"], r["window_start"], r["turn_count"])
+            for r in batch if r["pos"] != last[r["conv_id"]]}
+    assert len(want) >= 4       # random walks at e=2 archive plenty
+    assert got == want

@@ -391,6 +391,101 @@ def stream_alert_episodes(flag_stream: DataFrame) -> DataFrame:
     )
 
 
+#: stream_swing output — one row per CONFIRMED archive point
+_SWING_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("window_start", T.TimestampType()),
+    T.StructField("turn_count", T.LongType()),
+])
+#: state = anchor point, previous point, and the open door fractions
+#: (numerators are value-scale, denominators are micros deltas — all
+#: well inside long range; comparisons run in Python ints)
+_SWING_STATE = T.StructType([
+    T.StructField("a_t", T.LongType()),
+    T.StructField("a_x", T.LongType()),
+    T.StructField("p_t", T.LongType()),
+    T.StructField("p_x", T.LongType()),
+    T.StructField("up_n", T.LongType()),
+    T.StructField("up_d", T.LongType()),
+    T.StructField("lo_n", T.LongType()),
+    T.StructField("lo_d", T.LongType()),
+    T.StructField("has_doors", T.BooleanType()),
+])
+
+
+def _swing_fn(e: int):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            (a_t, a_x, p_t, p_x, up_n, up_d, lo_n, lo_d,
+             has_doors) = state.get
+            st = [a_t, a_x, p_t, p_x, up_n, up_d, lo_n, lo_d, has_doors]
+        else:
+            st = None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("window_start", kind="stable")
+            for ws, v in zip(pdf["window_start"], pdf["turn_count"]):
+                t = int(pd.Timestamp(ws).value // 1_000)
+                x = int(v)
+                if st is None:
+                    st = [t, x, t, x, 0, 0, 0, 0, False]
+                    continue
+                a_t, a_x, p_t, p_x, up_n, up_d, lo_n, lo_d, hd = st
+                if p_t == a_t:
+                    # anchor just (re)set: confirm it as an archive
+                    # point now that the series continues past it
+                    out.append((key[0], pd.Timestamp(a_t, unit="us"),
+                                a_x))
+                while True:
+                    dt = t - a_t
+                    hi = x + e - a_x
+                    lo = x - e - a_x
+                    if not hd:
+                        up_n, up_d, lo_n, lo_d, hd = hi, dt, lo, dt, True
+                        break
+                    if hi * up_d < up_n * dt:
+                        up_n, up_d = hi, dt
+                    if lo * lo_d > lo_n * dt:
+                        lo_n, lo_d = lo, dt
+                    if lo_n * up_d > up_n * lo_d:   # doors crossed
+                        out.append((key[0],
+                                    pd.Timestamp(p_t, unit="us"), p_x))
+                        a_t, a_x = p_t, p_x
+                        hd = False
+                        continue                    # reopen over x
+                    break
+                st = [a_t, a_x, t, x, up_n, up_d, lo_n, lo_d, hd]
+        if st is not None:
+            state.update(tuple(st))
+        if out:
+            yield pd.DataFrame(out, columns=["conv_id", "window_start",
+                                             "turn_count"])
+
+    return fn
+
+
+def stream_swing(rollup_stream: DataFrame, e: int = 2) -> DataFrame:
+    """Streaming twin of ``operators.downsample.swing_door``: the
+    swinging-door retention codec maintained online with O(1) state per
+    conv (anchor, previous point, open door fractions). Decisions are
+    the SAME integer cross-multiplications as the batch kernel on the
+    same rows, so the emitted archive stream is EXACTLY the batch
+    keep-set minus its final element — the series-final point is only
+    archivable once the series ends, which a stream never observes
+    (pytest pins the contract, including a micro-batch boundary landing
+    mid-corridor). Rows must arrive in window_start order per conv —
+    the module-wide contract."""
+    if e < 0:
+        raise ValueError("stream_swing: error bound e must be >= 0")
+    return rollup_stream.groupBy("conv_id").applyInPandasWithState(
+        _swing_fn(int(e)),
+        outputStructType=_SWING_SCHEMA,
+        stateStructType=_SWING_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 #: stream_ewma output — every input row with its smoothed value
 _EWMA_SCHEMA = T.StructType([
     T.StructField("conv_id", T.StringType()),
