@@ -41,6 +41,7 @@ GOLDEN_PELT = os.path.join(REPO, "data", "golden_pelt_sf0.01.parquet")
 GOLDEN_DTW = os.path.join(REPO, "data", "golden_dtw_sf0.01.parquet")
 GOLDEN_BURSTS = os.path.join(REPO, "data", "golden_bursts_sf0.01.parquet")
 GOLDEN_SWING = os.path.join(REPO, "data", "golden_swing_sf0.01.parquet")
+GOLDEN_AB = os.path.join(REPO, "data", "golden_ab_sf0.01.parquet")
 
 ROLE_COUNTS_SQL = """
        count(*)::long AS turn_count,
@@ -522,6 +523,24 @@ def q_tx_hw_backtest(spark, sf_dir):
     dense = rollup_gapfilled(with_measures(tx), "1h") \
         .select("conv_id", "window_start", "turn_count")
     return holt_winters_backtest(dense, "turn_count", period=24) \
+        .orderBy("conv_id")
+
+
+def q_tx_ab_profile(spark, sf_dir):
+    """Cross-series window search (Matrix Profile AB-join, min per
+    series): for every conv under 100, the single 12h window of its
+    dense 1h series closest (z-normalized) to ANY window of
+    conv00000014's series. Query series broadcast once; integer
+    moments/dot products, floats only elementwise. Oracle: same-kernel
+    twin (data/golden_ab_sf0.01.parquet)."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.matrixprofile import ab_join_profile
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000100")
+    dense = rollup_gapfilled(with_measures(tx), "1h") \
+        .select("conv_id", "window_start", "turn_count")
+    return ab_join_profile(dense, "conv00000014", m=12) \
         .orderBy("conv_id")
 
 
@@ -1771,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_bursts": q_tx_bursts,
         "tx_topk_slots": q_tx_topk_slots,
         "tx_swing": q_tx_swing,
+        "tx_ab_profile": q_tx_ab_profile,
         "tx_matrix_profile": q_tx_matrix_profile,
         "tx_mp_extrema": q_tx_mp_extrema,
         "tx_hdr_cascade": q_tx_hdr_cascade,
@@ -2646,6 +2666,13 @@ def oracle_sql() -> dict[str, str]:
                             / (ne*snv*1000000)::double)
                            * 1e6 + 0.5)/1e6 END AS mase
             FROM s ORDER BY conv_id
+        """,
+        "tx_ab_profile": f"""
+            SELECT conv_id, q_idx::long AS q_idx, c_idx::long AS c_idx,
+                   window_start::timestamp AS window_start,
+                   dist::double AS dist
+            FROM read_parquet('{GOLDEN_AB}')
+            ORDER BY conv_id
         """,
         "tx_swing": f"""
             SELECT conv_id, window_start::timestamp AS window_start,

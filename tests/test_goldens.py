@@ -137,3 +137,10 @@ def test_goldens_are_fresh():
     stored_sw = pd.read_parquet(
         os.path.join(REPO, "data", "golden_swing_sf0.01.parquet"))
     pd.testing.assert_frame_equal(sw, stored_sw, check_exact=True)
+
+    from make_goldens import ab_twin
+
+    ab = ab_twin()
+    stored_ab = pd.read_parquet(
+        os.path.join(REPO, "data", "golden_ab_sf0.01.parquet"))
+    pd.testing.assert_frame_equal(ab, stored_ab, check_exact=True)

@@ -151,3 +151,81 @@ def test_mp_extrema_ties_and_nulls(spark):
     assert (r["motif_idx"], r["motif_pair"], r["motif_dist"]) == (1, 5, 1.0)
     assert (r["discord_idx"], r["discord_dist"]) == (2, 9.0)  # lowest idx
     assert r["n_windows"] == 4
+
+
+def _brute_ab(q, y, m):
+    q = np.asarray(q, dtype=float)
+    y = np.asarray(y, dtype=float)
+    best = None
+    for i in range(len(q) - m + 1):
+        qi = q[i:i + m]
+        if qi.std() == 0:
+            continue
+        zq = (qi - qi.mean()) / qi.std()
+        for j in range(len(y) - m + 1):
+            yj = y[j:j + m]
+            if yj.std() == 0:
+                continue
+            zy = (yj - yj.mean()) / yj.std()
+            d = float(np.sqrt(((zq - zy) ** 2).sum()))
+            if best is None or d < best[0] - 1e-12:
+                best = (d, i, j)
+    return best
+
+
+def test_ab_best_match_vs_bruteforce():
+    from yatsm_spark.kernel.matrixprofile import ab_best_match
+
+    rng = np.random.default_rng(17)
+    for _ in range(15):
+        q = rng.integers(0, 25, size=int(rng.integers(8, 30)))
+        y = rng.integers(0, 25, size=int(rng.integers(8, 40)))
+        got = ab_best_match(q, y, 6)
+        want = _brute_ab(q, y, 6)
+        if want is None:
+            assert got is None
+        else:
+            assert got[0] == pytest.approx(want[0], abs=1e-8)
+            assert (got[1], got[2]) == (want[1], want[2])
+
+
+def test_ab_best_match_planted_scaled_copy():
+    from yatsm_spark.kernel.matrixprofile import ab_best_match
+
+    q = np.tile([1, 2, 3, 4, 5, 6, 7, 8], 3)
+    y = np.concatenate([[9] * 20, [2, 4, 6, 8, 10, 12, 14, 16],
+                        [7] * 10])
+    dist, qi, yj = ab_best_match(q, y, 8)
+    # the 2x-scaled copy z-normalizes to the identical shape
+    assert dist == pytest.approx(0.0, abs=1e-9) and yj == 20
+    # all-flat corpus: no valid window anywhere
+    assert ab_best_match(q, np.array([5] * 30), 8) is None
+    with pytest.raises(ValueError, match="m must be"):
+        ab_best_match(q, y, 1)
+
+
+def test_ab_join_profile_operator(spark):
+    from yatsm_spark.kernel.matrixprofile import ab_best_match
+    from yatsm_spark.operators.matrixprofile import ab_join_profile
+
+    rng = np.random.default_rng(21)
+    rows, series = [], {}
+    for c in ("cq", "c1", "c2"):
+        xs = rng.integers(0, 20, size=30)
+        series[c] = xs
+        rows += [(c, T0 + dt.timedelta(hours=int(i)), int(v))
+                 for i, v in enumerate(xs)]
+    # a flat conv that must drop out
+    rows += [("c3", T0 + dt.timedelta(hours=i), 4) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, window_start timestamp, turn_count long")
+    got = {r["conv_id"]: r
+           for r in ab_join_profile(df, "cq", m=8).collect()}
+    assert set(got) == {"c1", "c2"}       # query + flat conv excluded
+    for c in ("c1", "c2"):
+        dist, qi, yj = ab_best_match(series["cq"], series[c], 8)
+        r = got[c]
+        assert r["dist"] == dist and (r["q_idx"], r["c_idx"]) == (qi, yj)
+        assert r["window_start"] == T0 + dt.timedelta(hours=int(yj))
+    with pytest.raises(Exception, match="shorter than m"):
+        ab_join_profile(df, "cq", m=40).count()

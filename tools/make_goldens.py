@@ -771,6 +771,54 @@ def swing_twin(conv_max: str = "conv00000200", e: int = 2) -> pd.DataFrame:
     return pd.concat(outs, ignore_index=True)
 
 
+def ab_twin(query_conv: str = "conv00000014",
+            conv_max: str = "conv00000100", m: int = 12) -> pd.DataFrame:
+    """tx_ab_profile twin: dense 1h tier from DuckDB, every non-query
+    conv scored by the SAME kernel
+    (kernel/matrixprofile.py::ab_best_match) against the query conv's
+    series."""
+    from yatsm_spark.kernel.matrixprofile import ab_best_match
+
+    tier = duckdb.sql(f"""
+        WITH r0 AS (
+          SELECT conv_id,
+                 to_timestamp((floor(epoch(ts)/3600)*3600)::bigint)
+                   ::timestamp AS ws,
+                 count(*)::long AS x
+          FROM read_parquet('{TX}/*.parquet')
+          WHERE conv_id < '{conv_max}'
+          GROUP BY 1, 2),
+        spans AS (SELECT conv_id, min(ws) AS w0, max(ws) AS w1
+                  FROM r0 GROUP BY 1),
+        grid AS (SELECT spans.conv_id,
+                        unnest(generate_series(w0, w1, INTERVAL 1 HOUR))
+                          AS ws
+                 FROM spans)
+        SELECT grid.conv_id AS conv_id, grid.ws AS window_start,
+               coalesce(r0.x, 0)::long AS turn_count
+        FROM grid LEFT JOIN r0
+          ON grid.conv_id = r0.conv_id AND grid.ws = r0.ws
+        ORDER BY grid.conv_id, grid.ws
+    """).df()
+    qarr = tier[tier.conv_id == query_conv].sort_values("window_start") \
+        ["turn_count"].to_numpy(np.int64)
+    rows = []
+    for conv, g in tier.groupby("conv_id", sort=True):
+        if conv == query_conv:
+            continue
+        g = g.reset_index(drop=True)
+        if len(g) < m:
+            continue
+        best = ab_best_match(qarr, g["turn_count"].to_numpy(np.int64), m)
+        if best is None:
+            continue
+        dist, qi, yj = best
+        rows.append((conv, qi, yj, g["window_start"].iloc[yj], dist))
+    return pd.DataFrame(rows, columns=[
+        "conv_id", "q_idx", "c_idx", "window_start", "dist"]).astype(
+        {"q_idx": "int64", "c_idx": "int64"})
+
+
 def main() -> None:
     segs = segments_twin("conv00000300")
     seg_path = os.path.join(REPO, "data", "golden_segments_sf0.01.parquet")
@@ -862,6 +910,11 @@ def main() -> None:
     path = os.path.join(REPO, "data", "golden_swing_sf0.01.parquet")
     sw.to_parquet(path, index=False)
     print(f"wrote {path}: {len(sw)} rows")
+
+    ab = ab_twin()
+    path = os.path.join(REPO, "data", "golden_ab_sf0.01.parquet")
+    ab.to_parquet(path, index=False)
+    print(f"wrote {path}: {len(ab)} rows")
 
 
 if __name__ == "__main__":

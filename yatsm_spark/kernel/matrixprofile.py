@@ -91,3 +91,57 @@ def matrix_profile_core(x: np.ndarray, m: int, excl: int | None = None):
     mp[none] = np.nan
     mpi[none] = -1
     return mp, mpi
+
+
+def ab_best_match(q: np.ndarray, y: np.ndarray, m: int):
+    """AB-join best match: the (query-window, series-window) pair with
+    the smallest z-normalized distance between series ``q`` and ``y``
+    (no exclusion zone — distinct series). Returns (dist, qi, yj) or
+    None when either side has no valid (nonzero-variance) window.
+
+    Same exactness discipline as matrix_profile_core: integer window
+    moments via cumsums, integer sliding dot products via np.correlate
+    (direct C multiply-add on int64 — not BLAS, not FFT), floats only
+    in the final elementwise correlation; ties resolve to the FIRST
+    pair in (query-window, series-window) scan order."""
+    q = np.asarray(q, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    if m < 2:
+        raise ValueError("ab_best_match: window m must be >= 2")
+    Lq, Ly = q.size - m + 1, y.size - m + 1
+    if Lq <= 0 or Ly <= 0:
+        return None
+    amax = max(int(np.abs(q).max()), int(np.abs(y).max()))
+    if amax > 0 and m * m * amax * amax >= 2 ** 31:
+        # vq * vy below must stay inside int64
+        raise ValueError("ab_best_match: values too large for exact "
+                         "int64 moments; rescale the measure first")
+
+    def moments(x, L):
+        c1 = np.concatenate(([0], np.cumsum(x, dtype=np.int64)))
+        c2 = np.concatenate(([0], np.cumsum(x * x, dtype=np.int64)))
+        S = c1[m:] - c1[:-m]
+        V = m * (c2[m:] - c2[:-m]) - S * S      # m^2 sigma^2, exact
+        return S, V
+
+    Sq, Vq = moments(q, Lq)
+    Sy, Vy = moments(y, Ly)
+    if not (Vy > 0).any():
+        return None
+    best_r, best = -np.inf, None
+    neg = np.float64(-np.inf)
+    for i in range(Lq):
+        if Vq[i] == 0:
+            continue
+        QT = np.correlate(y, q[i:i + m], mode="valid")  # int64 exact
+        num = (m * QT - int(Sq[i]) * Sy).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = num / np.sqrt((Vq[i] * Vy).astype(np.float64))
+        r[Vy == 0] = neg
+        j = int(np.argmax(r))                   # first max
+        if r[j] > best_r:
+            best_r, best = float(r[j]), (i, j)
+    if best is None:
+        return None
+    d2 = max(2.0 * m * (1.0 - best_r), 0.0)
+    return (float(np.sqrt(d2)), best[0], best[1])

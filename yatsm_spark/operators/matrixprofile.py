@@ -66,6 +66,68 @@ def matrix_profile(tier: DataFrame, value_col: str = "turn_count",
     return src.groupBy(by).applyInPandas(fit, schema)
 
 
+def ab_join_profile(tier: DataFrame, query_conv: str, m: int = 12,
+                    value_col: str = "turn_count", by: str = "conv_id",
+                    order_col: str = "window_start",
+                    max_n: int = 8192) -> DataFrame:
+    """Cross-series similarity search: for EVERY other series in the
+    tier, the single window closest (z-normalized) to ANY window of
+    ``query_conv``'s series — "find the moment most like anything in
+    this conversation, corpus-wide" (the AB-join of Matrix Profile I,
+    reduced to its minimum per series).
+
+    Scale shape: the query series is a bounded driver collect (max_n
+    guard — the broadcast-codebook pattern, similarity.py), shipped
+    once per executor; the corpus side is ONE shuffle on the series
+    key with the O(nq*ny) integer kernel per conv
+    (kernel/matrixprofile.py::ab_best_match). Series with no valid
+    window pair (zero variance / shorter than m) drop out."""
+    import numpy as np
+    import pandas as pd
+
+    from yatsm_spark.kernel.matrixprofile import ab_best_match
+
+    qrows = (tier.where(F.col(by) == query_conv)
+                 .select(order_col, value_col)
+                 .orderBy(order_col).collect())
+    if len(qrows) > max_n:
+        raise ValueError(
+            f"ab_join_profile: query series of {len(qrows)} rows "
+            f"exceeds max_n={max_n}; downsample first")
+    if len(qrows) < m:
+        raise ValueError(
+            f"ab_join_profile: query series shorter than m={m}")
+    qarr = np.array([r[1] for r in qrows], dtype=np.int64)
+    spark = tier.sparkSession
+    bc = spark.sparkContext.broadcast(qarr)
+
+    src = tier.where(F.col(by) != query_conv) \
+              .select(by, order_col, value_col)
+
+    def fit(pdf):
+        pdf = (pdf.sort_values(order_col, kind="mergesort")
+                  .reset_index(drop=True))
+        n = len(pdf)
+        if n > max_n:
+            raise ValueError(
+                f"ab_join_profile: series of {n} rows exceeds "
+                f"max_n={max_n}; downsample first")
+        cols = [by, "q_idx", "c_idx", order_col, "dist"]
+        best = ab_best_match(bc.value,
+                             pdf[value_col].to_numpy(np.int64), m) \
+            if n >= m else None
+        if best is None:
+            return pd.DataFrame(columns=cols)
+        dist, qi, yj = best
+        return pd.DataFrame({
+            by: [pdf.iloc[0, 0]], "q_idx": [qi], "c_idx": [yj],
+            order_col: [pdf[order_col].iloc[yj]], "dist": [dist]})
+
+    schema = (f"{by} {dict(src.dtypes)[by]}, q_idx long, c_idx long, "
+              f"{order_col} {dict(src.dtypes)[order_col]}, dist double")
+    return src.groupBy(by).applyInPandas(fit, schema)
+
+
 def mp_extrema(profile: DataFrame, by: str = "conv_id") -> DataFrame:
     """Per-series motif + discord summary off the long-form profile:
     the window with the SMALLEST nearest-neighbor distance (top motif,
