@@ -186,7 +186,9 @@ def main():
                  "bm25_topk", "hll_distinct", "curate_corpus",
                  "pca_project", "pq_adc_topk", "zorder_events",
                  "bloom_join", "tx_asof_tool", "tx_hdr_cascade",
-                 "tx_anomaly", "tx_deriv", "tx_acf", "tx_seasonal"):
+                 "tx_anomaly", "tx_deriv", "tx_acf", "tx_seasonal",
+                 "tx_matrix_profile", "tx_pelt", "tx_bursts",
+                 "tx_swing", "tx_holtwinters"):
         fn = e.queries()[name]
         timed(name, lambda fn=fn: sink(fn(spark, SF_DIR)))
 
