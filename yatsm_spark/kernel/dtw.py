@@ -24,8 +24,15 @@ def dtw_core(a, b, radius: int | None = None) -> int:
     n, m = len(a), len(b)
     if n == 0 or m == 0:
         raise ValueError("dtw: empty series")
-    if radius is not None and radius < 1:
-        raise ValueError("dtw: radius must be >= 1")
+    if radius is not None:
+        if radius < 1:
+            raise ValueError("dtw: radius must be >= 1")
+        # feasibility floor: the scaled diagonal steps ~m/n columns per
+        # row, so a narrower band than that can strand the corner cell
+        # (bands of adjacent rows must overlap and row n must reach m).
+        # The requested radius is a MINIMUM; it widens to the length
+        # ratio when the pair needs it.
+        radius = max(radius, (max(n, m) + min(n, m) - 1) // min(n, m))
     INF = float("inf")
     dp = [INF] * (m + 1)
     dp[0] = 0
