@@ -403,6 +403,32 @@ def main():
         ("text column pruned from scan", "text", False),
     ])
 
+    audit("tx_swing (retention codec: one group shuffle, Arrow kernel)",
+          qs["tx_swing"](spark, SF_DIR), [
+        ("applyInPandas group map (Arrow, not per-row python)",
+         "FlatMapGroupsInPandas", True),
+        ("no join", "Join", False),
+        ("text column pruned from scan", "text", False),
+    ])
+
+    audit("tx_bursts (raw-arrival Viterbi per conv, one group shuffle)",
+          qs["tx_bursts"](spark, SF_DIR), [
+        ("applyInPandas group map (Arrow, not per-row python)",
+         "FlatMapGroupsInPandas", True),
+        ("no join", "Join", False),
+        ("text column pruned from scan", "text", False),
+    ])
+
+    audit("tx_dtw_rerank (bucket pairs -> exact DTW: joins on bounded "
+          "candidates only)",
+          qs["tx_dtw_rerank"](spark, SF_DIR), [
+        ("Arrow batch pass for the DTW kernel (mapInPandas)",
+         "MapInPandas", True),
+        ("hot-word anti-join is broadcast (tiny hot set)",
+         "BroadcastHashJoin", True),
+        ("text column pruned from scan", "text", False),
+    ])
+
     audit("tx_topk_slots (rank-limit: partial WindowGroupLimit below "
           "the exchange)",
           qs["tx_topk_slots"](spark, SF_DIR), [
