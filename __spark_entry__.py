@@ -42,6 +42,7 @@ GOLDEN_DTW = os.path.join(REPO, "data", "golden_dtw_sf0.01.parquet")
 GOLDEN_BURSTS = os.path.join(REPO, "data", "golden_bursts_sf0.01.parquet")
 GOLDEN_SWING = os.path.join(REPO, "data", "golden_swing_sf0.01.parquet")
 GOLDEN_AB = os.path.join(REPO, "data", "golden_ab_sf0.01.parquet")
+GOLDEN_LP = os.path.join(REPO, "data", "golden_lp_sf0.01.parquet")
 
 ROLE_COUNTS_SQL = """
        count(*)::long AS turn_count,
@@ -524,6 +525,23 @@ def q_tx_hw_backtest(spark, sf_dir):
         .select("conv_id", "window_start", "turn_count")
     return holt_winters_backtest(dense, "turn_count", period=24) \
         .orderBy("conv_id")
+
+
+def q_tx_left_profile(spark, sf_dir):
+    """Left matrix profile (bounded-history novelty score) of each
+    conv's DENSE 1h series — the batch side of the streaming discord
+    detector; scores never change once emitted, so the streaming twin
+    achieves full bit parity (pytest). Oracle: same-kernel twin
+    (data/golden_lp_sf0.01.parquet)."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.matrixprofile import left_matrix_profile
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
+    dense = rollup_gapfilled(with_measures(tx), "1h") \
+        .select("conv_id", "window_start", "turn_count")
+    return left_matrix_profile(dense, m=12, w_hist=48) \
+        .orderBy("conv_id", "idx")
 
 
 def q_tx_ab_profile(spark, sf_dir):
@@ -1791,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_topk_slots": q_tx_topk_slots,
         "tx_swing": q_tx_swing,
         "tx_ab_profile": q_tx_ab_profile,
+        "tx_left_profile": q_tx_left_profile,
         "tx_matrix_profile": q_tx_matrix_profile,
         "tx_mp_extrema": q_tx_mp_extrema,
         "tx_hdr_cascade": q_tx_hdr_cascade,
@@ -2666,6 +2685,13 @@ def oracle_sql() -> dict[str, str]:
                             / (ne*snv*1000000)::double)
                            * 1e6 + 0.5)/1e6 END AS mase
             FROM s ORDER BY conv_id
+        """,
+        "tx_left_profile": f"""
+            SELECT conv_id, idx::long AS idx,
+                   window_start::timestamp AS window_start,
+                   lp::double AS lp, lp_idx::long AS lp_idx
+            FROM read_parquet('{GOLDEN_LP}')
+            ORDER BY conv_id, idx
         """,
         "tx_ab_profile": f"""
             SELECT conv_id, q_idx::long AS q_idx, c_idx::long AS c_idx,

@@ -144,3 +144,10 @@ def test_goldens_are_fresh():
     stored_ab = pd.read_parquet(
         os.path.join(REPO, "data", "golden_ab_sf0.01.parquet"))
     pd.testing.assert_frame_equal(ab, stored_ab, check_exact=True)
+
+    from make_goldens import left_profile_twin
+
+    lp = left_profile_twin()
+    stored_lp = pd.read_parquet(
+        os.path.join(REPO, "data", "golden_lp_sf0.01.parquet"))
+    pd.testing.assert_frame_equal(lp, stored_lp, check_exact=True)

@@ -229,3 +229,28 @@ def test_ab_join_profile_operator(spark):
         assert r["window_start"] == T0 + dt.timedelta(hours=int(yj))
     with pytest.raises(Exception, match="shorter than m"):
         ab_join_profile(df, "cq", m=40).count()
+
+
+def test_left_profile_semantics():
+    from yatsm_spark.kernel.matrixprofile import left_profile
+
+    x = np.tile([1, 5, 2, 8, 3, 9, 4, 7], 10)
+    lp, lpi = left_profile(x, 8, w_hist=32)
+    # cold start: first excl+1 windows have no left candidate
+    assert np.isnan(lp[:5]).all() and (lpi[:5] == -1).all()
+    # periodic steady state: exact left twin one period back (float
+    # cancellation leaves ~1e-8 of residue in the 2m(1-r) form)
+    assert lp[20] == pytest.approx(0.0, abs=1e-6) and lpi[20] == 12
+    # left profile >= full profile pointwise (candidates are a subset)
+    full, _ = matrix_profile_core(x, 8)
+    both = ~np.isnan(lp) & ~np.isnan(full)
+    assert (lp[both] >= full[both] - 1e-12).all()
+    # bounded history: a candidate beyond w_hist is invisible
+    y = np.concatenate([[1, 9, 2, 8, 3, 7, 4, 6] * 2,
+                        np.arange(100, 160)])
+    lp_small, lpi_small = left_profile(y, 8, w_hist=4)
+    lp_big, _ = left_profile(y, 8, w_hist=64)
+    assert np.nansum(lp_small >= lp_big - 1e-12) == np.sum(
+        ~np.isnan(lp_small) & ~np.isnan(lp_big))
+    with pytest.raises(ValueError, match="w_hist"):
+        left_profile(x, 8, w_hist=0)

@@ -736,3 +736,63 @@ def test_stream_swing_matches_batch_keepset(spark, tmp_path):
             for r in batch if r["pos"] != last[r["conv_id"]]}
     assert len(want) >= 4       # random walks at e=2 archive plenty
     assert got == want
+
+
+def test_stream_left_profile_bit_equals_batch(spark, tmp_path):
+    """stream_left_profile emits EVERY batch left-profile row with
+    bit-identical scores — a left profile never changes once its
+    window closes, so there is no withheld tail; the ring state must
+    hand the kernel the exact candidate horizon across micro-batches."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from yatsm_spark.operators.matrixprofile import left_matrix_profile
+    from yatsm_spark.streaming.stream_rollup import stream_left_profile
+
+    base = pd.Timestamp("2025-01-01")
+    rng = np.random.RandomState(13)
+    rows = []
+    for c in ("c1", "c2"):
+        xs = rng.randint(0, 30, size=60).tolist()
+        rows += [{"conv_id": c,
+                  "window_start": base + pd.Timedelta(hours=h),
+                  "turn_count": int(v)} for h, v in enumerate(xs)]
+    pdf = pd.DataFrame(rows)
+    src = str(tmp_path / "lp_src")
+    os.makedirs(src)
+
+    def _write(sub, path):
+        tmp = str(tmp_path / "w")
+        spark.createDataFrame(sub).coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+                    path)
+        shutil.rmtree(tmp)
+
+    now = _time.time()
+    cut = base + pd.Timedelta(hours=31)   # boundary mid-history
+    for k, sub in enumerate((pdf[pdf.window_start < cut],
+                             pdf[pdf.window_start >= cut])):
+        p = os.path.join(src, f"f{k}.parquet")
+        _write(sub, p)
+        os.utime(p, (now - 60 + 30 * k, now - 60 + 30 * k))
+
+    stream = (spark.readStream
+              .schema("conv_id string, window_start timestamp, "
+                      "turn_count long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream_left_profile(stream, m=8, w_hist=16)
+         .writeStream.format("memory").queryName("s_lp")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.conv_id, r.idx): (r.window_start, r.lp, r.lp_idx)
+           for r in spark.sql("SELECT * FROM s_lp").collect()}
+    want = {(r["conv_id"], r["idx"]):
+            (r["window_start"], r["lp"], r["lp_idx"])
+            for r in left_matrix_profile(
+                spark.createDataFrame(pdf), m=8, w_hist=16).collect()}
+    assert len(got) == len(want) == 2 * (60 - 8 + 1)
+    assert got == want          # == on floats: bit equality demanded

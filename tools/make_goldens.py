@@ -819,6 +819,53 @@ def ab_twin(query_conv: str = "conv00000014",
         {"q_idx": "int64", "c_idx": "int64"})
 
 
+def left_profile_twin(conv_max: str = "conv00000200", m: int = 12,
+                      w_hist: int = 48) -> pd.DataFrame:
+    """tx_left_profile twin: dense 1h tier from DuckDB, each conv
+    scored by the SAME kernel (kernel/matrixprofile.py::left_profile)."""
+    from yatsm_spark.kernel.matrixprofile import left_profile
+
+    tier = duckdb.sql(f"""
+        WITH r0 AS (
+          SELECT conv_id,
+                 to_timestamp((floor(epoch(ts)/3600)*3600)::bigint)
+                   ::timestamp AS ws,
+                 count(*)::long AS x
+          FROM read_parquet('{TX}/*.parquet')
+          WHERE conv_id < '{conv_max}'
+          GROUP BY 1, 2),
+        spans AS (SELECT conv_id, min(ws) AS w0, max(ws) AS w1
+                  FROM r0 GROUP BY 1),
+        grid AS (SELECT spans.conv_id,
+                        unnest(generate_series(w0, w1, INTERVAL 1 HOUR))
+                          AS ws
+                 FROM spans)
+        SELECT grid.conv_id AS conv_id, grid.ws AS window_start,
+               coalesce(r0.x, 0)::long AS turn_count
+        FROM grid LEFT JOIN r0
+          ON grid.conv_id = r0.conv_id AND grid.ws = r0.ws
+        ORDER BY grid.conv_id, grid.ws
+    """).df()
+    outs = []
+    for conv, g in tier.groupby("conv_id", sort=True):
+        g = g.reset_index(drop=True)
+        L = len(g) - m + 1
+        if L <= 0:
+            continue
+        lp, lpi = left_profile(g["turn_count"].to_numpy(np.int64),
+                               m, w_hist)
+        outs.append(pd.DataFrame({
+            "conv_id": conv,
+            "idx": np.arange(L, dtype=np.int64),
+            "window_start": g["window_start"].iloc[:L].to_numpy(),
+            "lp": pd.array([None if not np.isfinite(v) else float(v)
+                            for v in lp], dtype="Float64"),
+            "lp_idx": pd.array([None if v < 0 else int(v) for v in lpi],
+                               dtype="Int64"),
+        }))
+    return pd.concat(outs, ignore_index=True)
+
+
 def main() -> None:
     segs = segments_twin("conv00000300")
     seg_path = os.path.join(REPO, "data", "golden_segments_sf0.01.parquet")
@@ -915,6 +962,11 @@ def main() -> None:
     path = os.path.join(REPO, "data", "golden_ab_sf0.01.parquet")
     ab.to_parquet(path, index=False)
     print(f"wrote {path}: {len(ab)} rows")
+
+    lp = left_profile_twin()
+    path = os.path.join(REPO, "data", "golden_lp_sf0.01.parquet")
+    lp.to_parquet(path, index=False)
+    print(f"wrote {path}: {len(lp)} rows")
 
 
 if __name__ == "__main__":

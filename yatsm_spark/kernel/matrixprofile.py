@@ -145,3 +145,64 @@ def ab_best_match(q: np.ndarray, y: np.ndarray, m: int):
         return None
     d2 = max(2.0 * m * (1.0 - best_r), 0.0)
     return (float(np.sqrt(d2)), best[0], best[1])
+
+
+def left_profile(x: np.ndarray, m: int, w_hist: int = 64,
+                 excl: int | None = None):
+    """LEFT matrix profile with bounded history — the novelty score the
+    STREAMING twin can maintain online: each window's z-normalized
+    distance to its nearest PRECEDING window within the last ``w_hist``
+    windows (beyond the ``excl`` trivial-match zone). Unlike the full
+    profile, no future window can lower a score after it is emitted,
+    which is what makes it streamable with bounded state.
+
+    Returns (lp, lpi) of length n-m+1: np.nan / -1 where the window is
+    flat or has no valid candidate (cold start). Ties: the NEAREST (most
+    recent) candidate wins — offsets scan outward with strict <.
+    Exactness discipline identical to matrix_profile_core (same integer
+    moments and per-offset product cumsums; the streaming twin replays
+    THIS function over a ring, so parity is structural)."""
+    x = np.asarray(x, dtype=np.int64)
+    n = x.size
+    if m < 2:
+        raise ValueError("left_profile: window m must be >= 2")
+    if w_hist < 1:
+        raise ValueError("left_profile: w_hist must be >= 1")
+    L = n - m + 1
+    if L <= 0:
+        return (np.empty(0, dtype=np.float64), np.empty(0, dtype=np.int64))
+    if excl is None:
+        excl = m // 2
+    amax = int(np.abs(x).max()) if n else 0
+    if amax > 0 and m * m * amax * amax >= 2 ** 62:
+        raise ValueError("left_profile: values too large for exact "
+                         "int64 moments; rescale the measure first")
+    c1 = np.concatenate(([0], np.cumsum(x, dtype=np.int64)))
+    c2 = np.concatenate(([0], np.cumsum(x * x, dtype=np.int64)))
+    S = c1[m:] - c1[:-m]
+    Q = c2[m:] - c2[:-m]
+    varm = m * Q - S * S
+    zerovar = varm == 0
+    sig_m = np.sqrt(varm.astype(np.float64))
+    lp = np.full(L, np.inf, dtype=np.float64)
+    lpi = np.full(L, -1, dtype=np.int64)
+    two_m = 2.0 * m
+    for d in range(excl + 1, min(excl + w_hist, L - 1) + 1):
+        p = x[:-d] * x[d:]
+        cp = np.concatenate(([0], np.cumsum(p, dtype=np.int64)))
+        QT = (cp[m:] - cp[:-m]).astype(np.float64)
+        i = slice(0, L - d)          # left neighbor j = t - d
+        j = slice(d, L)              # the window being scored
+        denom = sig_m[i] * sig_m[j]
+        valid = ~zerovar[i] & ~zerovar[j]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = (m * QT - S[i].astype(np.float64) * S[j]) / denom
+            d2 = np.maximum(two_m * (1.0 - r), 0.0)
+        dist = np.sqrt(d2)
+        better = valid & (dist < lp[j])
+        lp[d:][better] = dist[better]
+        lpi[d:][better] = np.flatnonzero(better)
+    none = ~np.isfinite(lp)
+    lp[none] = np.nan
+    lpi[none] = -1
+    return lp, lpi

@@ -66,6 +66,55 @@ def matrix_profile(tier: DataFrame, value_col: str = "turn_count",
     return src.groupBy(by).applyInPandas(fit, schema)
 
 
+def left_matrix_profile(tier: DataFrame, value_col: str = "turn_count",
+                        m: int = 12, w_hist: int = 64,
+                        excl: int | None = None, by: str = "conv_id",
+                        order_col: str = "window_start",
+                        max_n: int = 8192) -> DataFrame:
+    """Left matrix profile with bounded history (novelty score): each
+    window's distance to its nearest PRECEDING window within the last
+    ``w_hist`` — the batch side of the streaming discord detector
+    (streaming/stream_rollup.py::stream_left_profile replays the SAME
+    kernel over a value ring, so parity is structural). Long form like
+    ``matrix_profile``; NaN-scored (cold-start / flat) windows emit
+    NULL."""
+    import numpy as np
+    import pandas as pd
+
+    from yatsm_spark.kernel.matrixprofile import left_profile
+
+    src = tier.select(by, order_col, value_col)
+
+    def fit(pdf):
+        pdf = (pdf.sort_values(order_col, kind="mergesort")
+                  .reset_index(drop=True))
+        n = len(pdf)
+        if n > max_n:
+            raise ValueError(
+                f"left_matrix_profile: series of {n} rows exceeds "
+                f"max_n={max_n}; downsample first")
+        L = n - m + 1
+        if L <= 0:
+            return pd.DataFrame(columns=[by, "idx", order_col,
+                                         "lp", "lp_idx"])
+        lp, lpi = left_profile(
+            pdf[value_col].to_numpy(dtype=np.int64), m, w_hist, excl)
+        return pd.DataFrame({
+            by: pdf.iloc[0, 0],
+            "idx": np.arange(L, dtype=np.int64),
+            order_col: pdf[order_col].iloc[:L].to_numpy(),
+            "lp": pd.array([None if not np.isfinite(v) else float(v)
+                            for v in lp], dtype="Float64"),
+            "lp_idx": pd.array([None if v < 0 else int(v) for v in lpi],
+                               dtype="Int64"),
+        })
+
+    schema = (f"{by} {dict(src.dtypes)[by]}, idx long, "
+              f"{order_col} {dict(src.dtypes)[order_col]}, "
+              "lp double, lp_idx long")
+    return src.groupBy(by).applyInPandas(fit, schema)
+
+
 def ab_join_profile(tier: DataFrame, query_conv: str, m: int = 12,
                     value_col: str = "turn_count", by: str = "conv_id",
                     order_col: str = "window_start",

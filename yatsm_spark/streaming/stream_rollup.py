@@ -486,6 +486,93 @@ def stream_swing(rollup_stream: DataFrame, e: int = 2) -> DataFrame:
     )
 
 
+#: stream_left_profile output — one row per window, the novelty score
+_LP_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("idx", T.LongType()),
+    T.StructField("window_start", T.TimestampType()),
+    T.StructField("lp", T.DoubleType()),
+    T.StructField("lp_idx", T.LongType()),
+])
+#: state = ring of the last m-1+excl+w_hist raw values (+ their slot
+#: micros), plus the global bookkeeping that maps ring-local window
+#: indices back to series indices
+_LP_STATE = T.StructType([
+    T.StructField("vals", T.ArrayType(T.LongType())),
+    T.StructField("ts", T.ArrayType(T.LongType())),
+    T.StructField("n_dropped", T.LongType()),
+    T.StructField("n_emitted", T.LongType()),
+])
+
+
+def _lp_fn(m: int, w_hist: int, excl: int):
+    import numpy as np
+
+    from yatsm_spark.kernel.matrixprofile import left_profile
+
+    R = m - 1 + excl + w_hist      # exactly enough history for parity
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            vals, ts, n_dropped, n_emitted = state.get
+            vals, ts = list(vals), list(ts)
+        else:
+            vals, ts, n_dropped, n_emitted = [], [], 0, 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("window_start", kind="stable")
+            for ws, v in zip(pdf["window_start"], pdf["turn_count"]):
+                vals.append(int(v))
+                ts.append(int(pd.Timestamp(ws).value // 1_000))
+        if vals:
+            lp, lpi = left_profile(np.array(vals, dtype=np.int64),
+                                   m, w_hist, excl)
+            for w in range(len(lp)):
+                gidx = n_dropped + w
+                if gidx < n_emitted:
+                    continue
+                out.append((key[0], gidx,
+                            pd.Timestamp(ts[w], unit="us"),
+                            None if not np.isfinite(lp[w])
+                            else float(lp[w]),
+                            None if lpi[w] < 0
+                            else int(n_dropped + lpi[w])))
+                n_emitted = gidx + 1
+            drop = max(0, len(vals) - R)
+            vals, ts = vals[drop:], ts[drop:]
+            n_dropped += drop
+        state.update((vals, ts, n_dropped, n_emitted))
+        if out:
+            yield pd.DataFrame(out, columns=["conv_id", "idx",
+                                             "window_start", "lp",
+                                             "lp_idx"])
+
+    return fn
+
+
+def stream_left_profile(rollup_stream: DataFrame, m: int = 12,
+                        w_hist: int = 64,
+                        excl: int | None = None) -> DataFrame:
+    """Streaming twin of ``operators.matrixprofile.left_matrix_profile``
+    — online novelty/discord scoring. A left profile never changes once
+    its window closes (no future window can lower it), so every score
+    is emitted IMMEDIATELY and the emitted stream equals the batch
+    operator's rows EXACTLY (no withheld tail). State is a ring of the
+    last m-1+excl+w_hist raw values — precisely the candidate horizon —
+    and the kernel replayed per micro-batch is the SAME
+    left_profile(), so parity is structural, not numerical luck
+    (pytest pins bit equality across a micro-batch boundary)."""
+    if excl is None:
+        excl = m // 2
+    return rollup_stream.groupBy("conv_id").applyInPandasWithState(
+        _lp_fn(int(m), int(w_hist), int(excl)),
+        outputStructType=_LP_SCHEMA,
+        stateStructType=_LP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 #: stream_ewma output — every input row with its smoothed value
 _EWMA_SCHEMA = T.StructType([
     T.StructField("conv_id", T.StringType()),
