@@ -527,6 +527,19 @@ def q_tx_hw_backtest(spark, sf_dir):
         .orderBy("conv_id")
 
 
+def q_events_funnel(spark, sf_dir):
+    """view -> click -> purchase funnel over the events table (1-day
+    step horizon): per step the users whose earliest qualifying event
+    chains within the horizon, plus the snapped conversion rate vs
+    step 1. MIN-based semantics — order-independent, no windows, no
+    UDFs."""
+    from yatsm_spark.operators.sessionize import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"], horizon_s=86400) \
+        .orderBy("step_ord")
+
+
 def q_tx_left_profile(spark, sf_dir):
     """Left matrix profile (bounded-history novelty score) of each
     conv's DENSE 1h series — the batch side of the streaming discord
@@ -1810,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_swing": q_tx_swing,
         "tx_ab_profile": q_tx_ab_profile,
         "tx_left_profile": q_tx_left_profile,
+        "events_funnel": q_events_funnel,
         "tx_matrix_profile": q_tx_matrix_profile,
         "tx_mp_extrema": q_tx_mp_extrema,
         "tx_hdr_cascade": q_tx_hdr_cascade,
@@ -2685,6 +2699,37 @@ def oracle_sql() -> dict[str, str]:
                             / (ne*snv*1000000)::double)
                            * 1e6 + 0.5)/1e6 END AS mase
             FROM s ORDER BY conv_id
+        """,
+        "events_funnel": f"""
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t
+                AND epoch_us(e.ts) <= epoch_us(s1.t) + 86400000000
+              GROUP BY 1),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                AND epoch_us(e.ts) <= epoch_us(s2.t) + 86400000000
+              GROUP BY 1),
+            c AS (
+              SELECT 1 AS step_ord, 'view' AS step,
+                     (SELECT count(*) FROM s1)::long AS n_users
+              UNION ALL SELECT 2, 'click',
+                     (SELECT count(*) FROM s2)::long
+              UNION ALL SELECT 3, 'purchase',
+                     (SELECT count(*) FROM s3)::long),
+            b AS (SELECT n_users AS n1 FROM c WHERE step_ord = 1)
+            SELECT step_ord::int AS step_ord, step,
+                   n_users::long AS n_users,
+                   CASE WHEN n1 > 0 THEN
+                     floor(n_users::double / n1::double * 1e6 + 0.5)/1e6
+                   END AS conv_rate
+            FROM c, b ORDER BY step_ord
         """,
         "tx_left_profile": f"""
             SELECT conv_id, idx::long AS idx,

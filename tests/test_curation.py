@@ -163,3 +163,49 @@ def test_pack_invariants_and_shards(spark):
         pack_documents(docs, 0)
     with pytest.raises(ValueError):
         pack_documents(docs, 8, n_shards=0)
+
+
+def test_funnel_semantics(spark):
+    """Ordered-funnel edge semantics: strict ordering (same-ts doesn't
+    chain), horizon cutoff (inclusive), earliest-event determinism."""
+    import datetime as dt
+
+    from yatsm_spark.operators.sessionize import funnel
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(u, typ, s):
+        return (s * 1000 + u, t0 + dt.timedelta(seconds=s), u, typ,
+                0.0, None)
+
+    rows = [
+        # u1: clean A -> B -> C inside horizons
+        ev(1, "A", 0), ev(1, "B", 10), ev(1, "C", 20),
+        # u2: B exactly AT ts of A (strict > excludes it), later B ok
+        ev(2, "A", 0), ev(2, "B", 0), ev(2, "B", 5),
+        # u3: B beyond the horizon
+        ev(3, "A", 0), ev(3, "B", 200),
+        # u4: C before B -> chain stops at B
+        ev(4, "A", 0), ev(4, "C", 5), ev(4, "B", 10),
+        # u5: never does A; B/C irrelevant
+        ev(5, "B", 0), ev(5, "C", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r["step_ord"]: r
+           for r in funnel(df, ["A", "B", "C"], horizon_s=100).collect()}
+    assert (out[1]["n_users"], out[2]["n_users"], out[3]["n_users"]) \
+        == (4, 3, 1)
+    assert out[1]["conv_rate"] == 1.0
+    assert out[2]["conv_rate"] == 0.75
+    assert out[3]["conv_rate"] == 0.25
+    assert [out[k]["step"] for k in (1, 2, 3)] == ["A", "B", "C"]
+    # horizon is inclusive at exactly horizon_s
+    rows2 = [ev(9, "A", 0), ev(9, "B", 100)]
+    df2 = spark.createDataFrame(
+        rows2, "event_id long, ts timestamp, user_id long, "
+               "event_type string, value double, props string")
+    out2 = {r["step_ord"]: r["n_users"]
+            for r in funnel(df2, ["A", "B"], horizon_s=100).collect()}
+    assert out2[2] == 1

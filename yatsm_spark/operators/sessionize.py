@@ -48,3 +48,54 @@ def session_stats(events: DataFrame, key_col: str = "user_id",
              F.countDistinct(type_col).alias("n_event_types"),
              dur.alias("duration_s"))
     )
+
+
+def funnel(events: DataFrame, steps: list[str], horizon_s: int = 86400,
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel analysis over the events table: for each step k,
+    the number of users whose EARLIEST step-k event falls strictly
+    after their step-(k-1) time and within ``horizon_s`` of it, plus
+    the conversion rate vs step 1 (1e-6-snapped — the only float).
+    Earliest-event semantics make the result order-independent: every
+    per-user step time is a MIN, so the funnel is deterministic at any
+    parallelism.
+
+    Plan shape: one hash aggregation per step, chained equi-joins on
+    the user key (co-partitioned after the first exchange, so Spark
+    reuses the partitioning); counts reduce to one row per step. No
+    windows, no UDFs."""
+    if len(steps) < 2:
+        raise ValueError("funnel: need at least 2 steps")
+    s = events.select(user_col, ts_col, type_col)
+    reached = (s.where(F.col(type_col) == steps[0])
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("_t")))
+    per_step = [reached]
+    for st_ in steps[1:]:
+        prev = per_step[-1].select(user_col,
+                                   F.col("_t").alias("_tp"))
+        nxt = (s.where(F.col(type_col) == st_)
+                .join(prev, user_col)
+                .where((F.col(ts_col) > F.col("_tp"))
+                       & (F.col(ts_col) <= F.col("_tp")
+                          + F.expr(f"INTERVAL {int(horizon_s)} "
+                                   "SECONDS")))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("_t")))
+        per_step.append(nxt)
+    counts = None
+    for k, (st_, df) in enumerate(zip(steps, per_step), start=1):
+        c = df.agg(F.count(F.lit(1)).alias("n_users")) \
+              .select(F.lit(k).alias("step_ord"),
+                      F.lit(st_).alias("step"), "n_users")
+        counts = c if counts is None else counts.unionByName(c)
+    base = counts.where(F.col("step_ord") == 1) \
+                 .select(F.col("n_users").alias("_n1"))
+    rate = F.when(F.col("_n1") > 0,
+                  F.floor(F.col("n_users").cast("double")
+                          / F.col("_n1").cast("double")
+                          * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+    return (counts.crossJoin(F.broadcast(base))
+                  .select("step_ord", "step", "n_users",
+                          rate.alias("conv_rate")))
