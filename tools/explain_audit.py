@@ -429,6 +429,24 @@ def main():
         ("text column pruned from scan", "text", False),
     ])
 
+    audit("tx_left_profile (bounded-history novelty kernel per conv)",
+          qs["tx_left_profile"](spark, SF_DIR), [
+        ("applyInPandas group map (Arrow, not per-row python)",
+         "FlatMapGroupsInPandas", True),
+        ("no join", "Join", False),
+        ("text column pruned from scan", "text", False),
+    ])
+
+    audit("events_funnel (MIN-based step chain: hash joins on the "
+          "user key, no windows)",
+          qs["events_funnel"](spark, SF_DIR), [
+        ("map-side partial MIN per step", "partial_min", True),
+        ("rate base broadcast (one row)", "BroadcastNestedLoopJoin",
+         True),
+        ("no python UDF", "BatchEvalPython", False),
+        ("props column pruned from scan", "props", False),
+    ])
+
     audit("tx_topk_slots (rank-limit: partial WindowGroupLimit below "
           "the exchange)",
           qs["tx_topk_slots"](spark, SF_DIR), [

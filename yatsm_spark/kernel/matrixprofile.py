@@ -62,7 +62,6 @@ def matrix_profile_core(x: np.ndarray, m: int, excl: int | None = None):
     Q = c2[m:] - c2[:-m]            # exact window sum-squares (len L)
     varm = m * Q - S * S            # m^2 * sigma^2, exact int
     zerovar = varm == 0
-    mu = S / float(m)
     sig_m = np.sqrt(varm.astype(np.float64))   # m * sigma
 
     mp = np.full(L, np.inf, dtype=np.float64)
