@@ -540,6 +540,25 @@ def q_events_funnel(spark, sf_dir):
         .orderBy("step_ord")
 
 
+def q_tx_realtime_view(spark, sf_dir):
+    """Real-time continuous-aggregate serve path: the materialized 1m
+    tier before a slot-aligned watermark UNION an on-the-fly rollup of
+    the raw tail at/after it. The oracle is the PLAIN full rollup — the
+    strongest serve-path invariant: the split must reproduce the full
+    tier bit-for-bit."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.cascade import realtime_view
+    from yatsm_spark.operators.rollup import rollup_from_turns
+
+    wm = "2025-01-20 00:00:00"
+    m = with_measures(_tx(spark, sf_dir))
+    # the "stored" tier: built from history before the watermark, as a
+    # materialized table would have been
+    tier = rollup_from_turns(m.where(F.col("ts") < F.lit(wm)), "1m")
+    return realtime_view(tier, m, "1m", wm) \
+        .orderBy("conv_id", "window_start")
+
+
 def q_tx_left_profile(spark, sf_dir):
     """Left matrix profile (bounded-history novelty score) of each
     conv's DENSE 1h series — the batch side of the streaming discord
@@ -1824,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_ab_profile": q_tx_ab_profile,
         "tx_left_profile": q_tx_left_profile,
         "events_funnel": q_events_funnel,
+        "tx_realtime_view": q_tx_realtime_view,
         "tx_matrix_profile": q_tx_matrix_profile,
         "tx_mp_extrema": q_tx_mp_extrema,
         "tx_hdr_cascade": q_tx_hdr_cascade,
@@ -2699,6 +2719,10 @@ def oracle_sql() -> dict[str, str]:
                             / (ne*snv*1000000)::double)
                            * 1e6 + 0.5)/1e6 END AS mase
             FROM s ORDER BY conv_id
+        """,
+        "tx_realtime_view": f"""
+            SELECT conv_id, {slot_m} AS window_start, {ROLE_COUNTS_SQL}
+            FROM {tx} GROUP BY 1, 2
         """,
         "events_funnel": f"""
             WITH s1 AS (

@@ -288,3 +288,34 @@ def test_merge_rollups_redensifies_span_extension(spark, tx):
     # and every added row is a flagged zero-count gap row
     added = dense.exceptAll(stale)
     assert added.filter((F.col("turn_count") != 0) | ~F.col("gap_filled")).count() == 0
+
+
+def test_realtime_view_exact_and_alignment(spark):
+    """Serve-path invariant: materialized-before-watermark UNION fresh
+    tail == the full rollup bit-for-bit; misaligned watermarks raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.cascade import realtime_view
+    from yatsm_spark.operators.rollup import rollup_from_turns
+    from yatsm_spark.synth import generate_transcripts
+
+    tx = generate_transcripts(spark, 12, seed=31, max_turns=400)
+    m = with_measures(tx)
+    # slot-aligned watermark mid-span
+    mid = tx.agg(F.min("ts"), F.max("ts")).collect()[0]
+    import pandas as pd
+    wm = (pd.Timestamp(mid[0]) + (pd.Timestamp(mid[1])
+                                  - pd.Timestamp(mid[0])) / 2) \
+        .floor("min")
+    tier = rollup_from_turns(m.where(F.col("ts") < F.lit(wm)), "1m")
+    view = realtime_view(tier, m, "1m", wm)
+    full = rollup_from_turns(m, "1m").drop("gap_filled")
+    assert view.exceptAll(full).count() == 0
+    assert full.exceptAll(view.drop("gap_filled") if "gap_filled"
+                          in view.columns else view).count() == 0
+    # a boundary-slot turn is counted exactly once
+    assert view.count() == full.count()
+    with pytest.raises(ValueError, match="aligned"):
+        realtime_view(tier, m, "1m", wm + pd.Timedelta(seconds=7))

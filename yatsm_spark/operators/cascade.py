@@ -141,3 +141,39 @@ def high_watermark(fine: DataFrame, to_tier: str):
             (_slot(F.col("max_ws"), sec) - F.expr(f"INTERVAL {sec} SECONDS")).alias("watermark"),
         )
     )
+
+
+def realtime_view(tier: DataFrame, fresh_measures: DataFrame,
+                  tier_name: str, watermark) -> DataFrame:
+    """Real-time continuous-aggregate serve path (the TimescaleDB
+    real-time view): the MATERIALIZED tier for slots strictly before a
+    slot-aligned ``watermark`` UNION'd with an on-the-fly rollup of the
+    raw turns at/after it. The split is EXACT, not approximate: a turn
+    at ts lands in slot floor(ts/sec), and for a slot-aligned watermark
+    `slot < wm  <=>  ts < wm`, so the union equals the full rollup of
+    all raw history bit-for-bit (the oracle IS the plain rollup SQL —
+    the strongest possible serve-path invariant). The reader pays one
+    rollup over only the fresh tail; the tier's history is never
+    rescanned.
+
+    Raises when the watermark is not aligned to the tier's slot width —
+    a misaligned split would double-count the boundary slot."""
+    from pyspark.sql import functions as F
+
+    from yatsm_spark.operators.rollup import TIERS, rollup_from_turns
+
+    sec = TIERS[tier_name]
+    wm = F.lit(watermark).cast("timestamp")
+    # alignment check, driver-side (watermark is a scalar)
+    import pandas as pd
+
+    if int(pd.Timestamp(watermark).value // 1_000) % (sec * 1_000_000):
+        raise ValueError(
+            f"realtime_view: watermark {watermark!r} is not aligned to "
+            f"the {tier_name} slot width ({sec}s)")
+    mat = tier.where(F.col("window_start") < wm) \
+              .select("conv_id", "window_start", *MEASURES)
+    fresh = rollup_from_turns(
+        fresh_measures.where(F.col("ts") >= wm), tier_name) \
+        .select("conv_id", "window_start", *MEASURES)
+    return mat.unionByName(fresh)
