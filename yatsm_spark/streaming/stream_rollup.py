@@ -14,6 +14,17 @@ unsupported); the graft's streaming path is the v2 addition:
   NOT claimed (the batch kernel refits retrospectively; the online monitor
   is a z-score approximation), matching the engine's batch-is-exact /
   stream-is-operational split.
+- bit-exact streaming twins of the batch series toolkit, each with a
+  pinned parity contract across micro-batch boundaries:
+  ``stream_anomaly`` (= batch flags, ring of k values),
+  ``stream_ewma`` / ``stream_holtwinters`` (= batch doubles to the last
+  bit, O(1)/O(period) state), ``stream_alert_episodes`` (= batch
+  episodes minus the still-open tail), ``stream_swing`` (= batch
+  archive keep-set minus the stream-unobservable final point),
+  ``stream_left_profile`` (= batch rows exactly, NO withheld tail — a
+  left profile never changes once emitted), ``stream_sessionize``,
+  ``stream_hll_registers`` / ``stream_cms_counters`` (sketch merges ARE
+  streaming aggregates).
 """
 
 from __future__ import annotations
