@@ -540,6 +540,18 @@ def q_events_funnel(spark, sf_dir):
         .orderBy("step_ord")
 
 
+def q_events_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix over the events table: users
+    bucketed by first-event week, per (cohort, week offset) the active
+    count and snapped retention rate. MIN-based cohort assignment —
+    order-independent, exact integers throughout."""
+    from yatsm_spark.operators.sessionize import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, period_s=604800) \
+        .orderBy("cohort_start", "period_offset")
+
+
 def q_tx_realtime_view(spark, sf_dir):
     """Real-time continuous-aggregate serve path: the materialized 1m
     tier before a slot-aligned watermark UNION an on-the-fly rollup of
@@ -1844,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_left_profile": q_tx_left_profile,
         "events_funnel": q_events_funnel,
         "tx_realtime_view": q_tx_realtime_view,
+        "events_cohorts": q_events_cohorts,
         "tx_matrix_profile": q_tx_matrix_profile,
         "tx_mp_extrema": q_tx_mp_extrema,
         "tx_hdr_cascade": q_tx_hdr_cascade,
@@ -2719,6 +2732,28 @@ def oracle_sql() -> dict[str, str]:
                             / (ne*snv*1000000)::double)
                            * 1e6 + 0.5)/1e6 END AS mase
             FROM s ORDER BY conv_id
+        """,
+        "events_cohorts": f"""
+            WITH s AS (
+              SELECT user_id AS u,
+                     floor(epoch_us(ts)::double / 604800000000)::long
+                       AS p
+              FROM events),
+            cohorts AS (SELECT u, min(p) AS c FROM s GROUP BY 1),
+            sizes AS (SELECT c, count(*)::long AS n_cohort
+                      FROM cohorts GROUP BY 1),
+            active AS (SELECT DISTINCT u, p FROM s),
+            m AS (
+              SELECT cohorts.c, (active.p - cohorts.c) AS period_offset,
+                     count(*)::long AS n_active
+              FROM active JOIN cohorts ON active.u = cohorts.u
+              GROUP BY 1, 2)
+            SELECT make_timestamp(m.c * 604800000000) AS cohort_start,
+                   m.period_offset, m.n_active, sizes.n_cohort,
+                   floor(m.n_active::double / sizes.n_cohort::double
+                         * 1e6 + 0.5)/1e6 AS retention_rate
+            FROM m JOIN sizes ON m.c = sizes.c
+            ORDER BY cohort_start, period_offset
         """,
         "tx_realtime_view": f"""
             SELECT conv_id, {slot_m} AS window_start, {ROLE_COUNTS_SQL}

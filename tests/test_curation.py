@@ -209,3 +209,38 @@ def test_funnel_semantics(spark):
     out2 = {r["step_ord"]: r["n_users"]
             for r in funnel(df2, ["A", "B"], horizon_s=100).collect()}
     assert out2[2] == 1
+
+
+def test_cohort_retention_semantics(spark):
+    import datetime as dt
+
+    from yatsm_spark.operators.sessionize import cohort_retention
+
+    day = 86400
+
+    def ev(u, d):
+        return (u * 100 + d, dt.datetime(2026, 1, 1)
+                + dt.timedelta(days=d), u, "view", 0.0, None)
+
+    # period = 2 days; u1 active periods 0,1,2; u2 joins period 1,
+    # active 1,2; u3 only period 0
+    rows = [ev(1, 0), ev(1, 2), ev(1, 4), ev(1, 4),
+            ev(2, 2), ev(2, 5), ev(3, 1)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {(r["cohort_start"], r["period_offset"]): r
+           for r in cohort_retention(df, period_s=2 * day).collect()}
+    # cohort of u1+u3 (period 0): size 2; offsets 0 (both), 1 (u1), 2 (u1)
+    # cohort of u2 (period 1): size 1; offsets 0 and 1
+    sizes = {k: v["n_cohort"] for k, v in out.items()}
+    actives = {k[1]: v["n_active"] for k, v in out.items()
+               if v["n_cohort"] == 2}
+    assert actives == {0: 2, 1: 1, 2: 1}
+    rates = {k[1]: v["retention_rate"] for k, v in out.items()
+             if v["n_cohort"] == 2}
+    assert rates == {0: 1.0, 1: 0.5, 2: 0.5}
+    assert {v["n_active"] for k, v in out.items()
+            if v["n_cohort"] == 1} == {1}
+    # duplicate same-period events count a user once
+    assert all(v["n_active"] <= v["n_cohort"] for v in out.values())

@@ -99,3 +99,37 @@ def funnel(events: DataFrame, steps: list[str], horizon_s: int = 86400,
     return (counts.crossJoin(F.broadcast(base))
                   .select("step_ord", "step", "n_users",
                           rate.alias("conv_rate")))
+
+
+def cohort_retention(events: DataFrame, period_s: int = 604800,
+                     user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Cohort retention matrix: users bucketed by their FIRST-event
+    period (the cohort); for each (cohort, period offset) the count of
+    cohort members active in that period and the retention rate vs the
+    cohort size. All integers until the one snapped rate division;
+    MIN-based cohort assignment keeps it order-independent.
+
+    Plan: one agg for cohorts, one distinct for (user, period)
+    activity, one user-key join (co-partitioned), one final agg —
+    no windows, no UDFs."""
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    slot = F.floor(epoch / (period_s * 1_000_000)).cast("long")
+    s = events.select(F.col(user_col).alias("_u"), slot.alias("_p"))
+    cohorts = s.groupBy("_u").agg(F.min("_p").alias("_c"))
+    sizes = cohorts.groupBy("_c").agg(
+        F.count(F.lit(1)).alias("n_cohort"))
+    active = s.distinct()
+    m = (active.join(cohorts, "_u")
+               .groupBy("_c", (F.col("_p") - F.col("_c")).alias(
+                   "period_offset"))
+               .agg(F.count(F.lit(1)).alias("n_active")))
+    rate = F.floor(F.col("n_active").cast("double")
+                   / F.col("n_cohort").cast("double")
+                   * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (m.join(sizes, "_c")
+             .select(F.timestamp_micros(
+                         (F.col("_c") * period_s * 1_000_000)
+                         .cast("long")).alias("cohort_start"),
+                     "period_offset", "n_active", "n_cohort",
+                     rate.alias("retention_rate")))
