@@ -447,6 +447,22 @@ def main():
         ("props column pruned from scan", "props", False),
     ])
 
+    audit("tx_realtime_view (materialized tier UNION fresh-tail rollup)",
+          qs["tx_realtime_view"](spark, SF_DIR), [
+        ("union serve path present", "Union", True),
+        ("map-side partial agg on the fresh tail", "partial_count", True),
+        ("no python UDF", "BatchEvalPython", False),
+        ("text pruned (only length read)", "ReadSchema", True),
+    ])
+
+    audit("events_cohorts (cohort MIN + distinct + co-partitioned join)",
+          qs["events_cohorts"](spark, SF_DIR), [
+        ("map-side partial MIN for cohort assignment", "partial_min",
+         True),
+        ("no python UDF", "BatchEvalPython", False),
+        ("props column pruned from scan", "props", False),
+    ])
+
     audit("tx_topk_slots (rank-limit: partial WindowGroupLimit below "
           "the exchange)",
           qs["tx_topk_slots"](spark, SF_DIR), [
