@@ -6,6 +6,7 @@ inputs, and the matrix profile against its definition."""
 import itertools
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from yatsm_spark.kernel.dtw import dtw_core
@@ -112,3 +113,38 @@ def test_matrix_profile_definition_property(xs):
         else:
             assert mp[i] == min(cands) or abs(mp[i] - min(cands)) < 1e-8
             assert abs(mpi[i] - i) > excl
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(0, 10_000), min_size=3, max_size=60),
+       st.permutations(range(3)))
+def test_bursts_arrival_order_invariance(gaps, _perm):
+    from yatsm_spark.kernel.bursts import kleinberg_bursts
+
+    t = np.cumsum(np.array(gaps, dtype=np.int64) + 1)  # strictly inc
+    rng = np.random.default_rng(len(gaps))
+    shuffled = t.copy()
+    rng.shuffle(shuffled)
+    a = kleinberg_bursts(t, s=3.0, gamma=1.0)
+    b = kleinberg_bursts(shuffled, s=3.0, gamma=1.0)
+    assert a == b                      # kernel sorts internally
+    for s0, e0, ne in a:
+        assert int(t[0]) <= s0 < e0 <= int(t[-1]) and ne >= 2
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(0, 40), min_size=10, max_size=30),
+       st.lists(st.integers(0, 40), min_size=10, max_size=30))
+def test_ab_match_affine_invariance(q, y):
+    from yatsm_spark.kernel.matrixprofile import ab_best_match
+
+    m = 5
+    base = ab_best_match(q, y, m)
+    # z-normalized distance is invariant under positive affine maps
+    y2 = [3 * v + 7 for v in y]
+    other = ab_best_match(q, y2, m)
+    if base is None:
+        assert other is None
+    else:
+        assert other is not None
+        assert other[0] == pytest.approx(base[0], abs=1e-6)
