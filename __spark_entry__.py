@@ -571,6 +571,29 @@ def q_tx_realtime_view(spark, sf_dir):
         .orderBy("conv_id", "window_start")
 
 
+def q_tx_route(spark, sf_dir):
+    """Tier-routing view selection (operators/routing.py): a mid-hour ->
+    past-the-watermark range answered from the COARSEST tiers that cover
+    it (1d core, 1h/1m ragged edges) plus the raw fresh tail — the full
+    1d -> 1h -> 1m -> realtime fallback chain in one query. The oracle is
+    the raw-turn aggregation over the same range: routed answers must be
+    BIT-IDENTICAL because every tier moment is an exact decomposable
+    long."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.cascade import cascade
+    from yatsm_spark.operators.rollup import rollup_from_turns
+    from yatsm_spark.operators.routing import route_range
+
+    wm = "2025-01-20 00:00:00"
+    m = with_measures(_tx(spark, sf_dir))
+    t1m = rollup_from_turns(m.where(F.col("ts") < F.lit(wm)), "1m")
+    tiers = {"1m": t1m, "1h": cascade(t1m, "1m", "1h"),
+             "1d": cascade(t1m, "1m", "1d")}
+    return route_range(tiers, "2025-01-02 00:30:00", "2025-01-22 02:03:00",
+                       fresh_measures=m, watermark=wm) \
+        .orderBy("conv_id")
+
+
 def q_tx_left_profile(spark, sf_dir):
     """Left matrix profile (bounded-history novelty score) of each
     conv's DENSE 1h series — the batch side of the streaming discord
@@ -1856,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_left_profile": q_tx_left_profile,
         "events_funnel": q_events_funnel,
         "tx_realtime_view": q_tx_realtime_view,
+        "tx_route": q_tx_route,
         "events_cohorts": q_events_cohorts,
         "tx_matrix_profile": q_tx_matrix_profile,
         "tx_mp_extrema": q_tx_mp_extrema,
@@ -2249,7 +2273,7 @@ def oracle_sql() -> dict[str, str]:
         for k in range(1, _acf_k + 1))
     acf_unions = " UNION ALL ".join(
         f"SELECT conv_id, n::long AS n_points, {k} AS lag, "
-        f"CASE WHEN (n*n*sxx - n*sx*sx) > 0 THEN "
+        f"CASE WHEN (n*n*sxx - n*sx*sx) > 0 AND m{k} > 0 THEN "
         f"floor(((n*n*coalesce(p{k},0) "
         f"- n*sx*(coalesce(h{k},0)+coalesce(t{k},0)) + m{k}*sx*sx)::double "
         f"/ ((n*n*sxx - n*sx*sx)::double)) * 1e6 + 0.5)/1e6 END AS acf "
@@ -2758,6 +2782,13 @@ def oracle_sql() -> dict[str, str]:
         "tx_realtime_view": f"""
             SELECT conv_id, {slot_m} AS window_start, {ROLE_COUNTS_SQL}
             FROM {tx} GROUP BY 1, 2
+        """,
+        "tx_route": f"""
+            SELECT conv_id, {ROLE_COUNTS_SQL}
+            FROM {tx}
+            WHERE ts >= TIMESTAMP '2025-01-02 00:30:00'
+              AND ts <  TIMESTAMP '2025-01-22 02:03:00'
+            GROUP BY 1 ORDER BY conv_id
         """,
         "events_funnel": f"""
             WITH s1 AS (

@@ -62,8 +62,33 @@ def host_memory_probe():
             outs.append(n * 8 * 2 / (time.time() - t0) / 1e9)
         return round(statistics.median(outs), 2)
 
+    bw(1_000_000)  # throwaway: page-fault/allocator warm-up biases pass 1
     return {"host_cache_gbs": bw(1_000_000),
             "host_dram_gbs": bw(30_000_000)}
+
+
+#: Probe gate (round-5 protocol): a timed session only counts as clean
+#: when the host probe is healthy BOTH before and after the timed block.
+#: Threshold per the observed bimodality: healthy cache-resident passes
+#: sit at 10-15 GB/s, degraded ones under ~2; 8 splits them cleanly.
+#: BENCH_PROBE_MIN_GBS overrides; BENCH_PROBE_GATE=0 disables waiting.
+PROBE_MIN_GBS = float(os.environ.get("BENCH_PROBE_MIN_GBS", "8"))
+
+
+def gated_probe(label):
+    """Run the host probe; if degraded, wait and retry (up to 3x30s)
+    so a transient host-weather dip doesn't poison a timed session.
+    Returns (probe_dict, healthy_bool)."""
+    tries = 1 if os.environ.get("BENCH_PROBE_GATE") == "0" else 4
+    probe = host_memory_probe()
+    for _ in range(tries - 1):
+        if probe["host_cache_gbs"] >= PROBE_MIN_GBS:
+            break
+        print(f"# probe[{label}] degraded: {probe} — waiting 30s",
+              file=sys.stderr)
+        time.sleep(30)
+        probe = host_memory_probe()
+    return probe, probe["host_cache_gbs"] >= PROBE_MIN_GBS
 
 
 def main():
@@ -161,6 +186,8 @@ def main():
     # passes for the same reason; running the headline path once untimed
     # makes every timed number steady-state. BENCH_NO_WARMUP=1 restores
     # cold-path timing.
+    probe_pre, pre_ok = gated_probe("pre")
+
     jit_warmup_s = 0.0
     if not os.environ.get("BENCH_NO_WARMUP"):
         _t0 = time.time()
@@ -190,7 +217,11 @@ def main():
             "n_turns": n_turns,
             "turns_rolled_per_sec": round(n_turns / job, 1),
             "jit_warmup_s": jit_warmup_s,
-            **host_memory_probe(),
+            "probe_pre": probe_pre,
+            "probe_post": (pp := host_memory_probe()),
+            "probe_healthy": bool(pre_ok and
+                                  pp["host_cache_gbs"] >= PROBE_MIN_GBS),
+            **probe_pre,
         }))
         return
 
@@ -205,7 +236,11 @@ def main():
             "n_turns": n_turns,
             "turns_rolled_per_sec": round(n_turns / headline, 1),
             "jit_warmup_s": jit_warmup_s,
-            **host_memory_probe(),
+            "probe_pre": probe_pre,
+            "probe_post": (pp := host_memory_probe()),
+            "probe_healthy": bool(pre_ok and
+                                  pp["host_cache_gbs"] >= PROBE_MIN_GBS),
+            **probe_pre,
         }))
         return
 
@@ -251,7 +286,11 @@ def main():
         "n_turns": n_turns,
         "turns_rolled_per_sec": round(turns_per_sec, 1),
         "jit_warmup_s": jit_warmup_s,
-        **host_memory_probe(),
+        "probe_pre": probe_pre,
+        "probe_post": (pp := host_memory_probe()),
+        "probe_healthy": bool(pre_ok and
+                              pp["host_cache_gbs"] >= PROBE_MIN_GBS),
+        **probe_pre,
     }))
 
 

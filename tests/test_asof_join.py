@@ -78,3 +78,19 @@ def test_left_columns_survive_untouched(spark):
     got = asof_join(left, right, "conv_id", "ts", "rts", ["v"])
     assert got.columns == ["conv_id", "ts", "lid", "matched_ts", "v"]
     assert got.count() == left.count()
+
+
+def test_reserved_and_value_col_collisions_raise(spark):
+    import pytest
+
+    left, right = _fixture(spark)
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left.withColumn("_t", left["lid"]), right,
+                  "conv_id", "ts", "rts", ["v"])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left.withColumn("matched_ts", left["ts"]), right,
+                  "conv_id", "ts", "rts", ["v"])
+    # value_col name already present on the left
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left.withColumn("v", left["lid"]), right,
+                  "conv_id", "ts", "rts", ["v"])

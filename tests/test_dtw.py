@@ -86,3 +86,17 @@ def test_dtw_rerank_operator(spark):
     # over-long series raise instead of silently downsampling
     with pytest.raises(Exception, match="max_n"):
         dtw_rerank(tier, pairs, max_n=5).collect()
+
+
+def test_dtw_rerank_nonstring_keys(spark):
+    """Key dtypes come from the pairs frame, not hardcoded string."""
+    from yatsm_spark.operators.dtw import dtw_rerank
+
+    rows = [(c, T0 + dt.timedelta(hours=i), v)
+            for c in (1, 2) for i, v in enumerate([3, 1, 4, 1, 5])]
+    tier = spark.createDataFrame(
+        rows, "conv_id long, window_start timestamp, turn_count long")
+    pairs = spark.createDataFrame([(1, 2)], "conv_a long, conv_b long")
+    out = dtw_rerank(tier, pairs).collect()
+    assert len(out) == 1 and out[0]["dtw"] == 0
+    assert dict(dtw_rerank(tier, pairs).dtypes)["conv_a"] == "bigint"

@@ -94,6 +94,17 @@ def test_acf_constant_series_is_null(spark):
     assert len(out) == 3 and all(r["acf"] is None for r in out)
 
 
+def test_acf_pairless_lag_is_null_not_zero(spark):
+    """A lag with zero pairs (series length <= lag) must emit NULL,
+    not 0.0 — 0.0 is a meaningful correlation value (ADVICE r4)."""
+    rows = [("c1", T0 + dt.timedelta(minutes=i), v)
+            for i, v in enumerate([3, 9, 1])]
+    out = {r["lag"]: r["acf"]
+           for r in acf(_tier(spark, rows), "turn_count", 5).collect()}
+    assert out[1] is not None and out[2] is not None
+    assert out[3] is None and out[4] is None and out[5] is None
+
+
 def test_acf_matches_numpy_reference(spark):
     rng = np.random.default_rng(7)
     xs = rng.integers(0, 50, size=64)

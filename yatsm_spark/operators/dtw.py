@@ -64,6 +64,7 @@ def dtw_rerank(tier: DataFrame, pairs: DataFrame,
             yield pd.DataFrame(rows, columns=[a_col, b_col, "len_a",
                                               "len_b", "dtw"])
 
-    schema = (f"{a_col} string, {b_col} string, len_a long, "
-              "len_b long, dtw long")
+    ptypes = dict(pairs.dtypes)
+    schema = (f"{a_col} {ptypes[a_col]}, {b_col} {ptypes[b_col]}, "
+              "len_a long, len_b long, dtw long")
     return j.mapInPandas(compute, schema)

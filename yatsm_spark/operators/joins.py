@@ -47,6 +47,16 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward/forward/nearest, "
                          f"got {direction!r}")
+    # The union-stream pass stages internal columns on the left schema and
+    # appends matched_ts + value_cols to it; a collision would silently
+    # produce wrong or duplicate columns, so refuse up front.
+    reserved = {"_t", "_is_left", "_rp", "_m", "_mb", "_mf", "matched_ts"}
+    clash = (reserved | set(value_cols)) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: left columns {sorted(clash)} collide with "
+            "internal/output names; rename them (value_cols and "
+            f"{sorted(reserved)} must not appear in left)")
     payload = F.struct(F.col(right_ts).alias("_rts"),
                        *[F.col(c) for c in value_cols])
     l_tag = (left.withColumn("_t", F.col(left_ts))

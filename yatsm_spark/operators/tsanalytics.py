@@ -172,7 +172,8 @@ def acf(tier: DataFrame, value_col: str = "turn_count", max_lag: int = 5,
               + F.col(f"_m{lag}") * sx * sx).cast("decimal(38,0)")
         rows.append(F.struct(
             F.lit(lag).alias("lag"),
-            F.when(a0 > 0, _snap6(al.cast("double") / a0.cast("double")))
+            F.when((a0 > 0) & (F.col(f"_m{lag}") > 0),
+                   _snap6(al.cast("double") / a0.cast("double")))
              .alias("acf")))
     return (m.select(F.col(by), n.cast("long").alias("n_points"),
                      F.explode(F.array(*rows)).alias("_r"))
