@@ -1836,8 +1836,148 @@ def q_multimodal_jpeg(spark, sf_dir):
         "media_id", "width", "height", "mean_r", "mean_g", "mean_b")
 
 
+#: Driver-coverage rotation (VERDICT r4 task 2): the round driver verifies a
+#: fixed-size PREFIX of queries(), so the registry is re-ordered each round to
+#: lead with the queries least recently covered by a driver CORRECTNESS file.
+#: Order below = never-driver-checked first (as of r04), then last-checked-r3,
+#: then last-checked-r4; names NOT in this list (new this round) sort first.
+#: The full registry is value-verified every round regardless via
+#: tools/check_oracles.py -> CORRECTNESS_FULL_r{N}.json.
+_DRIVER_CHECK_ORDER = [
+    "tx_route",
+    "tx_segments_pheno",
+    "tx_predict",
+    "tx_commission_omission",
+    "tx_refit",
+    "events_sessionize",
+    "dedup_components",
+    "text_repetition",
+    "pii_redact",
+    "tfidf_topk",
+    "bm25_topk",
+    "sample_stratified",
+    "sample_hash",
+    "decontaminate",
+    "chunk_docs",
+    "pack_docs",
+    "curate_corpus",
+    "hll_distinct",
+    "hdr_quantiles",
+    "cms_estimate",
+    "heavy_hitters",
+    "bloom_join",
+    "ivf_assign_b256",
+    "ivf_topk_b256",
+    "kmeans_codebook",
+    "pca_project",
+    "zorder_events",
+    "pq_codes",
+    "pq_adc_topk",
+    "ivfpq_topk",
+    "sample_mixture",
+    "ivf_topk_kmeans",
+    "multimodal_png",
+    "multimodal_jpeg",
+    "tx_conv_hash",
+    "tx_changemap",
+    "tx_asof",
+    "tx_interval_join",
+    "tx_segments",
+    "tx_segments_multi",
+    "tx_phenology",
+    "tx_classify",
+    "tx_crossval",
+    "tx_codec_roundtrip",
+    "events_rollup_1m",
+    "events_cascade_1h",
+    "events_gapfill_1h",
+    "tpch_q1",
+    "orders_changemap",
+    "orders_asof",
+    "orders_pairing",
+    "region_rollup",
+    "order_lineitem_interval",
+    "top_customers",
+    "dedup_exact",
+    "minhash_sigs",
+    "minhash_pairs",
+    "ngram_jaccard",
+    "simhash",
+    "token_counts",
+    "quality",
+    "langid",
+    "fingerprints",
+    "cosine_topk",
+    "ivf_assign",
+    "ivf_topk",
+    "lsh_buckets",
+    "lsh_pairs",
+    "embedding_near_dups",
+    "multimodal_meta",
+    "multimodal_resize",
+    "multimodal_audio",
+    "multimodal_frames",
+    "multimodal_features",
+    "tx_rollup_1m",
+    "tx_rollup_1m_salted",
+    "tx_rollup_1m_adaptive",
+    "tx_reconcile_merge",
+    "tx_retention",
+    "tx_gapfill_1m",
+    "tx_locf",
+    "tx_interp",
+    "tx_counter_increase",
+    "tx_twa",
+    "tx_lttb",
+    "tx_m4",
+    "tx_ewma",
+    "tx_holt",
+    "tx_rate",
+    "tx_deriv",
+    "tx_corr",
+    "tx_anomaly",
+    "tx_alert_episodes",
+    "tx_ohlc",
+    "tx_state_durations",
+    "tx_uptime",
+    "tx_acf",
+    "tx_seasonal",
+    "tx_ccf",
+    "tx_sax",
+    "tx_sax_neardups",
+    "tx_holtwinters",
+    "tx_hw_backtest",
+    "tx_dist_shift",
+    "tx_theilsen",
+    "tx_pelt",
+    "tx_dtw_rerank",
+    "tx_bursts",
+    "tx_topk_slots",
+    "tx_swing",
+    "tx_ab_profile",
+    "tx_left_profile",
+    "events_funnel",
+    "tx_realtime_view",
+    "events_cohorts",
+    "tx_matrix_profile",
+    "tx_mp_extrema",
+    "tx_hdr_cascade",
+    "tx_hll_cascade",
+    "tx_asof_tool",
+    "tx_asof_next",
+    "tx_cascade_1h",
+    "tx_cascade_1d",
+    "tx_derived_stats_1h"
+]
+
+
+def _rotate_for_driver(reg):
+    rank = {n: i for i, n in enumerate(_DRIVER_CHECK_ORDER)}
+    return {n: reg[n] for n in sorted(reg, key=lambda n: rank.get(n, -1))}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return _rotate_for_driver({
         # graft core (transcripts)
         "tx_rollup_1m": q_tx_rollup_1m,
         "tx_rollup_1m_salted": q_tx_rollup_1m_salted,
@@ -1966,7 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_png": q_multimodal_png,
         "multimodal_jpeg": q_multimodal_jpeg,
-    }
+    })
 
 
 # ---------------------------------------------------------------------------

@@ -108,3 +108,21 @@ def test_monitoring_toolkit_surface(engine):
     assert {"conv_id", "idx", "window_start", "mp", "mp_idx"} \
         == set(mp.columns)
     mp.limit(1).collect()
+
+
+def test_serve_range_matches_raw_aggregation(engine):
+    from yatsm_spark.ingest import with_measures
+
+    qs, qe, wm = ("2025-01-02 00:30:00", "2025-01-25 02:03:00",
+                  "2025-01-20 00:00:00")
+    got = engine.serve_range(qs, qe, watermark=wm) \
+        .toPandas().set_index("conv_id").sort_index()
+    m = with_measures(engine.transcripts)
+    want = (m.where((F.col("ts") >= F.lit(qs)) & (F.col("ts") < F.lit(qe)))
+            .groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("turn_count"),
+                 F.sum("token_len").alias("token_len_sum"))
+            .toPandas().set_index("conv_id").sort_index())
+    assert list(got.index) == list(want.index)
+    assert (got["turn_count"] == want["turn_count"]).all()
+    assert (got["token_len_sum"] == want["token_len_sum"]).all()

@@ -164,6 +164,62 @@ def main():
             timed(variant, "gorilla_encode",
                   lambda: sink(encode_chunks(sparse, "1m", densify=True)))
 
+            # ---- round-5: quadratic per-conv kernels under the megaconv
+            # shape. The skew contract for O(n^2) kernels is different
+            # from the rollups: the mega conv degrades ITS OWN task only,
+            # and past max_n the operator RAISES with downsample-first
+            # guidance instead of silently burning a quadratic straggler.
+            from yatsm_spark.operators.cascade import cascade as _cascade
+            from yatsm_spark.operators.downsample import lttb
+            from yatsm_spark.operators.dtw import dtw_rerank
+            from yatsm_spark.operators.matrixprofile import matrix_profile
+            from yatsm_spark.operators.rollup import gapfill
+
+            sub = sparse.where((F.col("conv_id") < "conv00002000")
+                               | (F.col("conv_id") == "conv_mega"))
+            gapfill(_cascade(sub, "1m", "1h"), "1h") \
+                .select("conv_id", "window_start", "turn_count") \
+                .write.mode("overwrite").parquet(f"{WORK}/dense_1h_sub")
+            dh = spark.read.parquet(f"{WORK}/dense_1h_sub")
+            timed(variant, "matrix_profile_1h_m12",
+                  lambda: sink(matrix_profile(dh, m=12)))
+
+            # dense 1m: the mega conv holds ~43,200 slots > max_n=8192 —
+            # the guard must RAISE, not run the quadratic straggler.
+            gapfill(sub, "1m") \
+                .select("conv_id", "window_start", "turn_count") \
+                .write.mode("overwrite").parquet(f"{WORK}/dense_1m_sub")
+            dm = spark.read.parquet(f"{WORK}/dense_1m_sub")
+            try:
+                sink(matrix_profile(dm, m=12))
+                guard = "DID NOT RAISE (BUG)"
+            except Exception as ex:
+                guard = ("raised as designed"
+                         if "max_n" in str(ex) else f"raised: {str(ex)[:80]}")
+            rows.append({"variant": variant, "query": "matrix_profile_1m_guard",
+                         "wall_s": None, "note": guard})
+            stats.collect()  # drain the failed stages
+
+            # downsample-first: LTTB to 4096 points/conv, then the same
+            # profile — the documented recovery path for over-long series.
+            lttb(dm, n_out=4096).write.mode("overwrite") \
+                .parquet(f"{WORK}/lttb_1m_sub")
+            dl = spark.read.parquet(f"{WORK}/lttb_1m_sub")
+            timed(variant, "matrix_profile_lttb4096_m12",
+                  lambda: sink(matrix_profile(dl, m=12)))
+
+            # DTW re-rank: mega conv against 64 base convs on the dense 1h
+            # tier (<=720-slot series): full DP and the banded variant.
+            pairs = (dh.select("conv_id").distinct()
+                     .where(F.col("conv_id") < "conv00000064")
+                     .select(F.lit("conv_mega").alias("conv_a"),
+                             F.col("conv_id").alias("conv_b")))
+            pairs.cache().count()
+            timed(variant, "dtw_rerank_1h_full",
+                  lambda: sink(dtw_rerank(dh, pairs)))
+            timed(variant, "dtw_rerank_1h_band32",
+                  lambda: sink(dtw_rerank(dh, pairs, radius=32)))
+
     total = n_base + n_mega
     lines = [
         "# BENCH/SKEW.md — mega-conv skew stress (one conv = ~10% of all turns)",
@@ -192,6 +248,10 @@ def main():
         "|---|---|---|---|---|---|---|",
     ]
     for r in rows:
+        if r.get("note"):
+            lines.append(f"| {r['variant']} | {r['query']} | — {r['note']} | "
+                         "- | - | - | - |")
+            continue
         lines.append(
             f"| {r['variant']} | {r['query']} | {r['wall_s']} | "
             f"{r.get('n_tasks', '-')} | {r.get('p50_task_s', '-')} | "

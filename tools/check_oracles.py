@@ -1,6 +1,9 @@
 """Driver-mimic: run every queries() entry at sf0.01 and diff against its
 oracle_sql() twin (row count + column names + order-insensitive values).
 Usage: python tools/check_oracles.py [name ...]
+Env:  ORACLE_CPUS=N (parallelism, default 16)
+      ORACLE_OUT=path.json — also write a machine-readable artifact
+      {name: {ok, rows, secs, status}} plus a _meta block (cpus, sf, ts).
 """
 
 import os
@@ -47,6 +50,13 @@ def main():
 
     qs, osql = e.queries(), e.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
+    results = {}
+
+    def record(name, ok, rows, t0, status):
+        results[name] = {"ok": ok, "rows": rows,
+                         "secs": round(time.time() - t0, 2),
+                         "status": status}
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -55,16 +65,19 @@ def main():
             got = fn(spark, SF_DIR).toPandas()
         except Exception as ex:
             print(f"FAIL {name}: spark error {type(ex).__name__}: {str(ex)[:300]}")
+            record(name, False, None, t0, f"spark error {type(ex).__name__}")
             n_fail += 1
             continue
         if name not in osql:
             print(f"rows-only {name}: {len(got)} rows [{time.time()-t0:.1f}s]")
+            record(name, True, len(got), t0, "rows-only")
             n_rows_only += 1
             continue
         try:
             want = con.execute(osql[name]).df()
         except Exception as ex:
             print(f"FAIL {name}: oracle error {str(ex)[:300]}")
+            record(name, False, len(got), t0, "oracle error")
             n_fail += 1
             continue
         g, w = normalize(got), normalize(want)
@@ -84,11 +97,25 @@ def main():
                 merged = g.merge(w, how="outer", indicator=True)
                 diff = merged[merged["_merge"] != "both"]
                 print(diff.head(6).to_string())
+            record(name, False, len(g), t0, status)
             n_fail += 1
         else:
             print(f"PASS {name}: {len(g)} rows [{time.time()-t0:.1f}s]")
+            record(name, True, len(g), t0, "value-exact")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    out = os.environ.get("ORACLE_OUT")
+    if out:
+        import json
+
+        results["_meta"] = {
+            "cpus": int(os.environ.get("ORACLE_CPUS", "16")),
+            "sf_dir": SF_DIR,
+            "n_pass": n_pass, "n_fail": n_fail, "n_rows_only": n_rows_only,
+            "wall_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
     sys.exit(1 if n_fail else 0)
 
 

@@ -471,6 +471,38 @@ def main():
         ("no join", "Join", False),
     ])
 
+    # tier-routing over MATERIALIZED tier tables (the production shape —
+    # tx_route builds tiers inline, which hides the scan-pruning story):
+    # every tier slice must push its window_start range to the parquet
+    # scan, and the whole request is one union + ONE final hash agg.
+    import tempfile
+
+    from yatsm_spark.operators.routing import route_range
+
+    tdir = tempfile.mkdtemp(prefix="route_audit_")
+    t1m = rollup_from_turns(measures.where(F.col("ts") < "2025-01-20"), "1m")
+    t1m.write.mode("overwrite").parquet(f"{tdir}/t1m")
+    t1m_r = spark.read.parquet(f"{tdir}/t1m")
+    cascade(t1m_r, "1m", "1h").write.mode("overwrite").parquet(f"{tdir}/t1h")
+    cascade(t1m_r, "1m", "1d").write.mode("overwrite").parquet(f"{tdir}/t1d")
+    tiers = {"1m": t1m_r, "1h": spark.read.parquet(f"{tdir}/t1h"),
+             "1d": spark.read.parquet(f"{tdir}/t1d")}
+    routed = route_range(tiers, "2025-01-02 00:30:00", "2025-01-22 02:03:00",
+                         fresh_measures=measures,
+                         watermark="2025-01-20 00:00:00")
+    audit("route_range over materialized tiers (tier-routing serve path)",
+          routed, [
+        ("window_start range pushed to tier scans",
+         "PushedFilters: [IsNotNull(window_start), GreaterThanOrEqual(window_start", True),
+        ("fresh-tail ts range pushed to the raw scan",
+         "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts", True),
+        ("union serve path present", "Union", True),
+        ("one partial+final agg pair, nothing more (each op appears "
+         "twice in formatted output)", "HashAggregate", 4),
+        ("exactly ONE exchange for the whole request", "Exchange", 2),
+        ("no python UDF", "BatchEvalPython", False),
+    ])
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)

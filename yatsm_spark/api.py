@@ -153,3 +153,27 @@ class Engine:
         t = self.rollup(tier).select("conv_id", "window_start",
                                      "turn_count")
         return matrix_profile(t, "turn_count", m=m, **kw)
+
+    def serve_range(self, qs, qe, tiers: dict[str, DataFrame] | None = None,
+                    watermark=None) -> DataFrame:
+        """Tier-routed range aggregate (the serve-side of the cascade):
+        per-conv measure totals over [qs, qe) answered from the coarsest
+        tiers that cover it, with raw-turn fallback for the fresh tail
+        past ``watermark``. Pass materialized tier DataFrames in
+        ``tiers`` ({"1m":…, "1h":…, "1d":…}) for the production path;
+        without them the tiers are built inline from the transcripts
+        (correct, but the coarse-scan byte savings only materialize
+        against stored tier tables). Bit-identical to aggregating the
+        raw turns over the same range (operators/routing.py)."""
+        from yatsm_spark.operators.cascade import cascade
+        from yatsm_spark.operators.routing import route_range
+        from yatsm_spark.operators.rollup import rollup_from_turns
+
+        m = with_measures(self.transcripts)
+        if tiers is None:
+            src = m.where(F.col("ts") < F.lit(watermark)) if watermark else m
+            t1m = rollup_from_turns(src, "1m")
+            tiers = {"1m": t1m, "1h": cascade(t1m, "1m", "1h"),
+                     "1d": cascade(t1m, "1m", "1d")}
+        return route_range(tiers, qs, qe, fresh_measures=m,
+                           watermark=watermark)
