@@ -594,6 +594,32 @@ def q_tx_route(spark, sf_dir):
         .orderBy("conv_id")
 
 
+def q_tx_route_chunks(spark, sf_dir):
+    """Tier routing THROUGH compressed storage: the 1m tier is Gorilla-
+    chunk-encoded, then fine rows before an eviction cutoff are DELETED
+    (the retention flow); a range query straddling the evicted region
+    routes its 1m ragged edges to chunk decode (live rows win via
+    anti-join — the [cutoff, watermark) overlap window is double-covered
+    and must not double-count). Oracle: the raw-turn aggregation — the
+    routed+decoded answer must be BIT-IDENTICAL."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.cascade import cascade
+    from yatsm_spark.operators.codec import encode_chunks
+    from yatsm_spark.operators.rollup import rollup_from_turns
+    from yatsm_spark.operators.routing import route_range
+
+    wm, evict_cutoff = "2025-01-20 00:00:00", "2025-01-15 00:00:00"
+    m = with_measures(_tx(spark, sf_dir))
+    t1m = rollup_from_turns(m.where(F.col("ts") < F.lit(wm)), "1m")
+    chunks = encode_chunks(t1m, "1m", densify=True)
+    live_1m = t1m.where(F.col("window_start") >= F.lit(evict_cutoff))
+    tiers = {"1m": live_1m, "1h": cascade(t1m, "1m", "1h"),
+             "1d": cascade(t1m, "1m", "1d")}
+    return route_range(tiers, "2025-01-05 00:30:00", "2025-01-22 02:03:00",
+                       fresh_measures=m, watermark=wm, chunks=chunks) \
+        .orderBy("conv_id")
+
+
 def q_tx_left_profile(spark, sf_dir):
     """Left matrix profile (bounded-history novelty score) of each
     conv's DENSE 1h series — the batch side of the streaming discord
@@ -2020,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "tx_realtime_view": q_tx_realtime_view,
         "tx_route": q_tx_route,
+        "tx_route_chunks": q_tx_route_chunks,
         "events_cohorts": q_events_cohorts,
         "tx_matrix_profile": q_tx_matrix_profile,
         "tx_mp_extrema": q_tx_mp_extrema,
@@ -2927,6 +2954,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, {ROLE_COUNTS_SQL}
             FROM {tx}
             WHERE ts >= TIMESTAMP '2025-01-02 00:30:00'
+              AND ts <  TIMESTAMP '2025-01-22 02:03:00'
+            GROUP BY 1 ORDER BY conv_id
+        """,
+        "tx_route_chunks": f"""
+            SELECT conv_id, {ROLE_COUNTS_SQL}
+            FROM {tx}
+            WHERE ts >= TIMESTAMP '2025-01-05 00:30:00'
               AND ts <  TIMESTAMP '2025-01-22 02:03:00'
             GROUP BY 1 ORDER BY conv_id
         """,

@@ -123,3 +123,41 @@ def test_route_plan_rejects_empty_and_subsecond():
         route_plan("2025-01-02 00:00:00", "2025-01-01 00:00:00")
     with pytest.raises(ValueError, match="sub-second"):
         route_plan("2025-01-01 00:00:00.5", "2025-01-02 00:00:00")
+
+
+def test_route_range_serves_evicted_history_from_chunks(spark):
+    """After chunk-encode + fine-row eviction, routing falls through to
+    Gorilla decode for the evicted 1m edges; the compressed-but-live
+    overlap window must not double-count (anti-join dedup)."""
+    from yatsm_spark.operators.codec import encode_chunks
+
+    tx = generate_transcripts(spark, 40, seed=13, max_turns=2000).cache()
+    m = with_measures(tx)
+    wm = dt.datetime(2025, 1, 20, 0, 0, tzinfo=UTC)
+    t1m = rollup_from_turns(m.where(F.col("ts") < "2025-01-20"), "1m").cache()
+    chunks = encode_chunks(t1m, "1m", densify=True).cache()
+    chunks.count()
+    # evict fine rows older than Jan 15 — they now exist ONLY in chunks;
+    # [Jan 15, Jan 20) is double-covered (live + compressed)
+    live_1m = t1m.where(F.col("window_start") >= "2025-01-15")
+    tiers = {"1m": live_1m, "1h": cascade(t1m, "1m", "1h"),
+             "1d": cascade(t1m, "1m", "1d")}
+    qs = dt.datetime(2025, 1, 5, 0, 30, tzinfo=UTC)
+    qe = dt.datetime(2025, 1, 22, 2, 3, tzinfo=UTC)
+    got = route_range(tiers, qs, qe, fresh_measures=m, watermark=wm,
+                      chunks=chunks) \
+        .toPandas().set_index("conv_id").sort_index()
+    want = (m.where((F.col("ts") >= F.lit(qs.replace(tzinfo=None)))
+                    & (F.col("ts") < F.lit(qe.replace(tzinfo=None))))
+            .groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("turn_count"),
+                 F.sum("token_len").alias("token_len_sum"),
+                 F.min("token_len").alias("token_len_min"),
+                 F.max("token_len").alias("token_len_max"),
+                 F.sum(F.col("token_len") * F.col("token_len")).alias("token_len_sumsq"))
+            .toPandas().set_index("conv_id").sort_index())
+    assert list(got.index) == list(want.index)
+    for c in ("turn_count", "token_len_sum", "token_len_min",
+              "token_len_max", "token_len_sumsq"):
+        assert (got[c].astype("Int64") == want[c].astype("Int64")).all(), c
+    tx.unpersist(); t1m.unpersist(); chunks.unpersist()

@@ -129,7 +129,10 @@ def _per_turn_moments(measures: DataFrame) -> DataFrame:
 
 def route_range(tiers: dict[str, DataFrame], qs, qe,
                 fresh_measures: DataFrame | None = None,
-                watermark=None) -> DataFrame:
+                watermark=None,
+                chunks: DataFrame | None = None,
+                chunk_tier: str = "1m",
+                chunk_points: int = 4096) -> DataFrame:
     """Per-conv aggregate of every measure over [qs, qe), served from the
     coarsest tiers that cover it (route_plan) with raw-turn fallback for
     the fresh tail. BIT-IDENTICAL to aggregating the 1m tier (or the raw
@@ -143,10 +146,23 @@ def route_range(tiers: dict[str, DataFrame], qs, qe,
     serves the tail; without fresh_measures, an uncoverable remainder
     raises instead of silently under-counting.
 
+    With ``chunks`` (the Gorilla chunk table from
+    operators/codec.py::encode_chunks), slices on ``chunk_tier`` ALSO
+    serve from compressed storage: live tier rows win, and decoded
+    chunk rows fill slots the retention driver has already evicted —
+    the complete retention story (compress → evict fine rows → queries
+    transparently fall through to the chunks). The decode side is
+    range-pruned BEFORE decoding via ``chunk_start`` predicates (sound
+    because chunks are bounded at ``chunk_points`` slots), decoded with
+    a zero-shuffle mapInPandas, and deduped against live rows with an
+    anti-join on (conv_id, window_start) — so a compressed-but-not-yet-
+    evicted overlap window never double-counts.
+
     Plan shape: k range-filtered tier scans (filters push to parquet
-    row-group pruning) + optionally one raw scan, ONE unionByName, ONE
-    hash aggregate on conv_id — a single shuffle regardless of how many
-    tiers serve.
+    row-group pruning) + optionally one raw scan and one range-pruned
+    chunk decode, ONE unionByName, ONE hash aggregate on conv_id — a
+    single shuffle regardless of how many tiers serve (plus the
+    anti-join exchange on the chunk path, both sides range-pruned).
     """
     slices, remainders = route_plan(
         qs, qe, tiers=tuple(tiers), watermark=watermark)
@@ -162,10 +178,23 @@ def route_range(tiers: dict[str, DataFrame], qs, qe,
     parts: list[DataFrame] = []
     for name, a, b in slices:
         t = tiers[name]
-        parts.append(
-            t.where((F.col("window_start") >= F.timestamp_seconds(F.lit(a)))
-                    & (F.col("window_start") < F.timestamp_seconds(F.lit(b))))
-             .select("conv_id", *MEASURES))
+        rng = ((F.col("window_start") >= F.timestamp_seconds(F.lit(a)))
+               & (F.col("window_start") < F.timestamp_seconds(F.lit(b))))
+        live = t.where(rng)
+        if chunks is not None and name == chunk_tier:
+            from yatsm_spark.operators.codec import decode_chunks
+
+            span = chunk_points * TIERS[name]
+            pruned = chunks.where(
+                (F.col("tier") == name)
+                & (F.col("chunk_start") >= F.timestamp_seconds(F.lit(a - span)))
+                & (F.col("chunk_start") < F.timestamp_seconds(F.lit(b))))
+            dec = (decode_chunks(pruned)
+                   .where(rng & ~F.col("gap_filled"))
+                   .join(live.select("conv_id", "window_start"),
+                         ["conv_id", "window_start"], "left_anti"))
+            parts.append(dec.select("conv_id", *MEASURES))
+        parts.append(live.select("conv_id", *MEASURES))
     for a, b in remainders:
         raw = fresh_measures.where(
             (F.col("ts") >= F.timestamp_seconds(F.lit(a)))
