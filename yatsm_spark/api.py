@@ -155,7 +155,7 @@ class Engine:
         return matrix_profile(t, "turn_count", m=m, **kw)
 
     def serve_range(self, qs, qe, tiers: dict[str, DataFrame] | None = None,
-                    watermark=None) -> DataFrame:
+                    watermark=None, chunks: DataFrame | None = None) -> DataFrame:
         """Tier-routed range aggregate (the serve-side of the cascade):
         per-conv measure totals over [qs, qe) answered from the coarsest
         tiers that cover it, with raw-turn fallback for the fresh tail
@@ -176,4 +176,4 @@ class Engine:
             tiers = {"1m": t1m, "1h": cascade(t1m, "1m", "1h"),
                      "1d": cascade(t1m, "1m", "1d")}
         return route_range(tiers, qs, qe, fresh_measures=m,
-                           watermark=watermark)
+                           watermark=watermark, chunks=chunks)
