@@ -503,6 +503,28 @@ def main():
         ("no python UDF", "BatchEvalPython", False),
     ])
 
+    from yatsm_spark.operators.codec import encode_chunks
+
+    chunks = encode_chunks(t1m_r, "1m", densify=True)
+    chunks.write.mode("overwrite").parquet(f"{tdir}/chunks")
+    chunks_r = spark.read.parquet(f"{tdir}/chunks")
+    live = t1m_r.where(F.col("window_start") >= "2025-01-15")
+    routed_c = route_range(
+        {"1m": live, "1h": spark.read.parquet(f"{tdir}/t1h"),
+         "1d": spark.read.parquet(f"{tdir}/t1d")},
+        "2025-01-02 00:30:00", "2025-01-22 02:03:00",
+        fresh_measures=measures, watermark="2025-01-20 00:00:00",
+        chunks=chunks_r)
+    audit("route_range through compressed chunks (evicted-history serve)",
+          routed_c, [
+        ("chunk_start range pushed to the CHUNK scan (prune before "
+         "decode)", "GreaterThanOrEqual(chunk_start", True),
+        ("anti-join dedup of the compressed/live overlap", "LeftAnti", True),
+        ("decode is mapInPandas (Arrow), not row-at-a-time python",
+         "MapInPandas", True),
+        ("no row-at-a-time python UDF", "BatchEvalPython", False),
+    ])
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
