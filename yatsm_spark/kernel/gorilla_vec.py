@@ -87,6 +87,75 @@ def _gather_bits(bits: np.ndarray, offsets: np.ndarray, widths: np.ndarray) -> n
     return np.add.reduceat(weighted, starts).astype(np.uint64)
 
 
+def _pack_words(values: np.ndarray, widths, head: np.ndarray) -> bytes:
+    """Byte-identical drop-in for _scatter_bits built on 64-bit words:
+    each field touches at most TWO words (one np.where + one
+    bitwise_or.reduceat per side), so temporaries are O(1) per VALUE
+    instead of O(1) per BIT — ~width× less memory traffic, which is the
+    whole cost of the float path (shared-window mbits is typically
+    20–52). Fields are placed MSB-first at offsets
+    head_bits + cumsum(widths), exactly np.packbits' bit order, so the
+    emitted stream is bit-for-bit what _scatter_bits produces."""
+    head = np.asarray(head, dtype=np.uint8)
+    values = np.asarray(values, dtype=np.uint64)
+    widths = np.broadcast_to(np.asarray(widths, dtype=np.int64), values.shape)
+    hbits = len(head)
+    if len(values) == 0:
+        return np.packbits(head).tobytes()
+    total = hbits + int(widths.sum())
+    n_words = (total + 63) // 64
+    words = np.zeros(n_words, dtype=np.uint64)
+    if hbits:
+        hb = np.packbits(head)
+        hw = np.zeros(((len(hb) + 7) // 8) * 8, dtype=np.uint8)
+        hw[: len(hb)] = hb
+        hview = hw.view(">u8").astype(np.uint64)
+        words[: len(hview)] |= hview
+    o = hbits + np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.int64)
+    w0 = o >> 6
+    s = o & 63
+    sh1 = s + widths - 64  # >0: field straddles into word w0+1
+    ls = np.maximum(-sh1, 0).astype(np.uint64)
+    rs = np.maximum(sh1, 0).astype(np.uint64)
+    part1 = np.where(sh1 <= 0, values << ls, values >> rs)
+    seg = np.flatnonzero(np.r_[True, w0[1:] != w0[:-1]])
+    words[w0[seg]] |= np.bitwise_or.reduceat(part1, seg)
+    strad = sh1 > 0
+    if strad.any():
+        w1 = w0[strad] + 1
+        part2 = values[strad] << (np.uint64(64) - rs[strad])
+        seg2 = np.flatnonzero(np.r_[True, w1[1:] != w1[:-1]])
+        words[w1[seg2]] |= np.bitwise_or.reduceat(part2, seg2)
+    return words.astype(">u8").tobytes()[: (total + 7) // 8]
+
+
+def _gather_words(buf: np.ndarray, offsets: np.ndarray, widths) -> np.ndarray:
+    """Word-based counterpart of _gather_bits reading straight from the
+    BYTE buffer (uint8 array) — no unpackbits of the payload region, no
+    per-bit temporaries. offsets are absolute bit positions (MSB-first
+    np.packbits order); widths scalar or per-field, all in 1..64."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    widths = np.broadcast_to(np.asarray(widths, dtype=np.int64), offsets.shape)
+    if len(offsets) == 0:
+        return np.array([], dtype=np.uint64)
+    padded = np.zeros(((len(buf) + 7) // 8) * 8, dtype=np.uint8)
+    padded[: len(buf)] = buf
+    W = padded.view(">u8").astype(np.uint64)
+    w0 = offsets >> 6
+    s = offsets & 63
+    sh1 = s + widths - 64
+    ls = np.maximum(-sh1, 0).astype(np.uint64)
+    rs = np.maximum(sh1, 1).astype(np.uint64)  # clamp: 64-rs stays < 64
+    hi = W[w0]
+    lo = W[np.minimum(w0 + 1, len(W) - 1)]
+    vals = np.where(sh1 <= 0, hi >> ls,
+                    (hi << rs) | (lo >> (np.uint64(64) - rs)))
+    wc = np.minimum(widths, 63).astype(np.uint64)  # 64 selects the full mask
+    mask = np.where(widths >= 64, np.uint64(0xFFFFFFFFFFFFFFFF),
+                    (np.uint64(1) << wc) - np.uint64(1))
+    return (vals & mask).astype(np.uint64)
+
+
 # --- floats -----------------------------------------------------------------
 
 
@@ -115,8 +184,7 @@ def encode_floats_block(vals: np.ndarray) -> bytes:
     header.append(mbits)
     flags = (x != 0).astype(np.uint8)
     nz = x[x != 0] >> np.uint64(tail)
-    widths = np.full(len(nz), mbits, dtype=np.int64)
-    return bytes(header) + _scatter_bits(nz, widths, flags)
+    return bytes(header) + _pack_words(nz, mbits, flags)
 
 
 def decode_floats_block(data: bytes) -> np.ndarray:
@@ -131,12 +199,11 @@ def decode_floats_block(data: bytes) -> np.ndarray:
     lead = data[13]
     mbits = data[14]
     tail = 64 - lead - mbits
-    bits = np.unpackbits(np.frombuffer(data[15:], dtype=np.uint8))
-    flags = bits[: n - 1].astype(bool)
+    buf = np.frombuffer(data[15:], dtype=np.uint8)
+    flags = np.unpackbits(buf[: (n - 1 + 7) // 8])[: n - 1].astype(bool)
     nnz = int(flags.sum())
-    widths = np.full(nnz, mbits, dtype=np.int64)
     offsets = (n - 1) + np.arange(nnz, dtype=np.int64) * mbits
-    payl = _gather_bits(bits, offsets, widths) << np.uint64(tail)
+    payl = _gather_words(buf, offsets, mbits) << np.uint64(tail)
     x = np.zeros(n - 1, dtype=np.uint64)
     x[flags] = payl
     np.bitwise_xor.accumulate(np.concatenate([out[:1], x]), out=out)
@@ -207,7 +274,7 @@ def encode_timestamps_block(ts: np.ndarray) -> bytes:
     code_bits = np.column_stack([(codes >> 1) & 1, codes & 1]).reshape(-1).astype(np.uint8)
     widths = _TS_WIDTHS[codes.astype(np.int64)]
     nzmask = widths > 0
-    return bytes(header) + _scatter_bits(z[nzmask], widths[nzmask], code_bits)
+    return bytes(header) + _pack_words(z[nzmask], widths[nzmask], code_bits)
 
 
 def decode_timestamps_block(data: bytes) -> np.ndarray:
@@ -228,8 +295,9 @@ def decode_timestamps_block(data: bytes) -> np.ndarray:
         with np.errstate(over="ignore"):
             out[1] = out[0] + first_delta
         return out
-    bits = np.unpackbits(np.frombuffer(data[21:], dtype=np.uint8))
+    buf = np.frombuffer(data[21:], dtype=np.uint8)
     m = n - 2
+    bits = np.unpackbits(buf[: (2 * m + 7) // 8])
     codes = (bits[0 : 2 * m : 2].astype(np.int64) << 1) | bits[1 : 2 * m : 2]
     widths = _TS_WIDTHS[codes]
     nzmask = widths > 0
@@ -237,7 +305,7 @@ def decode_timestamps_block(data: bytes) -> np.ndarray:
     offsets = 2 * m + np.concatenate([[0], np.cumsum(nz_w)[:-1]]) if nzmask.any() else np.array([], dtype=np.int64)
     z = np.zeros(m, dtype=np.uint64)
     if nzmask.any():
-        z[nzmask] = _gather_bits(bits, offsets.astype(np.int64), nz_w)
+        z[nzmask] = _gather_words(buf, offsets.astype(np.int64), nz_w)
     dod = _unzigzag(z)
     deltas = np.empty(n - 1, dtype=np.int64)
     deltas[0] = first_delta
