@@ -1562,6 +1562,24 @@ def q_token_counts(spark, sf_dir):
     return token_counts(_t(spark, sf_dir, "documents"))
 
 
+def q_bpe_merges(spark, sf_dir):
+    """REAL merge-table BPE training on the corpus (operators/bpe.py).
+    Oracle re-derives the identical ordered merge table in a DuckDB
+    recursive CTE — independent implementation, exact string equality."""
+    from yatsm_spark.operators.bpe import bpe_merges
+
+    return bpe_merges(_t(spark, sf_dir, "documents"), n_merges=48)
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """Train-on-corpus BPE then per-doc real token counts; oracle trains
+    AND segments in one recursive CTE (final training state IS each
+    word's tokenization — pinned to apply_bpe by tests/test_bpe.py)."""
+    from yatsm_spark.operators.bpe import bpe_token_counts
+
+    return bpe_token_counts(_t(spark, sf_dir, "documents"), n_merges=48)
+
+
 def q_quality(spark, sf_dir):
     from yatsm_spark.operators.textstats import quality_scores
 
@@ -2092,6 +2110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "simhash": q_simhash,
         "token_counts": q_token_counts,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
         "quality": q_quality,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
@@ -2398,6 +2418,14 @@ def _pii_redact_oracle() -> str:
                {red} AS redacted
         FROM aug
     """
+
+
+#: GPT-2-style pretokenizer as a ready-quoted DuckDB string literal (the
+#: leading apostrophe of the contraction branch is SQL-doubled). Kept out
+#: of the f-string oracles because the regex's own {L}/{N} braces would
+#: collide with format fields. Same pattern as textstats.BPE_REGEX.
+_BPE_REGEX_SQL = ("'''(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+"
+                  "| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\x0B\\f\\r]+'")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3860,6 +3888,83 @@ def oracle_sql() -> dict[str, str]:
                        AS n_bpe_tokens,
                    ceil(length(text) / 4.0)::long AS n_bpe_est
             FROM documents
+        """,
+        # Real BPE, trained and applied entirely in SQL: the recursive CTE
+        # carries every distinct pretoken's segmentation (rendered as a
+        # chr(30)-framed string so replace() is exactly the kernel's
+        # left-to-right non-overlapping pair merge); each step joins the
+        # whole working set against its own pair counts to pick the best
+        # pair (count DESC, left, right — the kernel's tie-break), stopping
+        # at 48 merges or best count < 2. Final step's state per word IS
+        # its BPE tokenization (training/apply consistency is a kernel
+        # property, pinned in tests/test_bpe.py).
+        "bpe_merges": f"""
+            WITH RECURSIVE
+            pre AS (
+              SELECT unnest(regexp_extract_all(text, {_BPE_REGEX_SQL})) AS w
+              FROM documents
+            ),
+            wc AS (SELECT w, count(*)::bigint AS cnt FROM pre WHERE w <> '' GROUP BY w),
+            tr(step, w, cnt, s, ml, mr) AS (
+              SELECT 0, w, cnt,
+                     chr(30) || array_to_string(list_transform(
+                       generate_series(1, length(w)), i -> substr(w, i, 1)), chr(30)) || chr(30),
+                     NULL::VARCHAR, NULL::VARCHAR
+              FROM wc
+              UNION ALL
+              SELECT step+1, tr.w, tr.cnt, replace(tr.s, b.pat, b.rep), b.l, b.r
+              FROM tr, (
+                SELECT l, r,
+                       chr(30)||l||chr(30)||r||chr(30) AS pat,
+                       chr(30)||l||r||chr(30) AS rep
+                FROM (
+                  SELECT toks[i] AS l, toks[i+1] AS r, sum(cnt) AS c
+                  FROM (SELECT cnt, list_filter(string_split(s, chr(30)), x -> x <> '') AS toks FROM tr),
+                       UNNEST(generate_series(1, len(toks)-1)) t(i)
+                  GROUP BY 1, 2 HAVING sum(cnt) >= 2
+                ) ORDER BY c DESC, l, r LIMIT 1
+              ) b
+              WHERE step < 48
+            )
+            SELECT step::int AS "rank", any_value(ml) AS "left", any_value(mr) AS "right"
+            FROM tr WHERE step > 0 GROUP BY step
+        """,
+        "bpe_token_counts": f"""
+            WITH RECURSIVE
+            pre AS (
+              SELECT doc_id::long AS doc_id,
+                     unnest(regexp_extract_all(text, {_BPE_REGEX_SQL})) AS w
+              FROM documents
+            ),
+            wc AS (SELECT w, count(*)::bigint AS cnt FROM pre WHERE w <> '' GROUP BY w),
+            tr(step, w, cnt, s) AS (
+              SELECT 0, w, cnt,
+                     chr(30) || array_to_string(list_transform(
+                       generate_series(1, length(w)), i -> substr(w, i, 1)), chr(30)) || chr(30)
+              FROM wc
+              UNION ALL
+              SELECT step+1, tr.w, tr.cnt, replace(tr.s, b.pat, b.rep)
+              FROM tr, (
+                SELECT chr(30)||l||chr(30)||r||chr(30) AS pat,
+                       chr(30)||l||r||chr(30) AS rep
+                FROM (
+                  SELECT toks[i] AS l, toks[i+1] AS r, sum(cnt) AS c
+                  FROM (SELECT cnt, list_filter(string_split(s, chr(30)), x -> x <> '') AS toks FROM tr),
+                       UNNEST(generate_series(1, len(toks)-1)) t(i)
+                  GROUP BY 1, 2 HAVING sum(cnt) >= 2
+                ) ORDER BY c DESC, l, r LIMIT 1
+              ) b
+              WHERE step < 48
+            ),
+            fin AS (
+              SELECT w, len(list_filter(string_split(s, chr(30)), x -> x <> ''))::bigint AS n_tokens
+              FROM (SELECT w, s, row_number() OVER (PARTITION BY w ORDER BY step DESC) AS rn FROM tr)
+              WHERE rn = 1
+            )
+            SELECT pre.doc_id AS doc_id, count(*)::bigint AS n_pretokens,
+                   sum(fin.n_tokens)::bigint AS n_bpe_real
+            FROM pre JOIN fin ON pre.w = fin.w
+            GROUP BY pre.doc_id
         """,
         "quality": """
             WITH q AS (
