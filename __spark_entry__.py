@@ -1468,6 +1468,23 @@ def q_pack_docs(spark, sf_dir):
                           budget_tokens=128, n_shards=2)
 
 
+def q_pack_docs_bpe(spark, sf_dir):
+    """Packing against a REAL tokenizer budget: per-doc lengths come from
+    the trained merge-table BPE (bpe_token_counts), then the same next-fit
+    fold packs into 256-token bins. Oracle chains the recursive-CTE BPE
+    trainer into the recursive-CTE fold."""
+    from pyspark.sql import functions as F
+
+    from yatsm_spark.operators.bpe import bpe_token_counts
+    from yatsm_spark.operators.packing import pack_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    lengths = bpe_token_counts(docs, n_merges=48).select(
+        "doc_id", F.col("n_bpe_real").alias("dl"))
+    return pack_documents(docs, budget_tokens=256, n_shards=2,
+                          lengths=lengths)
+
+
 def q_curate_corpus(spark, sf_dir):
     """The composed curation pipeline as one decision table: holdout
     split -> quality -> exact dedup -> near-dup components ->
@@ -2124,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "chunk_docs": q_chunk_docs,
         "pack_docs": q_pack_docs,
+        "pack_docs_bpe": q_pack_docs_bpe,
         "curate_corpus": q_curate_corpus,
         "hll_distinct": q_hll_distinct,
         "hdr_quantiles": q_hdr_quantiles,
@@ -3965,6 +3983,72 @@ def oracle_sql() -> dict[str, str]:
                    sum(fin.n_tokens)::bigint AS n_bpe_real
             FROM pre JOIN fin ON pre.w = fin.w
             GROUP BY pre.doc_id
+        """,
+        # BPE-budget packing: the bpe_token_counts CTE chain feeds the
+        # pack_docs recursive fold (dl = real BPE tokens, budget 256).
+        "pack_docs_bpe": f"""
+            WITH RECURSIVE
+            pre AS (
+              SELECT doc_id::long AS doc_id,
+                     unnest(regexp_extract_all(text, {_BPE_REGEX_SQL})) AS w
+              FROM documents
+            ),
+            wc AS (SELECT w, count(*)::bigint AS cnt FROM pre WHERE w <> '' GROUP BY w),
+            tr(step, w, cnt, s) AS (
+              SELECT 0, w, cnt,
+                     chr(30) || array_to_string(list_transform(
+                       generate_series(1, length(w)), i -> substr(w, i, 1)), chr(30)) || chr(30)
+              FROM wc
+              UNION ALL
+              SELECT step+1, tr.w, tr.cnt, replace(tr.s, b.pat, b.rep)
+              FROM tr, (
+                SELECT chr(30)||l||chr(30)||r||chr(30) AS pat,
+                       chr(30)||l||r||chr(30) AS rep
+                FROM (
+                  SELECT toks[i] AS l, toks[i+1] AS r, sum(cnt) AS c
+                  FROM (SELECT cnt, list_filter(string_split(s, chr(30)), x -> x <> '') AS toks FROM tr),
+                       UNNEST(generate_series(1, len(toks)-1)) t(i)
+                  GROUP BY 1, 2 HAVING sum(cnt) >= 2
+                ) ORDER BY c DESC, l, r LIMIT 1
+              ) b
+              WHERE step < 48
+            ),
+            fin AS (
+              SELECT w, len(list_filter(string_split(s, chr(30)), x -> x <> ''))::bigint AS n_tokens
+              FROM (SELECT w, s, row_number() OVER (PARTITION BY w ORDER BY step DESC) AS rn FROM tr)
+              WHERE rn = 1
+            ),
+            dls AS (
+              SELECT pre.doc_id, d.source, sum(fin.n_tokens)::bigint AS dl
+              FROM pre JOIN fin ON pre.w = fin.w
+              JOIN documents d ON d.doc_id = pre.doc_id
+              GROUP BY pre.doc_id, d.source
+            ),
+            base AS (
+              SELECT doc_id, source,
+                     (((doc_id * 2654435761) % 4294967296) % 2)::int AS shard,
+                     dl,
+                     row_number() OVER (
+                       PARTITION BY source,
+                                    ((doc_id * 2654435761) % 4294967296) % 2
+                       ORDER BY doc_id)::long AS rn
+              FROM dls WHERE dl > 0),
+            fold AS (
+              SELECT doc_id, source, shard, dl, rn,
+                     0::long AS bin_idx, 0::long AS bin_offset, dl AS fill
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.doc_id, b.source, b.shard, b.dl, b.rn,
+                     CASE WHEN f.fill + b.dl > 256
+                          THEN f.bin_idx + 1 ELSE f.bin_idx END,
+                     CASE WHEN f.fill + b.dl > 256
+                          THEN 0::long ELSE f.fill END,
+                     CASE WHEN f.fill + b.dl > 256
+                          THEN b.dl ELSE f.fill + b.dl END
+              FROM fold f
+              JOIN base b ON b.source = f.source AND b.shard = f.shard
+                         AND b.rn = f.rn + 1)
+            SELECT doc_id, source, shard, dl, bin_idx, bin_offset FROM fold
         """,
         "quality": """
             WITH q AS (

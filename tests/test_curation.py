@@ -165,6 +165,21 @@ def test_pack_invariants_and_shards(spark):
         pack_documents(docs, 8, n_shards=0)
 
 
+def test_pack_with_external_lengths(spark):
+    # lengths table overrides the whitespace measure; fold is unchanged
+    docs = spark.createDataFrame(
+        [(0, "ignored", "s0"), (1, "ignored", "s0"), (2, "ignored", "s0"),
+         (3, "ignored", "s0")],
+        "doc_id long, text string, source string")
+    lengths = spark.createDataFrame(
+        [(0, 4), (1, 3), (2, 6), (3, 0)], "doc_id long, dl long")
+    got = {r.doc_id: (r.bin_idx, r.bin_offset, r.dl)
+           for r in pack_documents(docs, budget_tokens=8,
+                                   lengths=lengths).collect()}
+    # doc 3 excluded (dl=0); 4+3 fits, 6 opens a new bin
+    assert got == {0: (0, 0, 4), 1: (0, 4, 3), 2: (1, 0, 6)}
+
+
 def test_funnel_semantics(spark):
     """Ordered-funnel edge semantics: strict ordering (same-ts doesn't
     chain), horizon cutoff (inclusive), earliest-event determinism."""

@@ -75,7 +75,8 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int, stride: int | None = Non
 
 def pack_documents(docs: DataFrame, budget_tokens: int, n_shards: int = 1,
                    stratum_col: str = "source",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   lengths: DataFrame | None = None) -> DataFrame:
     """Next-fit packing: within each (stratum, shard) group, walk docs
     in doc_id order keeping a running fill; when fill + dl would exceed
     ``budget_tokens`` and the bin is non-empty, open a new bin. A doc
@@ -83,19 +84,31 @@ def pack_documents(docs: DataFrame, budget_tokens: int, n_shards: int = 1,
     (doc_id, source, shard, dl, bin_idx, bin_offset) — bin identity is
     (source, shard, bin_idx); bin_offset is the doc's token start within
     its bin. Empty docs (0 tokens) are excluded.
+
+    ``lengths``: optional (doc_id, dl) DataFrame replacing the default
+    whitespace-token measure — pass ``bpe_token_counts(...)`` renamed to
+    pack against a REAL tokenizer's context budget (operators/bpe.py).
+    Joined on doc_id (equi-join, AQE-planned; the lengths table is one
+    row per doc, so it shuffles at doc-count, not corpus-byte, scale).
     """
     if budget_tokens < 1:
         raise ValueError("budget_tokens must be >= 1")
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    toks = F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
-                    lambda t: t != "")
-    base = (docs.select(
-                "doc_id", F.col(stratum_col).alias("source"),
-                (F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(_MOD))
-                 % F.lit(n_shards)).cast("int").alias("shard"),
-                F.size(toks).alias("dl"))
-                .filter(F.col("dl") > 0))
+    shard = (F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(_MOD))
+             % F.lit(n_shards)).cast("int").alias("shard")
+    if lengths is not None:
+        base = (docs.select("doc_id", F.col(stratum_col).alias("source"), shard)
+                    .join(lengths.select("doc_id", F.col("dl").cast("long").alias("dl")),
+                          "doc_id")
+                    .filter(F.col("dl") > 0))
+    else:
+        toks = F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                        lambda t: t != "")
+        base = (docs.select(
+                    "doc_id", F.col(stratum_col).alias("source"), shard,
+                    F.size(toks).alias("dl"))
+                    .filter(F.col("dl") > 0))
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id", kind="mergesort",
