@@ -525,6 +525,28 @@ def main():
         ("no row-at-a-time python UDF", "BatchEvalPython", False),
     ])
 
+    audit("bpe_token_counts (real BPE: distinct-word tokenize + "
+          "broadcast join back)",
+          qs["bpe_token_counts"](spark, SF_DIR), [
+        ("distinct-word kernel feeds a BROADCAST join back to the "
+         "exploded docs (never a shuffle of the corpus against the "
+         "vocab)", "BroadcastHashJoin", True),
+        ("tokenize kernel is a grouped Arrow UDF over DISTINCT words "
+         "only", "FlatMapGroupsInPandas", True),
+        ("no row-at-a-time python UDF", "BatchEvalPython", False),
+        ("no cartesian product", "Cartesian", False),
+        ("text column pruned after pretokenization (explode output "
+         "carries word, not text)", "ReadSchema: struct<doc_id:bigint,text:string>", True),
+    ])
+
+    audit("pack_docs_bpe (BPE lengths joined into the next-fit fold)",
+          qs["pack_docs_bpe"](spark, SF_DIR), [
+        ("fold is a grouped Arrow UDF per (source, shard)",
+         "FlatMapGroupsInPandas", True),
+        ("no row-at-a-time python UDF", "BatchEvalPython", False),
+        ("no cartesian product", "Cartesian", False),
+    ])
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
