@@ -1687,6 +1687,19 @@ def q_kmeans_codebook(spark, sf_dir):
                                  n_centroids=8, n_iters=3, seed=0, sample_mod=1)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (Abbas 2023): k-means clusters (the same
+    8-centroid seeded codebook as `kmeans_codebook`), within-cluster
+    exact round-6 cosine pairs at threshold 0.3, keep the member least
+    similar to its centroid. Oracle: the identical decision table in
+    DuckDB SQL, assignment CTEs shared with `ivf_topk_kmeans` (golden
+    codebook parquet), loser rule as a CASE over (cent_sim, id)."""
+    from yatsm_spark.operators.similarity import semdedup
+
+    return semdedup(_t(spark, sf_dir, "embeddings"), n_centroids=8,
+                    n_iters=3, seed=0, sample_mod=1, threshold=0.3)
+
+
 def q_pq_codes(spark, sf_dir):
     """Product-quantization codes (m=8 subspaces x ksub=16): sample-
     bounded driver-side Lloyd's training, then zero-shuffle broadcast
@@ -2154,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign_b256": q_ivf_assign_b256,
         "ivf_topk_b256": q_ivf_topk_b256,
         "kmeans_codebook": q_kmeans_codebook,
+        "semdedup": q_semdedup,
         "pca_project": q_pca_project,
         "zorder_events": q_zorder_events,
         "pq_codes": q_pq_codes,
@@ -4708,6 +4722,43 @@ def _embedding_oracles() -> dict[str, str]:
             FROM read_parquet('{GOLDEN_KM}')
         """,
         "ivf_topk_kmeans": _ivf_topk_sql(8, 2, GOLDEN_KM),
+        "semdedup": f"""
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+                       FROM embeddings),
+            n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+                  FROM e),
+            c0 AS (SELECT cid::int AS cid, list(val ORDER BY pos) AS cv
+                   FROM read_parquet('{GOLDEN_KM}') GROUP BY cid),
+            c AS (SELECT cid, cv,
+                         sqrt(list_sum(list_transform(cv, x -> x*x))) AS cn
+                  FROM c0),
+            asim AS (SELECT a.vec_id, c.cid,
+                            round(list_sum(list_transform(generate_series(1, len(a.v)),
+                                                          i -> a.v[i] * c.cv[i]))
+                                  / (a.nrm * c.cn), 6) AS csim
+                     FROM n a, c),
+            assign AS (SELECT vec_id, cid AS cluster, csim AS cent_sim FROM (
+                SELECT vec_id, cid, csim, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+                FROM asim) WHERE rn = 1),
+            p AS (SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+                         l.cent_sim AS ca, r.cent_sim AS cb2
+                  FROM assign l JOIN assign r
+                    ON l.cluster = r.cluster AND l.vec_id < r.vec_id),
+            s AS (SELECT p.*,
+                         round(list_sum(list_transform(generate_series(1, len(x.v)),
+                                                       i -> x.v[i] * y.v[i]))
+                               / (x.nrm * y.nrm), 6) AS sim
+                  FROM p JOIN n x ON x.vec_id = p.id_a
+                         JOIN n y ON y.vec_id = p.id_b),
+            d AS (SELECT DISTINCT CASE WHEN (ca > cb2)
+                                         OR (ca = cb2 AND id_a > id_b)
+                                       THEN id_a ELSE id_b END AS vec_id
+                  FROM s WHERE sim >= 0.3)
+            SELECT a.vec_id, a.cluster, a.cent_sim,
+                   (d.vec_id IS NULL) AS kept
+            FROM assign a LEFT JOIN d ON d.vec_id = a.vec_id
+        """,
         "pca_project": f"""
             SELECT vec_id, pc_0, pc_1, pc_2, pc_3
             FROM read_parquet('{GOLDEN_PCA}') ORDER BY vec_id

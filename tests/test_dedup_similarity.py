@@ -302,3 +302,33 @@ def test_dedup_groups_labels_full_corpus(spark):
            for r in dedup_groups(docs, pairs).collect()}
     assert out == {0: (0, True), 1: (1, True), 2: (2, True), 3: (2, False),
                    4: (4, True), 5: (0, False), 6: (0, False), 7: (7, True)}
+
+
+def test_semdedup_keeps_least_prototypical_of_dup_pair(spark):
+    """Two near-identical vectors + two distinct ones, one cluster: the
+    dup pair loses exactly its more-centroid-similar member; the distinct
+    vectors survive."""
+    from yatsm_spark.operators.similarity import semdedup
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.999, 0.001, 0.0, 0.0]),   # ~dup of 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0, 0.0]),
+    ]
+    out = semdedup(spark.createDataFrame(rows), n_centroids=1, n_iters=1,
+                   threshold=0.99).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert len(by_id) == 4 and all(r.cluster == 0 for r in out)
+    dup = sorted([by_id[0], by_id[1]], key=lambda r: (r.cent_sim, r.vec_id))
+    assert dup[0].kept and not dup[1].kept  # loser = higher cent_sim
+    assert by_id[2].kept and by_id[3].kept
+
+
+def test_semdedup_cluster_size_guard_raises(spark):
+    from yatsm_spark.operators.similarity import semdedup
+
+    rows = [Row(vec_id=i, embedding=[1.0, float(i)]) for i in range(5)]
+    with pytest.raises(ValueError, match="max_cluster_size"):
+        semdedup(spark.createDataFrame(rows), n_centroids=1, n_iters=1,
+                 max_cluster_size=2)

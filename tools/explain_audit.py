@@ -115,6 +115,12 @@ def main():
         ("no cartesian product (bucketed candidates only)", "CartesianProduct", False),
         ("no Python anywhere", "EvalPython", False),
     ])
+    audit("semdedup (clustered semantic dedup)", qs["semdedup"](spark, SF_DIR), [
+        ("no cartesian product (pairs join WITHIN clusters only)",
+         "CartesianProduct", False),
+        ("codebook assignment is one Arrow mapInPandas stage", "MapInPandas", True),
+        ("no row-at-a-time Python", "BatchEvalPython", False),
+    ])
     audit("ivf_topk (IVF probe join)", qs["ivf_topk"](spark, SF_DIR), [
         ("probe table broadcast (corpus side never shuffles for the join)",
          "BroadcastHashJoin", True),

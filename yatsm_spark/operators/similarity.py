@@ -488,3 +488,98 @@ def lsh_candidate_pairs(embeddings: DataFrame, n_planes: int = 8,
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"),
                 F.col("l.bucket").alias("bucket"))
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 3,
+    seed: int = 0,
+    sample_mod: int = 1,
+    threshold: float = 0.3,
+    max_cluster_size: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook=None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the seeded
+    k-means codebook, then inside each cluster mark as duplicates the
+    pairs whose exact cosine >= ``threshold`` and KEEP the member with
+    the LOWEST similarity to its centroid (the paper's keep-the-least-
+    prototypical rule, which preserves diversity), id ascending as the
+    tie-break. One-shot rule, exactly the public reference
+    implementation's triangular-matrix filter: row i is dropped iff SOME
+    dup-partner j outranks it (lower cent_sim, then lower id) — not
+    iterative, so a dropped row can still knock out its own partners.
+
+    Returns ``(id_col, cluster, cent_sim, kept)`` for every input row.
+
+    Scale shape: clustering is what makes semantic dedup feasible at
+    10^9+ vectors — the pairwise join runs WITHIN clusters only, so
+    ``n_centroids`` is the quadratic-cost knob (cost ~ n^2 / k per
+    cluster under balance). The codebook is trained on a bounded sample
+    and travels by broadcast (:func:`train_kmeans` /
+    :func:`_with_csims_broadcast` — zero-shuffle assignment); the
+    within-cluster self-join is one equi-key shuffle. A raising
+    ``max_cluster_size`` guard (driver sees only k counter rows) refuses
+    quadratic blowup on a degenerate clustering instead of silently
+    running it — raise ``n_centroids`` (the paper uses ~10^5 clusters at
+    corpus scale) rather than the cap.
+
+    Determinism / oracle story: assignment argmax runs on round-6
+    snapped sims with lowest-cid tie-break, pair cosines are round-6
+    snapped Catalyst sequential folds, and the keep rule is a total
+    order on (cent_sim, id) — every comparison both engines make is on
+    identical snapped doubles, so the decision table is value-exact in
+    DuckDB (oracle: the ``semdedup`` entry, reusing the golden k-means
+    codebook exactly like ``ivf_topk_kmeans``).
+    """
+    if codebook is None:
+        codebook = train_kmeans(embeddings, n_centroids, n_iters, seed,
+                                sample_mod, id_col, vec_col)
+    cb = [(cid, vec, nrm) for cid, vec, nrm, _n in codebook]
+    assigned = _with_csims_broadcast(embeddings, cb, id_col, vec_col)
+    # codebook is cid-sorted 0..k-1, so csims position cluster+1 is the
+    # (already round-6 snapped) similarity to the assigned centroid
+    base = assigned.select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.element_at(F.col("csims"), (F.col("cluster") + 1).cast("int"))
+         .alias("cent_sim"),
+        F.col("v"), F.col("nrm"),
+    )
+    sizes = base.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    worst = max((r.n for r in sizes), default=0)
+    if worst > max_cluster_size:
+        raise ValueError(
+            f"semdedup: largest cluster has {worst} members > "
+            f"max_cluster_size={max_cluster_size}; raise n_centroids "
+            f"(quadratic within-cluster cost) or the cap")
+    l = base.select(F.col(id_col).alias("id_a"), F.col("cluster"),
+                    F.col("cent_sim").alias("ca"), F.col("v").alias("va"),
+                    F.col("nrm").alias("na"))
+    r = base.select(F.col(id_col).alias("id_b"),
+                    F.col("cluster").alias("_cr"),
+                    F.col("cent_sim").alias("cb"), F.col("v").alias("vb"),
+                    F.col("nrm").alias("nb"))
+    sim = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    dups = (
+        l.join(r, (F.col("cluster") == F.col("_cr"))
+               & (F.col("id_a") < F.col("id_b")))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+    )
+    loser = F.when(
+        (F.col("ca") > F.col("cb"))
+        | ((F.col("ca") == F.col("cb")) & (F.col("id_a") > F.col("id_b"))),
+        F.col("id_a"),
+    ).otherwise(F.col("id_b"))
+    dropped = dups.select(loser.alias(id_col)).distinct() \
+                  .withColumn("_drop", F.lit(True))
+    return (
+        base.select(id_col, "cluster", "cent_sim")
+        .join(dropped, id_col, "left")
+        .select(F.col(id_col), F.col("cluster"), F.col("cent_sim"),
+                F.col("_drop").isNull().alias("kept"))
+    )
