@@ -1331,6 +1331,17 @@ def q_minhash_pairs(spark, sf_dir):
     return minhash_candidates(_t(spark, sf_dir, "documents"), n_hashes=4, bands=2)
 
 
+def q_dup_ngram_spans(spark, sf_dir):
+    """Lee et al. 2022 duplicated-substring coverage: per doc, the word
+    5-grams occurring >= 2 times anywhere in the corpus, with overlapping
+    [pos, pos+5) spans interval-merged into covered_tokens. Oracle: the
+    identical positional-gram + HAVING + running-max interval merge in
+    DuckDB; dup_ratio is a round-6 snapped exact integer division."""
+    from yatsm_spark.operators.dedup import dup_ngram_spans
+
+    return dup_ngram_spans(_t(spark, sf_dir, "documents"), n=5, min_count=2)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from yatsm_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -2137,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": q_minhash_sigs,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "dup_ngram_spans": q_dup_ngram_spans,
         "dedup_components": q_dedup_components,
         "simhash": q_simhash,
         "token_counts": q_token_counts,
@@ -3857,6 +3869,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id::long AS doc_a, b.doc_id::long AS doc_b
             FROM banded a JOIN banded b
               ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        "dup_ngram_spans": """
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS w
+              FROM documents),
+            base AS (SELECT doc_id, w, len(w)::int AS n_words,
+                            (greatest(len(w) - 5, 0) + 1)::int AS n_grams
+                     FROM words),
+            g AS (SELECT doc_id, n_words, (i - 1)::int AS pos,
+                         array_to_string(w[i:i+4], ' ') AS gram
+                  FROM base, unnest(generate_series(1, greatest(len(w) - 5, 0) + 1)) AS t(i)),
+            dupg AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+            d AS (SELECT g.doc_id, g.pos,
+                         least(g.pos + 5, g.n_words)::int AS e
+                  FROM g JOIN dupg USING (gram)),
+            isl AS (SELECT doc_id, pos, e,
+                           CASE WHEN pos > coalesce(max(e) OVER (
+                                  PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                                THEN 1 ELSE 0 END AS brk
+                    FROM d),
+            isl2 AS (SELECT *, sum(brk) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS iid
+                     FROM isl),
+            per_island AS (SELECT doc_id, iid, min(pos) AS a, max(e) AS b,
+                                  count(*) AS c
+                           FROM isl2 GROUP BY 1, 2),
+            per_doc AS (SELECT doc_id, sum(c)::long AS n_dup_grams,
+                               sum(b - a)::long AS covered_tokens
+                        FROM per_island GROUP BY 1)
+            SELECT b2.doc_id, b2.n_words, b2.n_grams,
+                   coalesce(p.n_dup_grams, 0)::long AS n_dup_grams,
+                   coalesce(p.covered_tokens, 0)::long AS covered_tokens,
+                   round(coalesce(p.n_dup_grams, 0)::double / b2.n_grams, 6) AS dup_ratio
+            FROM base b2 LEFT JOIN per_doc p USING (doc_id)
         """,
         "ngram_jaccard": shingles + """
             , freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),

@@ -332,3 +332,35 @@ def test_semdedup_cluster_size_guard_raises(spark):
     with pytest.raises(ValueError, match="max_cluster_size"):
         semdedup(spark.createDataFrame(rows), n_centroids=1, n_iters=1,
                  max_cluster_size=2)
+
+
+def test_dup_ngram_spans_interval_merge_and_counts(spark):
+    """Known dup 3-grams across docs and within one doc; covered_tokens
+    must interval-merge overlapping spans and not double-count."""
+    from yatsm_spark.operators.dedup import dup_ngram_spans
+
+    docs = _docs(spark, [
+        (0, "a b c d e f"),      # dup grams "a b c"@0, "b c d"@1 -> [0,4)
+        (1, "x a b c d y"),      # same grams @1,@2 -> [1,5)
+        (2, "q r s t u v"),      # clean
+        (3, "m n o p m n o"),    # "m n o" @0 and @4 -> [0,3)+[4,7)
+    ])
+    out = {r.doc_id: r for r in dup_ngram_spans(docs, n=3, min_count=2).collect()}
+    assert (out[0].n_grams, out[0].n_dup_grams, out[0].covered_tokens) == (4, 2, 4)
+    assert out[0].dup_ratio == 0.5
+    assert (out[1].n_dup_grams, out[1].covered_tokens) == (2, 4)
+    assert (out[2].n_dup_grams, out[2].covered_tokens, out[2].dup_ratio) == (0, 0, 0.0)
+    assert (out[3].n_grams, out[3].n_dup_grams, out[3].covered_tokens) == (5, 2, 6)
+
+
+def test_dup_ngram_spans_hash_key_matches_string_key(spark):
+    """use_hash=True (the 8-byte production shuffle key) must agree with
+    the oracle-checked string-key path on a corpus with no collisions."""
+    from yatsm_spark.operators.dedup import dup_ngram_spans
+
+    docs = _docs(spark, [(i, f"w{i} common phrase here tail{i} pad{i}")
+                         for i in range(20)])
+    a = sorted(map(tuple, dup_ngram_spans(docs, n=3, min_count=2).collect()))
+    b = sorted(map(tuple, dup_ngram_spans(docs, n=3, min_count=2,
+                                          use_hash=True).collect()))
+    assert a == b and any(r[3] > 0 for r in a)

@@ -115,6 +115,13 @@ def main():
         ("no cartesian product (bucketed candidates only)", "CartesianProduct", False),
         ("no Python anywhere", "EvalPython", False),
     ])
+    audit("dup_ngram_spans (ExactSubstr coverage)",
+          qs["dup_ngram_spans"](spark, SF_DIR), [
+        ("gram counting partially aggregated map-side", "partial_count", True),
+        ("no Python anywhere (sequence/slice grams, window merge)",
+         "EvalPython", False),
+        ("no cartesian product", "CartesianProduct", False),
+    ])
     audit("semdedup (clustered semantic dedup)", qs["semdedup"](spark, SF_DIR), [
         ("no cartesian product (pairs join WITHIN clusters only)",
          "CartesianProduct", False),

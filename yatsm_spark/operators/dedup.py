@@ -21,7 +21,7 @@ standard trick for similarity joins over web corpora.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Explicit class (not \s): Java includes U+000B in \s, RE2 (oracle) does
 # not — see operators/textstats.py WS_CLASS (round-3 ADVICE).
@@ -242,3 +242,79 @@ def dedup_groups(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
         "doc_id",
         F.coalesce("component_id", F.col("doc_id")).alias("component_id"),
     ).withColumn("is_canonical", F.col("doc_id") == F.col("component_id"))
+
+
+def dup_ngram_spans(docs: DataFrame, n: int = 5, min_count: int = 2,
+                    text_col: str = "text", use_hash: bool = False) -> DataFrame:
+    """Cross-corpus duplicated-substring signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — the ExactSubstr criterion recast relationally):
+    per document, how much of it is covered by word n-grams that occur
+    >= ``min_count`` times ANYWHERE in the corpus (other docs or repeats
+    within the same doc).
+
+    Returns one row per doc: ``(doc_id, n_words, n_grams, n_dup_grams,
+    covered_tokens, dup_ratio)`` where ``covered_tokens`` merges the
+    overlapping ``[pos, pos+n)`` spans of duplicated grams (interval
+    coalescing via a running-max window) and ``dup_ratio`` is the round-6
+    snapped exact integer division n_dup_grams / n_grams.
+
+    Scale shape: positional grams are an in-row ``sequence``+``slice``
+    transform (no UDF) exploded to ~1 row per corpus token — the same
+    cardinality any tokenizing pass already handles; the gram count is
+    ONE partial+final hash aggregation and the dup-gram join back is an
+    equi-join whose hot keys ARE the duplicates (AQE skew-join
+    territory, not a design flaw). The per-doc interval merge shuffles
+    once on doc_id. ``use_hash=True`` swaps the shuffle/join key from
+    the gram STRING to ``xxhash64(gram)`` — 8 bytes instead of ~n words,
+    the production key at 10^11+ grams (collision odds ~ m^2/2^65;
+    results then are not bit-GUARANTEED, which is why the oracle-checked
+    default stays on strings).
+    """
+    gram_key = (F.xxhash64("gram") if use_hash else F.col("gram")).alias("gk")
+    words = F.split(_NORM(F.col(text_col)), " ")
+    base = docs.select("doc_id", words.alias("w")) \
+               .withColumn("n_words", F.size("w")) \
+               .withColumn("n_grams",
+                           F.greatest(F.col("n_words") - n, F.lit(0)) + 1)
+    grams = base.select(
+        "doc_id", "n_words",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.col("n_words") - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, n)),
+            )
+        ).alias("pos", "gram"),
+    ).select("doc_id", "n_words", "pos", gram_key)
+    dup_keys = (grams.groupBy("gk")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .filter(F.col("cnt") >= min_count)
+                .select("gk"))
+    d = (grams.join(dup_keys, "gk")
+         .select("doc_id", "pos",
+                 F.least(F.col("pos") + n, F.col("n_words")).alias("e")))
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_e = F.max("e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    d = d.withColumn(
+        "brk", (F.col("pos") > F.coalesce(prev_max_e, F.lit(-1))).cast("int"))
+    d = d.withColumn("iid", F.sum("brk").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+    per_doc = (d.groupBy("doc_id", "iid")
+               .agg(F.min("pos").alias("a"), F.max("e").alias("b"),
+                    F.count(F.lit(1)).alias("c"))
+               .groupBy("doc_id")
+               .agg(F.sum("c").alias("n_dup_grams"),
+                    F.sum(F.col("b") - F.col("a")).alias("covered_tokens")))
+    return (
+        base.select("doc_id", "n_words", "n_grams")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "n_words", "n_grams",
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).alias("n_dup_grams"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long")
+             .alias("covered_tokens"),
+            F.round(F.coalesce(F.col("n_dup_grams"), F.lit(0))
+                    / F.col("n_grams"), 6).alias("dup_ratio"),
+        )
+    )
