@@ -1434,6 +1434,21 @@ def q_sample_stratified(spark, sf_dir):
         "doc_id", "source", "draw_rank")
 
 
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """Fuzzy decontamination: exact word-3-shingle Jaccard of every
+    train doc vs the broadcast 5% Knuth-hash eval split, best hit per
+    doc at threshold 0.5. Oracle: identical CTEs in DuckDB — integer
+    intersections/sizes, round-6 snapped division, (jaccard DESC,
+    bench_id ASC) rank."""
+    from yatsm_spark.operators.decontam import decontaminate_fuzzy
+    from yatsm_spark.operators.sampling import sample_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = sample_hash(docs, rate=0.05)
+    train = sample_hash(docs, rate=0.05, complement=True)
+    return decontaminate_fuzzy(train, bench, shingle_n=3, threshold=0.5)
+
+
 def q_sample_hash(spark, sf_dir):
     """Shuffle-free deterministic Bernoulli-style sample: keep iff
     h(doc_id) mod 2^32 < rate * 2^32 — a narrow filter evaluated in the
@@ -2149,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_ngram_spans": q_dup_ngram_spans,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "dedup_components": q_dedup_components,
         "simhash": q_simhash,
         "token_counts": q_token_counts,
@@ -4245,6 +4261,41 @@ def oracle_sql() -> dict[str, str]:
         # 5% Knuth-hash holdout as the 'eval set' (threshold
         # int(0.05 * 2^32) = 214748364, matching sample_hash); per-doc
         # DISTINCT 3-grams; counts are pure integers.
+        "decontaminate_fuzzy": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       [array_to_string(list_slice(t, i, i + 2), ' ')
+                        for i in range(1, len(t) - 1)])) AS ngram
+              FROM toks WHERE len(t) >= 3),
+            bgr AS (SELECT doc_id AS bench_id, ngram FROM grams
+                    WHERE (doc_id * 2654435761) % 4294967296 < 214748364),
+            tgr AS (SELECT doc_id, ngram FROM grams
+                    WHERE NOT ((doc_id * 2654435761) % 4294967296 < 214748364)),
+            tsz AS (SELECT doc_id, count(*)::long AS sz_t FROM tgr GROUP BY 1),
+            bsz AS (SELECT bench_id, count(*)::long AS sz_b FROM bgr GROUP BY 1),
+            i AS (SELECT t.doc_id, b.bench_id, count(*)::long AS inter
+                  FROM tgr t JOIN bgr b USING (ngram) GROUP BY 1, 2),
+            j AS (SELECT i.doc_id, i.bench_id,
+                         round(i.inter::double / (tsz.sz_t + bsz.sz_b - i.inter), 6) AS jac
+                  FROM i JOIN tsz USING (doc_id) JOIN bsz USING (bench_id)),
+            jt AS (SELECT * FROM j WHERE jac >= 0.5),
+            best AS (SELECT doc_id, bench_id, jac FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY jac DESC, bench_id ASC) AS rn FROM jt) WHERE rn = 1),
+            train AS (SELECT doc_id FROM documents
+                      WHERE NOT ((doc_id * 2654435761) % 4294967296 < 214748364))
+            SELECT t.doc_id::long AS doc_id,
+                   best.bench_id::long AS matched_bench_id,
+                   coalesce(best.jac, 0.0) AS jaccard,
+                   best.bench_id IS NOT NULL AS contaminated
+            FROM train t LEFT JOIN best USING (doc_id)
+        """,
         "decontaminate": """
             WITH toks AS (
               SELECT doc_id,

@@ -259,3 +259,41 @@ def test_cohort_retention_semantics(spark):
             if v["n_cohort"] == 1} == {1}
     # duplicate same-period events count a user once
     assert all(v["n_active"] <= v["n_cohort"] for v in out.values())
+
+
+def test_decontaminate_fuzzy_hand_computed(train, bench):
+    from yatsm_spark.operators.decontam import decontaminate_fuzzy
+
+    got = {r.doc_id: r for r in
+           decontaminate_fuzzy(train, bench, shingle_n=3,
+                               threshold=0.2).collect()}
+    assert len(got) == 4
+    # doc0 vs 100: inter {the quick brown, quick brown fox}=2, |7|+|5|-2=10
+    assert got[0].contaminated and got[0].matched_bench_id == 100
+    assert got[0].jaccard == pytest.approx(0.2)
+    # doc1 vs 101: inter 2, 6+3-2=7
+    assert got[1].contaminated and got[1].matched_bench_id == 101
+    assert got[1].jaccard == pytest.approx(round(2 / 7, 6))
+    # doc2 vs 100: jaccard 1/7 < 0.2 -> clean under the fuzzy threshold
+    assert not got[2].contaminated and got[2].matched_bench_id is None
+    assert got[2].jaccard == 0.0
+    assert not got[3].contaminated
+
+
+def test_decontaminate_fuzzy_threshold_gates(train, bench):
+    from yatsm_spark.operators.decontam import decontaminate_fuzzy
+
+    got = {r.doc_id: r for r in
+           decontaminate_fuzzy(train, bench, shingle_n=3,
+                               threshold=0.1).collect()}
+    # at 0.1 the doc2/100 pair (1/7 ~ 0.142857) now flags
+    assert got[2].contaminated and got[2].matched_bench_id == 100
+    assert got[2].jaccard == pytest.approx(round(1 / 7, 6))
+
+
+def test_decontaminate_fuzzy_bench_side_broadcast(train, bench):
+    from yatsm_spark.operators.decontam import decontaminate_fuzzy
+
+    plan = decontaminate_fuzzy(train, bench)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -115,6 +115,12 @@ def main():
         ("no cartesian product (bucketed candidates only)", "CartesianProduct", False),
         ("no Python anywhere", "EvalPython", False),
     ])
+    audit("decontaminate_fuzzy (broadcast-eval Jaccard)",
+          qs["decontaminate_fuzzy"](spark, SF_DIR), [
+        ("eval shingles broadcast to the train side", "BroadcastHashJoin", True),
+        ("no Python anywhere", "EvalPython", False),
+        ("no cartesian product", "CartesianProduct", False),
+    ])
     audit("dup_ngram_spans (ExactSubstr coverage)",
           qs["dup_ngram_spans"](spark, SF_DIR), [
         ("gram counting partially aggregated map-side", "partial_count", True),

@@ -75,3 +75,56 @@ def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5,
                      .cast("long").alias("n_contaminated_ngrams"))
                 .withColumn("contaminated",
                             F.col("n_contaminated_ngrams") > 0))
+
+
+def decontaminate_fuzzy(docs: DataFrame, bench: DataFrame, shingle_n: int = 3,
+                        threshold: float = 0.5,
+                        text_col: str = "text") -> DataFrame:
+    """Fuzzy benchmark decontamination: per training document, its exact
+    word-shingle Jaccard against every eval document it shares a shingle
+    with, flagged at ``threshold`` — catches lightly-edited benchmark
+    copies that the any-shared-n-gram rule of :func:`decontaminate`
+    either misses (longer n) or over-fires on (short n). The GPT-3-
+    appendix-style fuzzy audit, as a relational plan.
+
+    Returns for EVERY doc in ``docs``: ``(doc_id, matched_bench_id,
+    jaccard, contaminated)`` where matched_bench_id is the best hit
+    (max round-6 Jaccard, then lowest bench id — deterministic) or NULL,
+    and jaccard is 0.0 for clean docs.
+
+    Scale shape: the eval side is benchmark-sized by definition, so its
+    per-doc shingle set and sizes travel by BROADCAST — the intersection
+    counts come from one linear pass over the train shingles (explode ->
+    broadcast hash join -> one (doc, bench) hash-agg); no corpus-wide
+    pair join and no LSH needed (banding only pays when the candidate
+    side cannot broadcast, which an eval set always can). One further
+    shuffle ranks hits per doc. Jaccard divisions are exact integer /
+    integer snapped to the round-6 grid — cross-engine value-exact.
+    """
+    if shingle_n < 1:
+        raise ValueError("shingle_n must be >= 1")
+    tsh = _doc_ngrams(docs, shingle_n, text_col)
+    bsh = _doc_ngrams(bench, shingle_n, text_col) \
+        .select(F.col("doc_id").alias("bench_id"), "ngram")
+    t_sizes = tsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_t"))
+    b_sizes = bsh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("sz_b"))
+    inter = (tsh.join(F.broadcast(bsh), "ngram")
+             .groupBy("doc_id", "bench_id")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    j = (inter.join(t_sizes, "doc_id").join(F.broadcast(b_sizes), "bench_id")
+         .withColumn("jaccard", F.round(
+             F.col("inter").cast("double")
+             / (F.col("sz_t") + F.col("sz_b") - F.col("inter")), 6))
+         .filter(F.col("jaccard") >= threshold))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("bench_id").asc())
+    best = (j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("bench_id").alias("matched_bench_id"),
+                    F.col("jaccard").alias("best_j")))
+    return (docs.select("doc_id").join(best, "doc_id", "left")
+            .select("doc_id", "matched_bench_id",
+                    F.coalesce("best_j", F.lit(0.0)).alias("jaccard"),
+                    F.col("matched_bench_id").isNotNull()
+                     .alias("contaminated")))
