@@ -1434,6 +1434,17 @@ def q_sample_stratified(spark, sf_dir):
         "doc_id", "source", "draw_rank")
 
 
+def q_shuffle_export(spark, sf_dir):
+    """Deterministic global shuffle order (training-export step):
+    contiguous shuffle_pos following (knuth_hash(doc_id + 7), doc_id) —
+    computed WITHOUT a single-reducer global window (range partition +
+    local rank + broadcast offsets). Oracle: the one-window SQL spelling
+    row_number() OVER (ORDER BY h, doc_id) - 1."""
+    from yatsm_spark.operators.sampling import global_shuffle
+
+    return global_shuffle(_t(spark, sf_dir, "documents"), seed=7)
+
+
 def q_decontaminate_fuzzy(spark, sf_dir):
     """Fuzzy decontamination: exact word-3-shingle Jaccard of every
     train doc vs the broadcast 5% Knuth-hash eval split, best hit per
@@ -2165,6 +2176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dup_ngram_spans": q_dup_ngram_spans,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "shuffle_export": q_shuffle_export,
         "dedup_components": q_dedup_components,
         "simhash": q_simhash,
         "token_counts": q_token_counts,
@@ -4261,6 +4273,13 @@ def oracle_sql() -> dict[str, str]:
         # 5% Knuth-hash holdout as the 'eval set' (threshold
         # int(0.05 * 2^32) = 214748364, matching sample_hash); per-doc
         # DISTINCT 3-grams; counts are pure integers.
+        "shuffle_export": """
+            SELECT doc_id,
+                   (row_number() OVER (
+                      ORDER BY (doc_id + 7) * 2654435761 % 4294967296,
+                               doc_id) - 1)::long AS shuffle_pos
+            FROM documents
+        """,
         "decontaminate_fuzzy": """
             WITH toks AS (
               SELECT doc_id,

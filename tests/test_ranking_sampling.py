@@ -238,3 +238,43 @@ def test_sample_mixture_contract_errors(spark):
     # weights naming only absent strata -> empty frame, stable schema
     out = sample_mixture(df, {"zzz": 1.0}, 10)
     assert out.count() == 0 and "mix_rate" in out.columns
+
+
+def test_global_shuffle_matches_local_order(spark):
+    """Positions are contiguous 0..n-1 and follow (knuth_hash, id) —
+    verified against a locally computed total order, with enough
+    partitions that the broadcast-offset arithmetic is actually
+    exercised."""
+    from yatsm_spark.operators.sampling import global_shuffle
+
+    ids = list(range(211))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r.shuffle_pos
+           for r in global_shuffle(df, seed=7, n_parts=8).collect()}
+    want_order = sorted(ids, key=lambda i: (((i + 7) * 2654435761) % 4294967296, i))
+    assert got == {i: p for p, i in enumerate(want_order)}
+
+
+def test_global_shuffle_deterministic_and_seeded(spark):
+    from yatsm_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(97)], "doc_id long")
+    a = sorted(map(tuple, global_shuffle(df, seed=1, n_parts=5).collect()))
+    b = sorted(map(tuple, global_shuffle(df, seed=1, n_parts=3).collect()))
+    c = sorted(map(tuple, global_shuffle(df, seed=2, n_parts=5).collect()))
+    assert a == b          # n_parts is a physical knob, not a semantic one
+    assert a != c          # seed changes the order
+
+
+def test_global_shuffle_plan_has_no_global_window(spark):
+    """The scale contract: a range exchange, never a single-partition
+    global sort window."""
+    from yatsm_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    plan = global_shuffle(df, n_parts=4)._jdf.queryExecution() \
+        .executedPlan().toString().lower()
+    # the rank window is PARTITIONED by the range-partition id (parallel),
+    # and nothing in the plan collapses to a single partition
+    assert "windowspecdefinition(_part" in plan
+    assert "singlepartition" not in plan

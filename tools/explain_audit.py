@@ -115,6 +115,14 @@ def main():
         ("no cartesian product (bucketed candidates only)", "CartesianProduct", False),
         ("no Python anywhere", "EvalPython", False),
     ])
+    audit("shuffle_export (two-phase global order)",
+          qs["shuffle_export"](spark, SF_DIR), [
+        ("rank window partitioned by the range-partition id (parallel)",
+         "windowspecdefinition(_part", True),
+        ("never collapses to one reducer", "SinglePartition", False),
+        ("offsets broadcast back", "BroadcastHashJoin", True),
+        ("no Python anywhere", "EvalPython", False),
+    ])
     audit("decontaminate_fuzzy (broadcast-eval Jaccard)",
           qs["decontaminate_fuzzy"](spark, SF_DIR), [
         ("eval shingles broadcast to the train side", "BroadcastHashJoin", True),

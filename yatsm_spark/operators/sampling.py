@@ -113,3 +113,57 @@ def sample_mixture(df: DataFrame, weights: dict[str, float], total: int,
     thresh = F.floor(F.col("mix_rate") * F.lit(float(_MOD)))
     return (df.join(rate_df, stratum_col)
               .filter(_hash_col(id_col) < thresh))
+
+
+def global_shuffle(df: DataFrame, seed: int = 0, id_col: str = "doc_id",
+                   n_parts: int | None = None) -> DataFrame:
+    """Deterministic global shuffle order for training-data export:
+    assigns every row a contiguous ``shuffle_pos`` in 0..n-1 following
+    the pseudo-random total order (knuth_hash(id + seed), id) — the
+    "shuffle the corpus once, stream it in order" step every pre-training
+    data loader wants, reproducible with no RNG state.
+
+    Scale shape — this is the operator where the naive spelling breaks:
+    ``row_number() OVER (ORDER BY h)`` with no PARTITION BY collapses the
+    whole table into ONE reducer. Instead: (1) repartitionByRange on the
+    order key — range partition i holds strictly smaller keys than i+1;
+    (2) per-partition local rank (window partitioned by the range
+    partition id — parallel); (3) per-partition counts (one tiny agg,
+    <= n_parts rows on the driver) turned into cumulative offsets and
+    broadcast-joined back; pos = offset + local_rank - 1. Every stage is
+    corpus-parallel; the only driver state is n_parts integers. The
+    assignment (id -> pos) is independent of where Spark's sampled range
+    boundaries land, because concatenating sorted ranges in range order
+    IS the global sort order.
+
+    Oracle: ``row_number() OVER (ORDER BY h, id) - 1`` in DuckDB —
+    tractable at sf0.01, which is exactly why the operator's contract is
+    SQL-checkable while its plan is not the SQL plan.
+    """
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = spark.sparkContext.defaultParallelism
+    key = F.pmod((F.col(id_col) + F.lit(int(seed))) * F.lit(_KNUTH),
+                 F.lit(_MOD)).alias("_h")
+    # localCheckpoint pins ONE materialization: the counts collected below
+    # and the window pass must see identical partition contents (range
+    # boundaries come from sampling; recomputing the exchange could place
+    # them differently and silently shift every offset).
+    d = (df.select(F.col(id_col), key)
+         .repartitionByRange(n_parts, F.col("_h"), F.col(id_col))
+         .withColumn("_part", F.spark_partition_id())
+         .localCheckpoint())
+    counts = (d.groupBy("_part").agg(F.count(F.lit(1)).alias("_c"))
+              .orderBy("_part").collect())
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r._part] = acc
+        acc += r._c
+    off = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "_part int, _off long")
+    w = Window.partitionBy("_part").orderBy(F.col("_h"), F.col(id_col))
+    return (d.withColumn("_rn", F.row_number().over(w))
+            .join(F.broadcast(off), "_part")
+            .select(F.col(id_col),
+                    (F.col("_off") + F.col("_rn") - 1).alias("shuffle_pos")))
