@@ -265,6 +265,8 @@ def main():
     import __spark_entry__ as e
 
     for name in ("tpch_q1", "events_rollup_1m", "order_lineitem_interval",
+                 "semdedup", "dup_ngram_spans", "decontaminate_fuzzy",
+                 "shuffle_export",
                  "minhash_pairs", "cosine_topk", "simhash", "quality",
                  "bm25_topk", "hll_distinct", "curate_corpus",
                  "pca_project", "pq_adc_topk", "zorder_events",
