@@ -1434,6 +1434,16 @@ def q_sample_stratified(spark, sf_dir):
         "doc_id", "source", "draw_rank")
 
 
+def q_lm_score(spark, sf_dir):
+    """CCNet-style perplexity-proxy quality signal: corpus-self unigram
+    LM avg log-prob per doc. ln() snapped to integer micro-units per
+    occurrence before the per-doc sum (BM25 discipline), final mean is
+    one round-6 snapped division — cross-engine value-exact."""
+    from yatsm_spark.operators.textstats import lm_unigram_score
+
+    return lm_unigram_score(_t(spark, sf_dir, "documents"))
+
+
 def q_shuffle_export(spark, sf_dir):
     """Deterministic global shuffle order (training-export step):
     contiguous shuffle_pos following (knuth_hash(doc_id + 7), doc_id) —
@@ -2177,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_spans": q_dup_ngram_spans,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "shuffle_export": q_shuffle_export,
+        "lm_score": q_lm_score,
         "dedup_components": q_dedup_components,
         "simhash": q_simhash,
         "token_counts": q_token_counts,
@@ -4273,6 +4284,25 @@ def oracle_sql() -> dict[str, str]:
         # 5% Knuth-hash holdout as the 'eval set' (threshold
         # int(0.05 * 2^32) = 214748364, matching sample_hash); per-doc
         # DISTINCT 3-grams; counts are pure integers.
+        "lm_score": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                        x -> x <> '')) AS word
+              FROM documents),
+            c AS (SELECT word, count(*)::long AS cnt FROM w GROUP BY 1),
+            t AS (SELECT sum(cnt)::double AS total FROM c),
+            s AS (SELECT w.doc_id,
+                         floor(ln(c.cnt::double / t.total) * 1e6 + 0.5)::long AS lp
+                  FROM w JOIN c USING (word) CROSS JOIN t),
+            p AS (SELECT doc_id, count(*)::long AS n_tokens,
+                         sum(lp)::long AS lp_sum
+                  FROM s GROUP BY 1)
+            SELECT d.doc_id, coalesce(p.n_tokens, 0)::long AS n_tokens,
+                   CASE WHEN p.n_tokens > 0
+                        THEN round(p.lp_sum / 1e6 / p.n_tokens, 6) END AS avg_logprob
+            FROM (SELECT doc_id FROM documents) d LEFT JOIN p USING (doc_id)
+        """,
         "shuffle_export": """
             SELECT doc_id,
                    (row_number() OVER (

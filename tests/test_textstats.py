@@ -78,3 +78,31 @@ def test_simhash_matches_oracle_on_vertical_tab(hostile):
 
     sdf, con = hostile
     _assert_engines_agree(simhash16(sdf), con, _oracle("simhash"))
+
+
+def test_lm_unigram_score_hand_computed(spark):
+    """counts: a=2 b=2 c=1 over total 5 -> doc0 avg = ln(0.4) exactly,
+    doc1 = mean(ln 0.4, ln 0.2); empty doc -> 0 tokens, NULL score."""
+    import math
+
+    from yatsm_spark.operators.textstats import lm_unigram_score
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c"), (2, "")], "doc_id long, text string")
+    got = {r.doc_id: r for r in lm_unigram_score(docs).collect()}
+    assert got[0].n_tokens == 3 and got[1].n_tokens == 2
+    assert got[0].avg_logprob == pytest.approx(math.log(0.4), abs=2e-6)
+    assert got[1].avg_logprob == pytest.approx(
+        (math.log(0.4) + math.log(0.2)) / 2, abs=2e-6)
+    assert got[2].n_tokens == 0 and got[2].avg_logprob is None
+
+
+def test_lm_unigram_score_rare_vocab_scores_lower(spark):
+    from yatsm_spark.operators.textstats import lm_unigram_score
+
+    docs = spark.createDataFrame(
+        [(i, "the common words appear everywhere") for i in range(9)]
+        + [(9, "zxqv jkwp mmzt unique gibberish")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.avg_logprob for r in lm_unigram_score(docs).collect()}
+    assert got[9] < got[0]  # rare vocabulary -> more negative score

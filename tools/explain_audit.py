@@ -115,6 +115,13 @@ def main():
         ("no cartesian product (bucketed candidates only)", "CartesianProduct", False),
         ("no Python anywhere", "EvalPython", False),
     ])
+    audit("lm_score (unigram LM quality signal)",
+          qs["lm_score"](spark, SF_DIR), [
+        ("word LM counts partially aggregated map-side", "partial_count", True),
+        ("no Python anywhere", "EvalPython", False),
+        ("no cartesian product (1-row total is a broadcast NL join)",
+         "CartesianProduct", False),
+    ])
     audit("shuffle_export (two-phase global order)",
           qs["shuffle_export"](spark, SF_DIR), [
         ("rank window partitioned by the range-partition id (parallel)",

@@ -185,3 +185,53 @@ def redact_pii(docs: DataFrame, text_col: str = "text",
             df = df.withColumn(f"n_{name}",
                                F.regexp_count(t, F.lit(pat)).cast("long"))
     return df
+
+
+def lm_unigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-self unigram language-model score per document — the
+    perplexity-style quality signal of CCNet (Wenzek et al. 2020,
+    arXiv:1911.00359), proxied with a self-trained unigram LM instead of
+    an external KenLM (no model files in this environment; production
+    would train the counts on a held-out reference corpus and add OOV
+    smoothing — self-training makes every word in-vocabulary by
+    construction).
+
+    Per doc: ``avg_logprob`` = mean over token occurrences of
+    ``ln(count(w) / total_tokens)``. Low (very negative) = rare/garbage
+    vocabulary; high = prototypical corpus text. Returns
+    ``(doc_id, n_tokens, avg_logprob)``; docs with zero tokens carry
+    NULL avg_logprob.
+
+    Scale shape: tokenize + explode (linear, text pruned immediately),
+    ONE (word) hash agg for the LM counts (vocabulary-sized output,
+    partial agg map-side), one join back on word (vocabulary side left
+    to AQE: broadcasts while it fits), one (doc) hash agg. Cross-engine
+    exactness: the only transcendental is ln(), snapped per OCCURRENCE
+    to integer micro-units (floor(x * 1e6 + 0.5) as long — the BM25
+    discipline from operators/ranking.py) BEFORE the per-doc sum, so
+    long addition makes the total order-independent; the final mean is
+    one double division of exact integers, round-6 snapped.
+    """
+    from yatsm_spark.operators.ranking import TOKEN_SPLIT
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                    lambda t: t != "")
+    words = (docs.select("doc_id", toks.alias("toks"))
+             .select("doc_id", F.explode("toks").alias("word")))
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    micro = F.floor(
+        F.log(F.col("cnt").cast("double") / F.col("total")) * 1e6 + 0.5
+    ).cast("long")
+    scored = (words.join(counts, "word").crossJoin(F.broadcast(total))
+              .select("doc_id", micro.alias("lp_micro")))
+    per_doc = (scored.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum("lp_micro").alias("lp_sum")))
+    return (docs.select("doc_id").join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+                F.when(F.col("n_tokens") > 0,
+                       F.round(F.col("lp_sum") / 1e6 / F.col("n_tokens"), 6))
+                 .alias("avg_logprob")))
