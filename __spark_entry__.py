@@ -1434,6 +1434,20 @@ def q_sample_stratified(spark, sf_dir):
         "doc_id", "source", "draw_rank")
 
 
+def q_curate_training(spark, sf_dir):
+    """Round-5 curation signals composed: train-split unigram-LM score,
+    train-split dup-span ratio, fuzzy decontam vs the 5% holdout, and
+    the combined keep decision (lm >= -3.45, dup_ratio <= 0.5, not
+    contaminated — thresholds chosen to FIRE on this corpus). Oracle:
+    the three signal pipelines replayed as CTEs over the same Knuth
+    split and joined."""
+    from yatsm_spark.operators.curate import curate_training_set
+
+    return curate_training_set(_t(spark, sf_dir, "documents"),
+                               bench_rate=0.05, dup_ratio_max=0.5,
+                               min_avg_logprob=-3.45, fuzzy_threshold=0.5)
+
+
 def q_lm_score(spark, sf_dir):
     """CCNet-style perplexity-proxy quality signal: corpus-self unigram
     LM avg log-prob per doc. ln() snapped to integer micro-units per
@@ -2188,6 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "shuffle_export": q_shuffle_export,
         "lm_score": q_lm_score,
+        "curate_training": q_curate_training,
         "dedup_components": q_dedup_components,
         "simhash": q_simhash,
         "token_counts": q_token_counts,
@@ -4284,6 +4299,75 @@ def oracle_sql() -> dict[str, str]:
         # 5% Knuth-hash holdout as the 'eval set' (threshold
         # int(0.05 * 2^32) = 214748364, matching sample_hash); per-doc
         # DISTINCT 3-grams; counts are pure integers.
+        "curate_training": """
+            WITH train AS (
+              SELECT * FROM documents
+              WHERE NOT ((doc_id * 2654435761) % 4294967296 < 214748364)),
+            -- unigram LM over the TRAIN split
+            lw AS (SELECT doc_id,
+                          unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                             x -> x <> '')) AS word
+                   FROM train),
+            lc AS (SELECT word, count(*)::long AS cnt FROM lw GROUP BY 1),
+            lt AS (SELECT sum(cnt)::double AS total FROM lc),
+            ls AS (SELECT lw.doc_id,
+                          floor(ln(lc.cnt::double / lt.total) * 1e6 + 0.5)::long AS lp
+                   FROM lw JOIN lc USING (word) CROSS JOIN lt),
+            lp AS (SELECT doc_id, count(*)::long AS n_tokens,
+                          sum(lp)::long AS lp_sum FROM ls GROUP BY 1),
+            lm AS (SELECT t.doc_id,
+                          CASE WHEN lp.n_tokens > 0
+                               THEN round(lp.lp_sum / 1e6 / lp.n_tokens, 6)
+                          END AS avg_logprob
+                   FROM (SELECT doc_id FROM train) t LEFT JOIN lp USING (doc_id)),
+            -- dup 5-gram spans within the TRAIN split
+            dw AS (SELECT doc_id,
+                          string_split(lower(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS w
+                   FROM train),
+            db AS (SELECT doc_id, w, len(w)::int AS n_words,
+                          (greatest(len(w) - 5, 0) + 1)::int AS n_grams FROM dw),
+            dg AS (SELECT doc_id, (i - 1)::int AS pos,
+                          array_to_string(w[i:i+4], ' ') AS gram
+                   FROM db, unnest(generate_series(1, greatest(len(w) - 5, 0) + 1)) AS t(i)),
+            ddup AS (SELECT gram FROM dg GROUP BY gram HAVING count(*) >= 2),
+            dd AS (SELECT dg.doc_id, count(*)::long AS n_dup
+                   FROM dg JOIN ddup USING (gram) GROUP BY 1),
+            spans AS (SELECT db.doc_id,
+                             round(coalesce(dd.n_dup, 0)::double / db.n_grams, 6) AS dup_ratio
+                      FROM db LEFT JOIN dd USING (doc_id)),
+            -- fuzzy decontam vs the 5% holdout
+            ftk AS (SELECT doc_id,
+                           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                       x -> x <> '') AS t
+                    FROM documents),
+            fgr AS (SELECT doc_id,
+                           unnest(list_distinct(
+                             [array_to_string(list_slice(t, i, i + 2), ' ')
+                              for i in range(1, len(t) - 1)])) AS ngram
+                    FROM ftk WHERE len(t) >= 3),
+            fbg AS (SELECT doc_id AS bench_id, ngram FROM fgr
+                    WHERE (doc_id * 2654435761) % 4294967296 < 214748364),
+            ftg AS (SELECT doc_id, ngram FROM fgr
+                    WHERE NOT ((doc_id * 2654435761) % 4294967296 < 214748364)),
+            ftz AS (SELECT doc_id, count(*)::long AS sz_t FROM ftg GROUP BY 1),
+            fbz AS (SELECT bench_id, count(*)::long AS sz_b FROM fbg GROUP BY 1),
+            fi AS (SELECT t.doc_id, b.bench_id, count(*)::long AS inter
+                   FROM ftg t JOIN fbg b USING (ngram) GROUP BY 1, 2),
+            fj AS (SELECT fi.doc_id
+                   FROM fi JOIN ftz USING (doc_id) JOIN fbz USING (bench_id)
+                   WHERE round(fi.inter::double / (ftz.sz_t + fbz.sz_b - fi.inter), 6) >= 0.5),
+            fz AS (SELECT t.doc_id, fj.doc_id IS NOT NULL AS fuzzy_contaminated
+                   FROM (SELECT doc_id FROM train) t
+                   LEFT JOIN (SELECT DISTINCT doc_id FROM fj) fj USING (doc_id))
+            SELECT lm.doc_id, lm.avg_logprob, spans.dup_ratio,
+                   fz.fuzzy_contaminated,
+                   (lm.avg_logprob IS NOT NULL AND lm.avg_logprob >= -3.45) AS lm_keep,
+                   (spans.dup_ratio <= 0.5) AS dup_keep,
+                   ((lm.avg_logprob IS NOT NULL AND lm.avg_logprob >= -3.45)
+                    AND spans.dup_ratio <= 0.5
+                    AND NOT fz.fuzzy_contaminated) AS kept
+            FROM lm JOIN spans USING (doc_id) JOIN fz USING (doc_id)
+        """,
         "lm_score": """
             WITH w AS (
               SELECT doc_id,

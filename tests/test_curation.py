@@ -297,3 +297,23 @@ def test_decontaminate_fuzzy_bench_side_broadcast(train, bench):
     plan = decontaminate_fuzzy(train, bench)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_curate_training_set_flag_consistency(spark):
+    """kept must be exactly lm_keep AND dup_keep AND NOT contaminated,
+    over the real Knuth split (both sides non-empty for ids 0..39)."""
+    from yatsm_spark.operators.curate import curate_training_set
+
+    bench_ids = {i for i in range(40)
+                 if (i * 2654435761) % 4294967296 < 214748364}
+    assert bench_ids and len(bench_ids) < 40
+    docs = spark.createDataFrame(
+        [(i, f"common words here tail{i % 7} more filler text") for i in range(40)],
+        "doc_id long, text string")
+    rows = curate_training_set(docs, min_avg_logprob=-99.0).collect()
+    assert len(rows) == 40 - len(bench_ids)
+    for r in rows:
+        assert r.doc_id not in bench_ids
+        assert r.kept == (r.lm_keep and r.dup_keep
+                          and not r.fuzzy_contaminated)
+        assert r.avg_logprob is not None and r.lm_keep

@@ -115,6 +115,13 @@ def main():
         ("no cartesian product (bucketed candidates only)", "CartesianProduct", False),
         ("no Python anywhere", "EvalPython", False),
     ])
+    audit("curate_training (composed round-5 signals)",
+          qs["curate_training"](spark, SF_DIR), [
+        ("no Python anywhere", "EvalPython", False),
+        ("no cartesian product", "CartesianProduct", False),
+        ("final assembly joins move ids+scalars, text pruned upstream",
+         "ReadSchema", True),
+    ])
     audit("lm_score (unigram LM quality signal)",
           qs["lm_score"](spark, SF_DIR), [
         ("word LM counts partially aggregated map-side", "partial_count", True),

@@ -92,3 +92,50 @@ def curate_corpus(docs: DataFrame, bench_rate: float = 0.05,
         (f("neardup_kept")
          & (F.coalesce("n_contaminated_ngrams", F.lit(1)) == 0))
         .alias("kept"))
+
+
+def curate_training_set(docs: DataFrame, bench_rate: float = 0.05,
+                        dup_ratio_max: float = 0.5,
+                        min_avg_logprob: float = -9.0,
+                        fuzzy_threshold: float = 0.5, span_n: int = 5,
+                        text_col: str = "text") -> DataFrame:
+    """The round-5 curation signals composed into one per-train-doc
+    decision table: unigram-LM quality (lm_unigram_score, trained on the
+    TRAIN split only — the eval slice must not shape the LM),
+    duplicated-substring coverage (dup_ngram_spans, counted within the
+    train split), and fuzzy decontamination vs the broadcast holdout
+    (decontaminate_fuzzy). Complements :func:`curate_corpus` (quality /
+    exact-dup / near-dup-CC / exact decontam) with the
+    similarity-and-statistics layer.
+
+    Returns (doc_id, avg_logprob, dup_ratio, fuzzy_contaminated,
+    lm_keep, dup_keep, kept) for every TRAIN doc; kept = lm_keep AND
+    dup_keep AND NOT fuzzy_contaminated. All three signals are snapped
+    (round-6 / integer micro-units), so thresholding is value-exact
+    cross-engine.
+
+    Scale shape: pure composition — each input operator documents its
+    own shuffle story; the final assembly is two doc_id equi-joins
+    moving only id + a few scalars, never text.
+    """
+    from yatsm_spark.operators.decontam import decontaminate_fuzzy
+    from yatsm_spark.operators.dedup import dup_ngram_spans
+    from yatsm_spark.operators.textstats import lm_unigram_score
+
+    bench = sample_hash(docs, bench_rate)
+    train = sample_hash(docs, bench_rate, complement=True)
+    lm = lm_unigram_score(train, text_col).select("doc_id", "avg_logprob")
+    spans = dup_ngram_spans(train, n=span_n, min_count=2,
+                            text_col=text_col).select("doc_id", "dup_ratio")
+    fz = decontaminate_fuzzy(train, bench, shingle_n=3,
+                             threshold=fuzzy_threshold, text_col=text_col) \
+        .select("doc_id", F.col("contaminated").alias("fuzzy_contaminated"))
+    lm_keep = F.col("avg_logprob").isNotNull() \
+        & (F.col("avg_logprob") >= min_avg_logprob)
+    dup_keep = F.col("dup_ratio") <= dup_ratio_max
+    return (lm.join(spans, "doc_id").join(fz, "doc_id")
+            .select("doc_id", "avg_logprob", "dup_ratio",
+                    "fuzzy_contaminated",
+                    lm_keep.alias("lm_keep"), dup_keep.alias("dup_keep"))
+            .withColumn("kept", F.col("lm_keep") & F.col("dup_keep")
+                        & ~F.col("fuzzy_contaminated")))
