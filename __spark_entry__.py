@@ -1458,6 +1458,21 @@ def q_lm_score(spark, sf_dir):
     return lm_unigram_score(_t(spark, sf_dir, "documents"))
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Full Gopher rule battery (Rae 2021 §A1.1.2): word count, mean word
+    length, symbol ratio, bullet/ellipsis line fractions, alpha-word
+    fraction, required stop words, composed keep flag. Pure Catalyst; every
+    ratio an exact int/int double. min_words=5 and min_stops=1 here (the
+    published 50/2 would veto the whole synthetic corpus — its narrow
+    vocabulary carries at most one Gopher stop word per doc — and a
+    constant flag hides rule regressions; with 5/1 the corpus splits
+    ~76/24 keep/drop)."""
+    from yatsm_spark.operators.textstats import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"), min_words=5,
+                        min_stops=1)
+
+
 def q_shuffle_export(spark, sf_dir):
     """Deterministic global shuffle order (training-export step):
     contiguous shuffle_pos following (knuth_hash(doc_id + 7), doc_id) —
@@ -2209,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
         "quality": q_quality,
+        "gopher_rules": q_gopher_rules,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
         "text_repetition": q_text_repetition,
@@ -4386,6 +4402,56 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN p.n_tokens > 0
                         THEN round(p.lp_sum / 1e6 / p.n_tokens, 6) END AS avg_logprob
             FROM (SELECT doc_id FROM documents) d LEFT JOIN p USING (doc_id)
+        """,
+        "gopher_rules": """
+            WITH g AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
+                                 x -> x <> '') AS ws,
+                     string_split(text, chr(10)) AS ls,
+                     ' ' || lower(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) || ' ' AS pad
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     len(ws)::long AS n_words,
+                     greatest(len(ws), 1) AS nw1,
+                     coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::long AS swl,
+                     len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::long AS n_alpha_w,
+                     ((length(text) - length(replace(text, '#', '')))
+                      + (length(text) - length(replace(text, '...', ''))) // 3
+                      + (length(text) - length(replace(text, '…', ''))))::long AS n_sym,
+                     len(ls)::long AS n_lines,
+                     len(list_filter(ls, x ->
+                         starts_with(ltrim(x), '-') OR starts_with(ltrim(x), '*')
+                         OR starts_with(ltrim(x), '•') OR starts_with(ltrim(x), '‣')
+                         OR starts_with(ltrim(x), '▪')))::long AS n_bullet,
+                     len(list_filter(ls, x ->
+                         rtrim(x) LIKE '%...' OR rtrim(x) LIKE '%…'))::long AS n_ellip,
+                     ((CASE WHEN contains(pad, ' the ') THEN 1 ELSE 0 END)
+                      + (CASE WHEN contains(pad, ' be ') THEN 1 ELSE 0 END)
+                      + (CASE WHEN contains(pad, ' to ') THEN 1 ELSE 0 END)
+                      + (CASE WHEN contains(pad, ' of ') THEN 1 ELSE 0 END)
+                      + (CASE WHEN contains(pad, ' and ') THEN 1 ELSE 0 END)
+                      + (CASE WHEN contains(pad, ' that ') THEN 1 ELSE 0 END)
+                      + (CASE WHEN contains(pad, ' have ') THEN 1 ELSE 0 END)
+                      + (CASE WHEN contains(pad, ' with ') THEN 1 ELSE 0 END))::long AS n_stops
+              FROM g)
+            SELECT doc_id::long AS doc_id,
+                   n_words AS g_n_words,
+                   round(swl::double / nw1, 6) AS g_mean_word_len,
+                   round(n_sym::double / nw1, 6) AS g_symbol_ratio,
+                   round(n_bullet::double / n_lines, 6) AS g_bullet_frac,
+                   round(n_ellip::double / n_lines, 6) AS g_ellipsis_frac,
+                   round(n_alpha_w::double / nw1, 6) AS g_alpha_word_frac,
+                   n_stops AS g_n_stopwords,
+                   (n_words >= 5 AND n_words <= 100000
+                    AND swl::double / nw1 >= 3.0 AND swl::double / nw1 <= 10.0
+                    AND n_sym::double / nw1 <= 0.1
+                    AND n_bullet::double / n_lines <= 0.9
+                    AND n_ellip::double / n_lines <= 0.3
+                    AND n_alpha_w::double / nw1 >= 0.8
+                    AND n_stops >= 1) AS gopher_keep
+            FROM s
         """,
         "shuffle_export": """
             SELECT doc_id,

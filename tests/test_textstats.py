@@ -106,3 +106,71 @@ def test_lm_unigram_score_rare_vocab_scores_lower(spark):
         "doc_id long, text string")
     got = {r.doc_id: r.avg_logprob for r in lm_unigram_score(docs).collect()}
     assert got[9] < got[0]  # rare vocabulary -> more negative score
+
+
+GOPHER_DOCS = pd.DataFrame({
+    "doc_id": list(range(7)),
+    "text": [
+        # passes every rule (>=5 words, sane shape, stop words present)
+        "the cat and the dog have played with that ball of yarn",
+        # bullet-heavy: every line starts with a bullet marker
+        "- first item\n* second item\n  • third item",
+        # ellipsis-heavy lines (both ASCII and typographic)
+        "trailing off...\nagain…\nand more...",
+        # symbol soup: '#' dominates the word count
+        "## ### # tags # everywhere #",
+        # numeric words: fails the >=80% alphabetic-word rule
+        "1 2 3 4 5 6 7 8 9 10",
+        # empty text: zero words, one line, no stops
+        "",
+        # too few words for min_words=5
+        "tiny doc here",
+    ],
+})
+
+
+def test_gopher_rules_hand_computed(spark):
+    from yatsm_spark.operators.textstats import gopher_rules
+
+    sdf = spark.createDataFrame(GOPHER_DOCS)
+    got = {r["doc_id"]: r.asDict()
+           for r in gopher_rules(sdf, min_words=5).collect()}
+
+    assert got[0]["gopher_keep"] is True
+    assert got[0]["g_n_stopwords"] >= 2
+
+    # bullets: 3/3 lines start with a bullet -> fraction 1.0 > 0.9 -> drop
+    assert got[1]["g_bullet_frac"] == 1.0
+    assert got[1]["gopher_keep"] is False
+
+    # ellipses: 3/3 lines end with one (incl. '…') -> 1.0 > 0.3 -> drop
+    assert got[2]["g_ellipsis_frac"] == 1.0
+    assert got[2]["gopher_keep"] is False
+
+    # '#' count / n_words = 6/7 > 0.1 -> drop
+    assert got[3]["g_symbol_ratio"] > 0.1
+    assert got[3]["gopher_keep"] is False
+
+    # 0/10 words contain a letter -> alpha fraction 0.0 < 0.8 -> drop
+    assert got[4]["g_alpha_word_frac"] == 0.0
+    assert got[4]["gopher_keep"] is False
+
+    # empty text: 0 words, 1 line, no crash, drop
+    assert got[5]["g_n_words"] == 0
+    assert got[5]["gopher_keep"] is False
+
+    # 3 words < min_words=5 -> drop even though otherwise clean
+    assert got[6]["g_n_words"] == 3
+    assert got[6]["gopher_keep"] is False
+
+
+def test_gopher_rules_match_oracle_on_hostile_and_shaped_text(spark):
+    docs = pd.concat([HOSTILE_DOCS, GOPHER_DOCS.assign(doc_id=GOPHER_DOCS.doc_id + 100)],
+                     ignore_index=True)
+    from yatsm_spark.operators.textstats import gopher_rules
+
+    sdf = spark.createDataFrame(docs)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    _assert_engines_agree(gopher_rules(sdf, min_words=5, min_stops=1),
+                          con, _oracle("gopher_rules"))

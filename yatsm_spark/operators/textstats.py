@@ -235,3 +235,102 @@ def lm_unigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 F.when(F.col("n_tokens") > 0,
                        F.round(F.col("lp_sum") / 1e6 / F.col("n_tokens"), 6))
                  .alias("avg_logprob")))
+
+
+#: Gopher required stop words (Rae et al. 2021, arXiv:2112.11446 §A1.1.2):
+#: a document must contain at least 2 of these to pass the rule battery.
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: Bullet prefixes / ellipsis suffixes for the line-shape rules. ASCII plus
+#: the common typographic forms; shared verbatim with the oracle SQL.
+GOPHER_BULLETS = ("-", "*", "•", "‣", "▪")
+GOPHER_ELLIPSES = ("...", "…")
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_stops: int = 2) -> DataFrame:
+    """The full Gopher quality-rule battery (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1.2) as per-document signals plus the composed
+    keep flag — the published thresholds, unlike the simplified composite
+    in :func:`quality_scores`:
+
+    1. word count in [min_words, max_words] (paper: 50..100,000)
+    2. mean word length in [3, 10] characters
+    3. symbol-to-word ratio (# and ellipsis) <= 0.1
+    4. <= 90% of lines start with a bullet
+    5. <= 30% of lines end with an ellipsis
+    6. >= 80% of words contain at least one alphabetic character
+    7. at least min_stops of the 8 required stop words present
+       (paper: 2; corpora with a narrow synthetic vocabulary need 1
+       for the flag to discriminate at all)
+
+    Pure Catalyst (split/filter/aggregate array lambdas + length
+    arithmetic — no regex beyond the whitespace class, no Python). One
+    linear scan, zero shuffles; every ratio is an exact int/int double so
+    the DuckDB oracle twin is value-identical. Line fractions use literal
+    '\\n' splitting; word splitting uses the shared explicit WS_CLASS.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(F.trim(t), WS_CLASS + "+"), lambda w: w != F.lit(""))
+    n_words = F.size(words).cast("long")
+    nw1 = F.greatest(n_words, F.lit(1))
+    sum_word_len = F.aggregate(words, F.lit(0).cast("long"),
+                               lambda acc, w: acc + F.length(w))
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("long")
+
+    def _count_lit(needle: str):
+        return ((F.length(t) - F.length(F.replace(t, F.lit(needle), F.lit(""))))
+                / len(needle)).cast("long")
+
+    n_symbols = _count_lit("#") + sum(_count_lit(e) for e in GOPHER_ELLIPSES)
+
+    lines = F.split(t, "\n", -1)
+    n_lines = F.size(lines).cast("long")
+
+    def _starts_bullet(line):
+        l = F.ltrim(line)
+        cond = l.startswith(GOPHER_BULLETS[0])
+        for b in GOPHER_BULLETS[1:]:
+            cond = cond | l.startswith(b)
+        return cond
+
+    def _ends_ellipsis(line):
+        l = F.rtrim(line)
+        cond = l.endswith(GOPHER_ELLIPSES[0])
+        for e in GOPHER_ELLIPSES[1:]:
+            cond = cond | l.endswith(e)
+        return cond
+
+    n_bullet = F.size(F.filter(lines, _starts_bullet)).cast("long")
+    n_ellip = F.size(F.filter(lines, _ends_ellipsis)).cast("long")
+
+    padded = F.concat(F.lit(" "),
+                      F.lower(F.regexp_replace(t, WS_CLASS + "+", " ")),
+                      F.lit(" "))
+    n_stops = sum(F.when(padded.contains(f" {w} "), F.lit(1)).otherwise(F.lit(0))
+                  for w in GOPHER_STOPS).cast("long")
+
+    mean_wl = sum_word_len.cast("double") / nw1
+    sym_ratio = n_symbols.cast("double") / nw1
+    bullet_frac = n_bullet.cast("double") / n_lines
+    ellip_frac = n_ellip.cast("double") / n_lines
+    alpha_frac = n_alpha_words.cast("double") / nw1
+
+    keep = ((n_words >= min_words) & (n_words <= max_words)
+            & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+            & (sym_ratio <= 0.1)
+            & (bullet_frac <= 0.9) & (ellip_frac <= 0.3)
+            & (alpha_frac >= 0.8)
+            & (n_stops >= min_stops))
+    return docs.select(
+        "doc_id",
+        n_words.alias("g_n_words"),
+        F.round(mean_wl, 6).alias("g_mean_word_len"),
+        F.round(sym_ratio, 6).alias("g_symbol_ratio"),
+        F.round(bullet_frac, 6).alias("g_bullet_frac"),
+        F.round(ellip_frac, 6).alias("g_ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("g_alpha_word_frac"),
+        n_stops.alias("g_n_stopwords"),
+        keep.alias("gopher_keep"),
+    )
