@@ -161,6 +161,22 @@ def q_tx_gapfill_1m(spark, sf_dir):
                       "tool_call_count", "gap_filled")
 
 
+def q_tx_periodogram(spark, sf_dir):
+    """Harmonic power scan over the gap-filled 1m turn-count grid:
+    fraction-of-variance-explained at candidate periods 30/60/120/240
+    minutes plus the dominant-period flag. All moments exact integers
+    (decimal partials); trig tables snapped to micro-units on the driver
+    and shared verbatim with the oracle (tsanalytics.trig_micro_tables),
+    so both engines evaluate one identical double expression."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+    from yatsm_spark.operators.tsanalytics import periodogram
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000100")
+    tier = rollup_gapfilled(with_measures(tx), "1m")
+    return periodogram(tier, periods=(30, 60, 120, 240))
+
+
 def q_tx_locf(spark, sf_dir):
     """Gap-fill value policy: last-observation-carried-forward over the
     NULL-on-gap token_len_sum of the dense 1m tier (operators/tsfuncs.py
@@ -2135,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_reconcile_merge": q_tx_reconcile_merge,
         "tx_retention": q_tx_retention,
         "tx_gapfill_1m": q_tx_gapfill_1m,
+        "tx_periodogram": q_tx_periodogram,
         "tx_locf": q_tx_locf,
         "tx_interp": q_tx_interp,
         "tx_counter_increase": q_tx_counter_increase,
@@ -2676,6 +2693,23 @@ def oracle_sql() -> dict[str, str]:
               FROM fin)
     """.format(tx=tx, slot_m=slot_m)
 
+    # tx_periodogram: per-period trig CASE fragments using the SAME
+    # driver-snapped micro-unit tables as the Spark operator.
+    from yatsm_spark.operators.tsanalytics import trig_micro_tables
+
+    _pg_periods = (30, 60, 120, 240)
+
+    def _pg_case(idx: int) -> str:
+        branches = []
+        for p in _pg_periods:
+            tab = trig_micro_tables(p)[idx]
+            lst = "[" + ",".join(map(str, tab)) + "]"
+            branches.append(f"WHEN {p} THEN ({lst})[(slot % {p}) + 1]")
+        return "CASE period " + " ".join(branches) + " END"
+
+    pg_c, pg_s = _pg_case(0), _pg_case(1)
+    pg_unnest = "[" + ",".join(map(str, _pg_periods)) + "]"
+
     return {
         "tx_rollup_1m": f"""
             SELECT conv_id, {slot_m} AS window_start, {ROLE_COUNTS_SQL}
@@ -2738,6 +2772,47 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(r.tool_call_count, 0)::long AS tool_call_count,
                    (r.conv_id IS NULL) AS gap_filled
             FROM grid g LEFT JOIN r ON g.conv_id = r.conv_id AND g.window_start = r.window_start
+        """,
+        "tx_periodogram": f"""
+            WITH t AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000100'),
+            r AS (
+              SELECT conv_id, {slot_m} AS window_start,
+                     count(*)::long AS turn_count
+              FROM t GROUP BY 1, 2),
+            spans AS (SELECT conv_id, min(window_start) mn, max(window_start) mx
+                      FROM r GROUP BY conv_id),
+            grid AS (SELECT conv_id,
+                            unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS window_start
+                     FROM spans),
+            filled AS (
+              SELECT g.conv_id,
+                     floor(epoch(g.window_start)/60)::bigint AS slot,
+                     coalesce(r.turn_count, 0)::bigint AS x
+              FROM grid g LEFT JOIN r ON g.conv_id = r.conv_id AND g.window_start = r.window_start),
+            e AS (SELECT conv_id, slot, x, unnest({pg_unnest}) AS period FROM filled),
+            w AS (SELECT conv_id, period, x,
+                         ({pg_c})::bigint AS c, ({pg_s})::bigint AS s
+                  FROM e),
+            a AS (SELECT conv_id, period,
+                         count(*)::hugeint AS n, sum(x)::hugeint AS sx,
+                         sum(x*x)::hugeint AS sxx,
+                         sum(c)::hugeint AS sc, sum(s)::hugeint AS ss,
+                         sum(x*c)::hugeint AS sxc, sum(x*s)::hugeint AS sxs,
+                         (sum(c*c) + sum(s*s))::hugeint AS w2
+                  FROM w GROUP BY 1, 2),
+            p AS (SELECT conv_id, period,
+                         CASE WHEN (n*sxx - sx*sx) > 0 AND n >= period*2 THEN
+                           round(2.0 * ((n*sxc - sx*sc)::double * (n*sxc - sx*sc)::double
+                                  + (n*sxs - sx*ss)::double * (n*sxs - sx*ss)::double)
+                                 / ((n::double * (n*sxx - sx*sx)::double) * w2::double), 6)
+                         END AS power
+                  FROM a)
+            SELECT conv_id, period::int AS period, power,
+                   CASE WHEN power IS NOT NULL THEN
+                     (row_number() OVER (PARTITION BY conv_id
+                        ORDER BY power DESC NULLS LAST, period ASC) = 1)
+                   ELSE FALSE END AS dominant
+            FROM p
         """,
         "tx_locf": f"""
             WITH t AS (SELECT * FROM {tx} WHERE conv_id < 'conv00000100'),

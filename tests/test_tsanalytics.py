@@ -310,3 +310,60 @@ def test_sax_candidate_pairs_hot_bucket_cap(spark):
     assert [(r["conv_a"], r["conv_b"]) for r in out] == [("x1", "x2")]
     # cap above it: the hot bucket pairs too (10 choose 2 + 1)
     assert sax_candidate_pairs(w, max_bucket=64).count() == 46
+
+
+# ---------------------------------------------------------------------------
+# periodogram (harmonic power scan)
+
+
+def _pg_tier(spark, values):
+    import datetime as dt
+    rows = [("c1", T0 + dt.timedelta(minutes=i), int(v))
+            for i, v in enumerate(values)]
+    return _tier(spark, rows)
+
+
+def test_periodogram_finds_planted_period(spark):
+    from yatsm_spark.operators.tsanalytics import periodogram
+
+    # 6 full cycles of a period-30 square-ish wave, integer-valued
+    vals = [10 if (i % 30) < 15 else 2 for i in range(180)]
+    out = {r["period"]: r for r in
+           periodogram(_pg_tier(spark, vals), periods=(15, 30, 60)).collect()}
+    assert out[30]["dominant"] is True
+    assert out[30]["power"] > out[15]["power"]
+    assert out[30]["power"] > out[60]["power"]
+    # a strong single-frequency signal explains most of the variance
+    assert out[30]["power"] > 0.5
+
+
+def test_periodogram_constant_series_is_null(spark):
+    from yatsm_spark.operators.tsanalytics import periodogram
+
+    out = periodogram(_pg_tier(spark, [5] * 120), periods=(30,)).collect()
+    assert len(out) == 1
+    assert out[0]["power"] is None
+    assert out[0]["dominant"] is False
+
+
+def test_periodogram_too_few_cycles_is_null(spark):
+    from yatsm_spark.operators.tsanalytics import periodogram
+
+    # 50 slots < 2 full cycles of period 30 -> gated NULL
+    vals = [10 if (i % 30) < 15 else 2 for i in range(50)]
+    out = periodogram(_pg_tier(spark, vals), periods=(30,)).collect()
+    assert out[0]["power"] is None
+
+
+def test_periodogram_phase_invariant(spark):
+    from yatsm_spark.operators.tsanalytics import periodogram
+
+    # shifting the series start (absolute slot offset) must not change
+    # power: |FFT coefficient| is phase-free
+    vals = [10 if (i % 20) < 10 else 2 for i in range(200)]
+    import datetime as dt
+    a = periodogram(_pg_tier(spark, vals), periods=(20,)).collect()[0]
+    rows = [("c1", T0 + dt.timedelta(minutes=7 + i), int(v))
+            for i, v in enumerate(vals)]
+    b = periodogram(_tier(spark, rows), periods=(20,)).collect()[0]
+    assert a["power"] == b["power"]

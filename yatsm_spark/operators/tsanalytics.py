@@ -499,3 +499,107 @@ def distribution_shift(tier: DataFrame, value_col: str = "turn_count",
         by, F.col("n_points"),
         F.when(ok, F.col("_nb") - 1).cast("long").alias("dof"),
         F.when(ok, F.col("_s6").cast("double") / F.lit(1e6)).alias("chi2"))
+
+
+def trig_micro_tables(period: int) -> tuple[list[int], list[int]]:
+    """cos/sin lookup tables for one candidate period, snapped to integer
+    micro-units on the DRIVER (floor(f(2*pi*k/period)*1e6 + 0.5) for
+    k in 0..period-1). Snapping happens once in Python so Spark and the
+    DuckDB oracle consume the SAME integer constants — no dependence on
+    either engine's libm rounding in the last bit."""
+    import math
+
+    cs, sn = [], []
+    for k in range(period):
+        ang = 2.0 * math.pi * k / period
+        cs.append(int(math.floor(math.cos(ang) * 1e6 + 0.5)))
+        sn.append(int(math.floor(math.sin(ang) * 1e6 + 0.5)))
+    return cs, sn
+
+
+def periodogram(tier: DataFrame, periods=(30, 60, 120, 240),
+                value_col: str = "turn_count", by: str = "conv_id",
+                time_col: str = "window_start",
+                slot_seconds: int = 60,
+                min_cycles: int = 2) -> DataFrame:
+    """Harmonic power scan — the dominant-period detector that feeds the
+    engine's harmonic fits (YATSM fixes the seasonal frequency a priori;
+    this measures which candidate frequency the series actually carries).
+
+    For each series and candidate period ``p`` (in slots), the single-
+    frequency Fourier power of the mean-centered series, normalized by
+    total variance so it reads as fraction-of-variance-explained:
+
+        A = n*Sxc - Sx*Sc,  B = n*Sxs - Sx*Ss
+        power = 2 * (A^2 + B^2) / (n * (n*Sxx - Sx^2) * W)
+        W = sum of squared micro-cos + micro-sin table entries over the
+        grid; the factor 2 makes a pure single-frequency tone read 1.0
+        (a square wave reads 8/pi^2 ~ 0.81 at its fundamental)
+
+    computed ONLY from exact integer moments (n, Sx, Sxx, Sc, Ss, Sxc,
+    Sxs — decimal(38,0) partials) with the trig tables pre-snapped to
+    micro-units by :func:`trig_micro_tables`, so the one final double
+    expression is evaluated on identical integers by Spark and the
+    DuckDB oracle. Periods with fewer than ``min_cycles`` full cycles of
+    grid coverage, or zero series variance, emit NULL power.
+
+    Input should be the GAP-FILLED tier (zeros present): absent slots
+    are part of the sampled grid, and a periodogram over a grid with
+    holes mis-weights the trig sums. Scale shape: explode x |periods|
+    (constant factor), ONE (series, period) hash agg with map-side
+    partials, then a tiny window over the aggregated rows for the
+    dominant flag. No UDFs, no collect; the lookup arrays are plan
+    literals."""
+    slot = F.floor(F.col(time_col).cast("double") / F.lit(float(slot_seconds))).cast("long")
+    x = F.col(value_col).cast("long")
+
+    exp = tier.select(
+        F.col(by), slot.alias("_slot"), x.alias("_x"),
+        F.explode(F.array(*[F.lit(int(p)) for p in periods])).alias("period"))
+
+    ccol, scol = None, None
+    for p in periods:
+        cs, sn = trig_micro_tables(p)
+        k = (F.col("_slot") % F.lit(int(p))).cast("int")
+        carr = F.array(*[F.lit(v) for v in cs])
+        sarr = F.array(*[F.lit(v) for v in sn])
+        cc = F.element_at(carr, k + 1).cast("long")
+        ss = F.element_at(sarr, k + 1).cast("long")
+        if ccol is None:
+            ccol = F.when(F.col("period") == p, cc)
+            scol = F.when(F.col("period") == p, ss)
+        else:
+            ccol = ccol.when(F.col("period") == p, cc)
+            scol = scol.when(F.col("period") == p, ss)
+
+    w = exp.select(F.col(by), "period", "_x",
+                   ccol.alias("_c"), scol.alias("_s"))
+    d38 = "decimal(38,0)"
+    agg = w.groupBy(by, "period").agg(
+        F.count(F.lit(1)).cast(d38).alias("_n"),
+        F.sum("_x").cast(d38).alias("_sx"),
+        F.sum(F.col("_x") * F.col("_x")).cast(d38).alias("_sxx"),
+        F.sum("_c").cast(d38).alias("_sc"),
+        F.sum("_s").cast(d38).alias("_ss"),
+        F.sum(F.col("_x") * F.col("_c")).cast(d38).alias("_sxc"),
+        F.sum(F.col("_x") * F.col("_s")).cast(d38).alias("_sxs"),
+        (F.sum(F.col("_c") * F.col("_c")) + F.sum(F.col("_s") * F.col("_s")))
+        .cast(d38).alias("_w2"),
+    )
+
+    n, sx, sxx = F.col("_n"), F.col("_sx"), F.col("_sxx")
+    a = (n * F.col("_sxc") - sx * F.col("_sc")).cast("double")
+    b = (n * F.col("_sxs") - sx * F.col("_ss")).cast("double")
+    varn = (n * sxx - sx * sx).cast("double")
+    denom = n.cast("double") * varn * F.col("_w2").cast("double")
+    power = F.when(
+        (varn > 0) & (n >= F.col("period").cast(d38) * min_cycles),
+        F.round(F.lit(2.0) * (a * a + b * b) / denom, 6))
+    scored = agg.select(F.col(by), "period", power.alias("power"))
+
+    win = Window.partitionBy(by).orderBy(
+        F.col("power").desc_nulls_last(), F.col("period").asc())
+    return scored.withColumn(
+        "dominant",
+        F.when(F.col("power").isNotNull(),
+               F.row_number().over(win) == 1).otherwise(F.lit(False)))
