@@ -1489,6 +1489,28 @@ def q_gopher_rules(spark, sf_dir):
                         min_stops=1)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie 2023): hashed unigram+bigram bucket
+    log-ratios (target = lang='en' slice vs the raw corpus), snapped to
+    integer micro-units per occurrence so the per-doc weight is an exact
+    long. Oracle replays the same md5-hex4 bucketing and smoothing."""
+    from yatsm_spark.operators.dsir import dsir_weights
+
+    return dsir_weights(_t(spark, sf_dir, "documents"),
+                        target=F.col("lang") == "en")
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR resampling step: deterministic top-k=150 by (logw_micro DESC,
+    doc_id) — integer-exact ranking, no one-reducer window (range
+    partition + local rank + broadcast offsets)."""
+    from yatsm_spark.operators.dsir import dsir_select, dsir_weights
+
+    w = dsir_weights(_t(spark, sf_dir, "documents"),
+                     target=F.col("lang") == "en")
+    return dsir_select(w, k=150)
+
+
 def q_shuffle_export(spark, sf_dir):
     """Deterministic global shuffle order (training-export step):
     contiguous shuffle_pos following (knuth_hash(doc_id + 7), doc_id) —
@@ -2233,6 +2255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_spans": q_dup_ngram_spans,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "shuffle_export": q_shuffle_export,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
         "lm_score": q_lm_score,
         "curate_training": q_curate_training,
         "dedup_components": q_dedup_components,
@@ -2709,6 +2733,40 @@ def oracle_sql() -> dict[str, str]:
 
     pg_c, pg_s = _pg_case(0), _pg_case(1)
     pg_unnest = "[" + ",".join(map(str, _pg_periods)) + "]"
+
+    # DSIR: shared weight CTE (hashed unigram+bigram buckets, add-one
+    # smoothed target/source log-ratio in micro-units — dsir.py twin)
+    hex4g = ("((position(substr(md5(gram),1,1) IN '0123456789abcdef')-1)*4096"
+             " + (position(substr(md5(gram),2,1) IN '0123456789abcdef')-1)*256"
+             " + (position(substr(md5(gram),3,1) IN '0123456789abcdef')-1)*16"
+             " + (position(substr(md5(gram),4,1) IN '0123456789abcdef')-1))")
+    dsir_cte = f"""
+            WITH w AS (SELECT doc_id, (lang = 'en') AS is_tgt,
+                              list_filter(string_split({norm}, ' '), x -> x <> '') AS ws
+                       FROM documents),
+            g AS (SELECT doc_id, is_tgt, unnest(ws) AS gram FROM w
+                  UNION ALL
+                  SELECT doc_id, is_tgt, ws[i] || ' ' || ws[i+1]
+                  FROM w, unnest(generate_series(1, len(ws)-1)) AS t(i)),
+            occ AS (SELECT doc_id, is_tgt, {hex4g}::long AS bucket FROM g),
+            src AS (SELECT bucket, count(*)::long AS cs FROM occ GROUP BY 1),
+            tgt AS (SELECT bucket, count(*)::long AS ct FROM occ WHERE is_tgt GROUP BY 1),
+            tots AS (SELECT (SELECT sum(cs) FROM src) AS ts,
+                            (SELECT coalesce(sum(ct), 0) FROM tgt) AS tt),
+            dim AS (SELECT s.bucket,
+                           floor(ln(((coalesce(t.ct,0)+1)::double * (ts::double + 65536.0))
+                                    / ((s.cs+1)::double * (tt::double + 65536.0))) * 1e6 + 0.5)::long AS lr
+                    FROM src s LEFT JOIN tgt t USING (bucket) CROSS JOIN tots),
+            pd AS (SELECT o.doc_id, count(*)::long AS n_feats, sum(d.lr)::long AS lw
+                   FROM occ o JOIN dim d USING (bucket) GROUP BY 1),
+            wt AS (SELECT d.doc_id::long AS doc_id,
+                          coalesce(pd.n_feats, 0)::long AS n_feats,
+                          coalesce(pd.lw, 0)::long AS logw_micro,
+                          round(coalesce(pd.lw, 0) / 1e6, 6) AS logw,
+                          CASE WHEN pd.n_feats > 0
+                               THEN round(pd.lw / 1e6 / pd.n_feats, 6) END AS logw_per_feat
+                   FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id))
+    """
 
     return {
         "tx_rollup_1m": f"""
@@ -4534,6 +4592,15 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY (doc_id + 7) * 2654435761 % 4294967296,
                                doc_id) - 1)::long AS shuffle_pos
             FROM documents
+        """,
+        "dsir_weights": dsir_cte + """
+            SELECT doc_id, n_feats, logw_micro, logw, logw_per_feat FROM wt
+        """,
+        "dsir_select": dsir_cte + """
+            SELECT doc_id, logw_micro,
+                   row_number() OVER (ORDER BY logw_micro DESC, doc_id)::long AS dsir_rank,
+                   (row_number() OVER (ORDER BY logw_micro DESC, doc_id) <= 150) AS kept
+            FROM wt
         """,
         "decontaminate_fuzzy": """
             WITH toks AS (

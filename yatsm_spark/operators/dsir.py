@@ -1,0 +1,133 @@
+"""DSIR-style data selection via importance resampling (Xie et al. 2023,
+arXiv:2302.03169): score every raw document by how much more likely its
+hashed n-gram features are under a TARGET distribution (e.g. the
+high-quality / in-domain slice) than under the raw SOURCE distribution,
+then keep the top-k by weight.
+
+Features are unigrams + adjacent bigrams of whitespace-normalized
+lowercase words, hashed to ``n_buckets`` via the first 4 hex digits of
+md5 (the repo's portable 16-bit hash — identical in Spark and DuckDB, see
+operators/dedup.py). Bucket distributions are Laplace-smoothed; the
+per-bucket log-ratio is snapped to integer micro-units BEFORE the per-doc
+sum (the BM25/lm_score discipline), so each document's weight is an exact
+long and ranking is integer-exact cross-engine.
+
+Scale shape: tokenize + explode grams (linear, text pruned immediately);
+TWO bucket-count aggs whose outputs are <= n_buckets rows (map-side
+partials); the ratio dim broadcast-joins back onto the gram stream; ONE
+per-doc hash agg. Selection avoids the one-reducer global window with the
+range-partition + local-rank + broadcast-offsets machinery of
+operators/sampling.py::global_shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from yatsm_spark.operators.dedup import _NORM
+
+
+def _grams(docs: DataFrame, text_col: str):
+    """(doc_id, gram) rows: unigrams + adjacent bigrams of the
+    normalized word stream. Empty docs contribute no rows."""
+    words = F.filter(F.split(_NORM(F.col(text_col)), " "),
+                     lambda w: w != F.lit(""))
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(words) - 1),
+                    lambda i: F.concat(F.element_at(words, i), F.lit(" "),
+                                       F.element_at(words, i + 1))),
+    ).otherwise(F.array())
+    return (docs.select("doc_id",
+                        F.explode(F.concat(words, bigrams)).alias("gram")))
+
+
+def _bucket(col) -> Column:
+    # first 16 bits of md5 — portable across engines (dedup.py discipline)
+    return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("long")
+
+
+def dsir_weights(docs: DataFrame, target: Column, text_col: str = "text",
+                 n_buckets: int = 65536) -> DataFrame:
+    """Per-document DSIR importance weight.
+
+    ``target`` is a boolean Column over ``docs`` marking the target-domain
+    slice (both distributions are estimated from the same table; in
+    production the target counts would come from a separate curated
+    corpus — same plan, different scan).
+
+    Returns (doc_id, n_feats, logw_micro, logw): logw_micro is the exact
+    integer sum over gram occurrences of
+    floor(ln(p_target(bucket)/p_source(bucket)) * 1e6 + 0.5) with add-one
+    smoothing over ``n_buckets`` buckets; logw is its round-6 double
+    reading, and logw_per_feat the length-normalized variant (NULL for
+    gram-less docs — which otherwise carry n_feats=0, logw_micro=0).
+    """
+    g = _grams(docs.select("doc_id", text_col), text_col)
+    gt = _grams(docs.filter(target).select("doc_id", text_col), text_col)
+
+    occ = g.select("doc_id", _bucket(F.col("gram")).alias("bucket"))
+    src = occ.groupBy("bucket").agg(F.count(F.lit(1)).alias("cs"))
+    tgt = (gt.select(_bucket(F.col("gram")).alias("bucket"))
+           .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct")))
+
+    tot_s = src.agg(F.sum("cs").alias("ts"))
+    tot_t = tgt.agg(F.sum("ct").alias("tt"))
+
+    dim = (src.join(tgt, "bucket", "left")
+           .select("bucket", "cs", F.coalesce("ct", F.lit(0)).alias("ct"))
+           .crossJoin(F.broadcast(tot_s)).crossJoin(F.broadcast(tot_t)))
+    b = F.lit(float(n_buckets))
+    ratio = (((F.col("ct") + 1).cast("double")
+              * (F.col("ts").cast("double") + b))
+             / ((F.col("cs") + 1).cast("double")
+                * (F.col("tt").cast("double") + b)))
+    dim = dim.select(
+        "bucket", F.floor(F.log(ratio) * 1e6 + 0.5).cast("long").alias("lr"))
+
+    per_doc = (occ.join(F.broadcast(dim), "bucket")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_feats"),
+                    F.sum("lr").alias("lw")))
+    return (docs.select("doc_id").join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+                    F.coalesce("lw", F.lit(0)).cast("long").alias("logw_micro"),
+                    F.round(F.coalesce("lw", F.lit(0)) / 1e6, 6).alias("logw"),
+                    F.when(F.col("n_feats") > 0,
+                           F.round(F.col("lw") / 1e6 / F.col("n_feats"), 6))
+                     .alias("logw_per_feat")))
+
+
+def dsir_select(weights: DataFrame, k: int,
+                n_parts: int | None = None) -> DataFrame:
+    """Deterministic top-k selection by (logw_micro DESC, doc_id ASC) —
+    the resampling step, with the paper's Gumbel noise replaced by a
+    deterministic rank cut so the oracle can replay it exactly.
+
+    No one-reducer global window: repartitionByRange on the order key,
+    per-partition local rank, tiny count agg -> broadcast cumulative
+    offsets (sampling.global_shuffle's shape — the only driver state is
+    n_parts integers). Emits (doc_id, logw_micro, dsir_rank, kept)."""
+    spark = weights.sparkSession
+    if n_parts is None:
+        n_parts = spark.sparkContext.defaultParallelism
+    d = (weights.select("doc_id", "logw_micro",
+                        (-F.col("logw_micro")).alias("_neg"))
+         .repartitionByRange(n_parts, F.col("_neg"), F.col("doc_id"))
+         .withColumn("_part", F.spark_partition_id())
+         .localCheckpoint())
+    counts = (d.groupBy("_part").agg(F.count(F.lit(1)).alias("_c"))
+              .orderBy("_part").collect())
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r._part] = acc
+        acc += r._c
+    off = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_part int, _off long")
+    w = Window.partitionBy("_part").orderBy(F.col("_neg"), F.col("doc_id"))
+    return (d.withColumn("_rn", F.row_number().over(w))
+            .join(F.broadcast(off), "_part")
+            .select("doc_id", "logw_micro",
+                    (F.col("_off") + F.col("_rn")).alias("dsir_rank"),
+                    ((F.col("_off") + F.col("_rn")) <= k).alias("kept")))
