@@ -1489,6 +1489,24 @@ def q_gopher_rules(spark, sf_dir):
                         min_stops=1)
 
 
+def q_para_dedup(spark, sf_dir):
+    """Dolma/CCNet paragraph-level dedup: drop every non-blank paragraph
+    occurrence except its canonical (min doc_id, min idx) instance and
+    reassemble. Oracle compares the reassembled clean_text BYTE-exactly
+    (the redact_pii discipline). The synthetic docs carry no '\\n\\n', so
+    the query composes paragraph-structured input deterministically in
+    BOTH engines: [own text, shared boilerplate footer, own text again] —
+    the footer survives only in doc 0, the self-repeat never survives,
+    and exact-dup docs lose even their first paragraph."""
+    from yatsm_spark.operators.dedup import paragraph_dedup
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("\n\nSHARED BOILERPLATE FOOTER\n\n"),
+                 F.col("text")).alias("text"))
+    return paragraph_dedup(d)
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (Xie 2023): hashed unigram+bigram bucket
     log-ratios (target = lang='en' slice vs the raw corpus), snapped to
@@ -2255,6 +2273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_spans": q_dup_ngram_spans,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "shuffle_export": q_shuffle_export,
+        "para_dedup": q_para_dedup,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "lm_score": q_lm_score,
@@ -4592,6 +4611,35 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY (doc_id + 7) * 2654435761 % 4294967296,
                                doc_id) - 1)::long AS shuffle_pos
             FROM documents
+        """,
+        "para_dedup": """
+            WITH d AS (SELECT doc_id,
+                              string_split(text || chr(10) || chr(10)
+                                           || 'SHARED BOILERPLATE FOOTER'
+                                           || chr(10) || chr(10) || text,
+                                           chr(10)||chr(10)) AS ps
+                       FROM documents),
+            inst AS (SELECT doc_id, i - 1 AS para_idx, ps[i] AS para,
+                            (trim(ps[i]) = '') AS blank,
+                            md5(trim(ps[i])) AS key
+                     FROM d, unnest(generate_series(1, len(ps))) AS t(i)),
+            canon AS (SELECT key, doc_id AS cdoc, para_idx AS cidx
+                      FROM (SELECT key, doc_id, para_idx,
+                                   row_number() OVER (PARTITION BY key
+                                      ORDER BY doc_id, para_idx) AS rn
+                            FROM inst WHERE NOT blank)
+                      WHERE rn = 1),
+            fl AS (SELECT i.doc_id, i.para_idx, i.para, i.blank,
+                          (i.blank OR (i.doc_id = c.cdoc
+                                       AND i.para_idx = c.cidx)) AS kept
+                   FROM inst i LEFT JOIN canon c USING (key))
+            SELECT doc_id::long AS doc_id,
+                   sum(CASE WHEN NOT blank THEN 1 ELSE 0 END)::long AS n_paras,
+                   sum(CASE WHEN NOT kept THEN 1 ELSE 0 END)::long AS n_dropped,
+                   coalesce(string_agg(CASE WHEN kept THEN para END,
+                                       chr(10)||chr(10) ORDER BY para_idx),
+                            '') AS clean_text
+            FROM fl GROUP BY 1
         """,
         "dsir_weights": dsir_cte + """
             SELECT doc_id, n_feats, logw_micro, logw, logw_per_feat FROM wt

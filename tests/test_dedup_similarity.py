@@ -364,3 +364,54 @@ def test_dup_ngram_spans_hash_key_matches_string_key(spark):
     b = sorted(map(tuple, dup_ngram_spans(docs, n=3, min_count=2,
                                           use_hash=True).collect()))
     assert a == b and any(r[3] > 0 for r in a)
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (Dolma/CCNet step)
+
+
+def test_paragraph_dedup_cross_and_within_doc(spark):
+    from yatsm_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (0, "unique one\n\nshared footer\n\nunique two"),
+        (1, "other text\n\nshared footer"),          # footer dup -> dropped
+        (2, "repeat me\n\nrepeat me\n\nfresh tail"),  # within-doc dup
+    ]
+    out = {r["doc_id"]: r for r in
+           paragraph_dedup(_docs(spark, rows)).collect()}
+
+    assert out[0]["n_dropped"] == 0
+    assert out[0]["clean_text"] == rows[0][1]  # untouched doc is byte-equal
+
+    assert out[1]["n_dropped"] == 1
+    assert out[1]["clean_text"] == "other text"
+
+    assert out[2]["n_dropped"] == 1
+    assert out[2]["clean_text"] == "repeat me\n\nfresh tail"
+    assert out[2]["n_paras"] == 3
+
+
+def test_paragraph_dedup_blank_structure_preserved(spark):
+    from yatsm_spark.operators.dedup import paragraph_dedup
+
+    # '\n\n\n\n' yields a blank middle segment: blanks are never dedup
+    # candidates, so an untouched doc reassembles byte-for-byte
+    rows = [(0, "a\n\n\n\nb"), (1, ""), (2, "x\n\nx\n\nx")]
+    out = {r["doc_id"]: r for r in
+           paragraph_dedup(_docs(spark, rows)).collect()}
+    assert out[0]["clean_text"] == "a\n\n\n\nb"
+    assert out[1]["clean_text"] == "" and out[1]["n_paras"] == 0
+    # all three 'x' instances share one canonical -> 2 dropped
+    assert out[2]["n_dropped"] == 2 and out[2]["clean_text"] == "x"
+
+
+def test_paragraph_dedup_canonical_is_min_doc_then_idx(spark):
+    from yatsm_spark.operators.dedup import paragraph_dedup
+
+    rows = [(5, "dup\n\nother"), (3, "lead\n\ndup")]
+    out = {r["doc_id"]: r for r in
+           paragraph_dedup(_docs(spark, rows)).collect()}
+    # doc 3 owns 'dup' (smaller doc_id), doc 5 loses its instance
+    assert out[3]["clean_text"] == "lead\n\ndup"
+    assert out[5]["clean_text"] == "other"

@@ -588,6 +588,40 @@ def main():
         ("no cartesian product", "Cartesian", False),
     ])
 
+    audit("gopher_rules (full rule battery: one linear projection)",
+          qs["gopher_rules"](spark, SF_DIR), [
+        ("zero shuffles — pure per-row Catalyst", "Exchange", 0),
+        ("no row-at-a-time python UDF", "BatchEvalPython", False),
+        # higher-order array lambdas are not WSCG-supported; the property
+        # that matters is that each array traversal runs ONCE per row
+        # (two stacked projections — CollapseProject keeps non-cheap
+        # expressions out-of-line), not 8x per referencing column
+        ("word split+filter evaluated exactly once per row",
+         "split(trim(text", 1),
+        ("line split evaluated exactly once per row (word split uses "
+         "trim, so the two don't collide)", "split(text", 1),
+    ])
+
+    audit("tx_periodogram (harmonic power scan over the gap-filled grid)",
+          qs["tx_periodogram"](spark, SF_DIR), [
+        ("per-(conv,period) moments partially aggregated map-side",
+         "partial_count", True),
+        ("period fan-out is a Generate (explode), not a join",
+         "Generate", True),
+        ("no row-at-a-time python UDF", "BatchEvalPython", False),
+        ("no cartesian product", "Cartesian", False),
+    ])
+
+    audit("dsir_weights (hashed n-gram importance weights)",
+          qs["dsir_weights"](spark, SF_DIR), [
+        ("bounded ratio dim BROADCASTS back onto the gram stream",
+         "BroadcastHashJoin", True),
+        ("bucket counts partially aggregated map-side",
+         "partial_count", True),
+        ("no row-at-a-time python UDF", "BatchEvalPython", False),
+        ("no cartesian product", "Cartesian", False),
+    ])
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)

@@ -318,3 +318,57 @@ def dup_ngram_spans(docs: DataFrame, n: int = 5, min_count: int = 2,
                     / F.col("n_grams"), 6).alias("dup_ratio"),
         )
     )
+
+
+def paragraph_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide paragraph-level deduplication (the Dolma / CCNet
+    pipeline step): every non-blank paragraph occurrence except its
+    canonical first instance is removed, and the document is reassembled.
+
+    Paragraphs are literal '\\n\\n' splits (structure-preserving: blank
+    segments are never dedup candidates and are always kept, so rejoining
+    with '\\n\\n' reproduces untouched documents byte-for-byte). The
+    canonical instance of a paragraph (key = md5 of the trimmed text) is
+    the lexicographically smallest (doc_id, para_idx) — deterministic,
+    partitioning-independent.
+
+    Returns (doc_id, n_paras, n_dropped, clean_text): n_paras counts
+    non-blank paragraph instances, n_dropped how many were removed,
+    clean_text the reassembled document. The oracle compares clean_text
+    byte-exactly (the redact_pii discipline).
+
+    Scale shape: posexplode (linear), ONE hash agg keyed by paragraph
+    hash for the canonical owner (map-side partials; the key space is
+    the distinct-paragraph set), one shuffled join back on the hash, one
+    per-doc re-assembly agg. No windows over the corpus, no broadcast of
+    unbounded sides."""
+    paras = (docs.select("doc_id",
+                         F.posexplode(F.split(F.col(text_col), "\n\n", -1))
+                         .alias("para_idx", "para")))
+    inst = paras.withColumn("_blank", F.trim(F.col("para")) == "") \
+                .withColumn("_key", F.md5(F.trim(F.col("para"))))
+
+    canon = (inst.filter(~F.col("_blank"))
+             .groupBy("_key")
+             .agg(F.min(F.struct(F.col("doc_id"), F.col("para_idx")))
+                  .alias("_first")))
+
+    flagged = (inst.join(canon, "_key", "left")
+               .withColumn(
+                   "_kept",
+                   F.col("_blank")
+                   | ((F.col("doc_id") == F.col("_first.doc_id"))
+                      & (F.col("para_idx") == F.col("_first.para_idx")))))
+
+    return (flagged.groupBy("doc_id").agg(
+        F.sum(F.when(~F.col("_blank"), 1).otherwise(0))
+         .cast("long").alias("n_paras"),
+        F.sum(F.when(~F.col("_kept"), 1).otherwise(0))
+         .cast("long").alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("_kept"),
+                           F.struct(F.col("para_idx"), F.col("para"))))),
+                lambda s: s["para"]),
+            "\n\n").alias("clean_text")))

@@ -270,14 +270,31 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
     linear scan, zero shuffles; every ratio is an exact int/int double so
     the DuckDB oracle twin is value-identical. Line fractions use literal
     '\\n' splitting; word splitting uses the shared explicit WS_CLASS.
+
+    Plan shape: TWO stacked projections, not one. The word and line
+    scans are single-pass struct-accumulator ``F.aggregate`` calls
+    materialized as intermediate columns; the second projection derives
+    every ratio from the struct fields. Naming each output directly off
+    the array expressions would duplicate the split+traverse work once
+    per referencing column (~8 re-splits of the text per row —
+    CollapseProject only inlines cheap expressions, so the two-step
+    shape survives optimization and each traversal runs once).
     """
     t = F.col(text_col)
     words = F.filter(F.split(F.trim(t), WS_CLASS + "+"), lambda w: w != F.lit(""))
-    n_words = F.size(words).cast("long")
-    nw1 = F.greatest(n_words, F.lit(1))
-    sum_word_len = F.aggregate(words, F.lit(0).cast("long"),
-                               lambda acc, w: acc + F.length(w))
-    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("long")
+
+    def _zero3():
+        return F.struct(F.lit(0).cast("long").alias("a"),
+                        F.lit(0).cast("long").alias("b"),
+                        F.lit(0).cast("long").alias("c"))
+
+    # one traversal: (n_words, sum of word lengths, words with a letter)
+    wstats = F.aggregate(
+        words, _zero3(),
+        lambda acc, w: F.struct(
+            (acc["a"] + 1).alias("a"),
+            (acc["b"] + F.length(w)).alias("b"),
+            (acc["c"] + F.when(w.rlike("[a-zA-Z]"), 1).otherwise(0)).alias("c")))
 
     def _count_lit(needle: str):
         return ((F.length(t) - F.length(F.replace(t, F.lit(needle), F.lit(""))))
@@ -286,7 +303,6 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
     n_symbols = _count_lit("#") + sum(_count_lit(e) for e in GOPHER_ELLIPSES)
 
     lines = F.split(t, "\n", -1)
-    n_lines = F.size(lines).cast("long")
 
     def _starts_bullet(line):
         l = F.ltrim(line)
@@ -302,14 +318,31 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
             cond = cond | l.endswith(e)
         return cond
 
-    n_bullet = F.size(F.filter(lines, _starts_bullet)).cast("long")
-    n_ellip = F.size(F.filter(lines, _ends_ellipsis)).cast("long")
+    # one traversal: (n_lines, bullet-start lines, ellipsis-end lines)
+    lstats = F.aggregate(
+        lines, _zero3(),
+        lambda acc, l: F.struct(
+            (acc["a"] + 1).alias("a"),
+            (acc["b"] + F.when(_starts_bullet(l), 1).otherwise(0)).alias("b"),
+            (acc["c"] + F.when(_ends_ellipsis(l), 1).otherwise(0)).alias("c")))
 
     padded = F.concat(F.lit(" "),
                       F.lower(F.regexp_replace(t, WS_CLASS + "+", " ")),
                       F.lit(" "))
-    n_stops = sum(F.when(padded.contains(f" {w} "), F.lit(1)).otherwise(F.lit(0))
-                  for w in GOPHER_STOPS).cast("long")
+
+    pre = docs.select("doc_id", wstats.alias("_w"), lstats.alias("_l"),
+                      n_symbols.alias("_sym"), padded.alias("_pad"))
+
+    n_words = F.col("_w")["a"]
+    nw1 = F.greatest(n_words, F.lit(1))
+    sum_word_len = F.col("_w")["b"]
+    n_alpha_words = F.col("_w")["c"]
+    n_lines = F.col("_l")["a"]
+    n_bullet = F.col("_l")["b"]
+    n_ellip = F.col("_l")["c"]
+    n_symbols = F.col("_sym")
+    n_stops = sum(F.when(F.col("_pad").contains(f" {w} "), F.lit(1))
+                  .otherwise(F.lit(0)) for w in GOPHER_STOPS).cast("long")
 
     mean_wl = sum_word_len.cast("double") / nw1
     sym_ratio = n_symbols.cast("double") / nw1
@@ -323,7 +356,7 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
             & (bullet_frac <= 0.9) & (ellip_frac <= 0.3)
             & (alpha_frac >= 0.8)
             & (n_stops >= min_stops))
-    return docs.select(
+    return pre.select(
         "doc_id",
         n_words.alias("g_n_words"),
         F.round(mean_wl, 6).alias("g_mean_word_len"),
