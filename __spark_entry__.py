@@ -1489,6 +1489,25 @@ def q_gopher_rules(spark, sf_dir):
                         min_stops=1)
 
 
+def q_c4_clean(spark, sf_dir):
+    """C4 line-level cleanup (Raffel 2020 §2.2): terminal-punctuation +
+    min-words + javascript line rules, lorem-ipsum / curly-brace page
+    flags, composed keep, byte-exact clean_text. The synthetic docs are
+    single-line, so the query composes line-structured input
+    deterministically in BOTH engines; the substr line makes the kept
+    count (and the page keep flag) vary per doc."""
+    from yatsm_spark.operators.textstats import c4_clean
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(".\n"),
+                 F.substring(F.col("text"), 1, 20), F.lit(".\n"),
+                 F.lit("Short line\n"
+                       "This line mentions javascript and is dropped.\n"),
+                 F.col("text"), F.lit("!")).alias("text"))
+    return c4_clean(d)
+
+
 def q_para_dedup(spark, sf_dir):
     """Dolma/CCNet paragraph-level dedup: drop every non-blank paragraph
     occurrence except its canonical (min doc_id, min idx) instance and
@@ -2273,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_spans": q_dup_ngram_spans,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "shuffle_export": q_shuffle_export,
+        "c4_clean": q_c4_clean,
         "para_dedup": q_para_dedup,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
@@ -4611,6 +4631,40 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY (doc_id + 7) * 2654435761 % 4294967296,
                                doc_id) - 1)::long AS shuffle_pos
             FROM documents
+        """,
+        "c4_clean": """
+            WITH g AS (
+              SELECT doc_id,
+                     text || '.' || chr(10)
+                       || substr(text, 1, 20) || '.' || chr(10)
+                       || 'Short line' || chr(10)
+                       || 'This line mentions javascript and is dropped.' || chr(10)
+                       || text || '!' AS t2
+              FROM documents),
+            s AS (
+              SELECT doc_id, t2,
+                     string_split(t2, chr(10)) AS ls,
+                     contains(lower(t2), 'lorem ipsum') AS has_lorem_ipsum,
+                     (contains(t2, '{') OR contains(t2, '}')) AS has_curly_brace
+              FROM g),
+            k AS (
+              SELECT doc_id,
+                     len(ls)::long AS n_lines,
+                     list_filter(ls, x ->
+                        (rtrim(x) LIKE '%.' OR rtrim(x) LIKE '%!'
+                         OR rtrim(x) LIKE '%?' OR rtrim(x) LIKE '%"')
+                        AND len(list_filter(string_split_regex(x, '[ \\t\\x0B\\f\\r]+'),
+                                            w -> w <> '')) >= 5
+                        AND NOT contains(lower(x), 'javascript')) AS kept,
+                     has_lorem_ipsum, has_curly_brace
+              FROM s)
+            SELECT doc_id::long AS doc_id, n_lines,
+                   len(kept)::long AS n_kept_lines,
+                   has_lorem_ipsum, has_curly_brace,
+                   (len(kept) >= 3 AND NOT has_lorem_ipsum
+                    AND NOT has_curly_brace) AS c4_keep,
+                   coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+            FROM k
         """,
         "para_dedup": """
             WITH d AS (SELECT doc_id,

@@ -13,6 +13,8 @@ import duckdb
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -174,3 +176,80 @@ def test_gopher_rules_match_oracle_on_hostile_and_shaped_text(spark):
     con.register("documents", docs)
     _assert_engines_agree(gopher_rules(sdf, min_words=5, min_stops=1),
                           con, _oracle("gopher_rules"))
+
+
+def test_c4_clean_line_rules_hand_computed(spark):
+    from yatsm_spark.operators.textstats import c4_clean
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            # 3 kept lines -> page kept
+            "This is a proper sentence one.\n"
+            "Here is another full sentence!\n"
+            "And a third one with enough words?\n"
+            "too short.\n"
+            "no terminal punctuation on this line\n"
+            "This line talks about JavaScript libraries today.",
+            # lorem ipsum page flag vetoes an otherwise-clean page
+            "Lorem ipsum dolor sit amet sentence.\n"
+            "Another perfectly fine long sentence here.\n"
+            "And one more good sentence to pass!",
+            # curly brace page flag (code)
+            "A clean sentence with many words inside.\n"
+            "function f() { return 1; }\n"
+            "Another clean long sentence right here.\n"
+            "Third clean long sentence goes here too.",
+        ],
+    })
+    out = {r["doc_id"]: r for r in
+           c4_clean(spark.createDataFrame(docs)).collect()}
+
+    r = out[0]
+    assert r["n_lines"] == 6 and r["n_kept_lines"] == 3
+    assert r["c4_keep"] is True
+    assert r["clean_text"] == (
+        "This is a proper sentence one.\n"
+        "Here is another full sentence!\n"
+        "And a third one with enough words?")
+
+    assert out[1]["has_lorem_ipsum"] is True
+    assert out[1]["c4_keep"] is False
+    assert out[1]["n_kept_lines"] == 3  # line rules alone would keep it
+
+    assert out[2]["has_curly_brace"] is True
+    assert out[2]["c4_keep"] is False
+
+
+def test_c4_clean_trailing_spaces_and_quote_terminal(spark):
+    from yatsm_spark.operators.textstats import c4_clean
+
+    docs = pd.DataFrame({
+        "doc_id": [0],
+        "text": ['He said "this is a quote."  \n'
+                 'A sentence with trailing spaces after the period.   \n'
+                 'Exactly five words right here.'],
+    })
+    r = c4_clean(spark.createDataFrame(docs)).collect()[0]
+    # rtrim before the terminal check; closing quote is a terminal
+    assert r["n_kept_lines"] == 3
+
+
+def test_c4_clean_match_oracle_on_hostile_text(spark):
+    from yatsm_spark.operators.textstats import c4_clean
+
+    docs = pd.concat([HOSTILE_DOCS, GOPHER_DOCS.assign(doc_id=GOPHER_DOCS.doc_id + 100)],
+                     ignore_index=True)
+    sdf = spark.createDataFrame(docs)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    # the driver oracle wraps the composed-input CTE; replay it verbatim
+    _assert_engines_agree(
+        c4_clean(sdf.select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(".\n"),
+                     F.substring(F.col("text"), 1, 20), F.lit(".\n"),
+                     F.lit("Short line\n"
+                           "This line mentions javascript and is dropped.\n"),
+                     F.col("text"), F.lit("!")).alias("text"))),
+        con, _oracle("c4_clean"))

@@ -367,3 +367,61 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
         n_stops.alias("g_n_stopwords"),
         keep.alias("gopher_keep"),
     )
+
+
+#: C4 terminal punctuation (Raffel et al. 2020 §2.2): a retained line must
+#: end with one of these after right-trimming spaces.
+C4_TERMINALS = (".", "!", "?", "\"")
+#: In-line whitespace class (no \n — lines are already split on it).
+_LINE_WS = "[ \\t\\x0B\\f\\r]+"
+
+
+def c4_clean(docs: DataFrame, text_col: str = "text",
+             min_words_per_line: int = 5, min_lines: int = 3) -> DataFrame:
+    """The C4 line-level cleanup battery (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2): keep only lines that end in terminal
+    punctuation, carry at least ``min_words_per_line`` words, and do not
+    mention javascript; flag pages containing 'lorem ipsum' or a curly
+    brace; compose the page keep decision (>= ``min_lines`` retained
+    lines and neither page flag). Returns per-doc counts, flags, the
+    keep decision, and the reassembled ``clean_text`` — which the oracle
+    compares BYTE-exactly.
+
+    Pure Catalyst, zero shuffles, same two-projection shape as
+    :func:`gopher_rules` (the line scan — one filter with the three
+    per-line rules fused — runs once per row; CollapseProject leaves
+    non-cheap expressions out-of-line). The word count per line uses an
+    explicit in-line whitespace class (no \\n — lines are already split
+    on it; no \\s — the Java-vs-RE2 \\x0B gap, round-3 ADVICE)."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n", -1)
+
+    def _line_kept(l):
+        r = F.rtrim(l)
+        term = r.endswith(C4_TERMINALS[0])
+        for c in C4_TERMINALS[1:]:
+            term = term | r.endswith(c)
+        n_words = F.size(F.filter(F.split(l, _LINE_WS),
+                                  lambda w: w != F.lit("")))
+        return (term & (n_words >= min_words_per_line)
+                & ~F.lower(l).contains("javascript"))
+
+    low = F.lower(t)
+    pre = docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("_n_lines"),
+        F.filter(lines, _line_kept).alias("_kept"),
+        low.contains("lorem ipsum").alias("has_lorem_ipsum"),
+        (t.contains("{") | t.contains("}")).alias("has_curly_brace"),
+    )
+    n_kept = F.size(F.col("_kept")).cast("long")
+    keep = ((n_kept >= min_lines)
+            & ~F.col("has_lorem_ipsum") & ~F.col("has_curly_brace"))
+    return pre.select(
+        "doc_id",
+        F.col("_n_lines").alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        "has_lorem_ipsum", "has_curly_brace",
+        keep.alias("c4_keep"),
+        F.array_join(F.col("_kept"), "\n").alias("clean_text"),
+    )
