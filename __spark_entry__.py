@@ -36,6 +36,7 @@ GOLDEN_MULTI = os.path.join(REPO, "data", "golden_segments_multi_sf0.01.parquet"
 GOLDEN_KM = os.path.join(REPO, "data", "golden_kmeans_sf0.01.parquet")
 GOLDEN_PCA = os.path.join(REPO, "data", "golden_pca_sf0.01.parquet")
 GOLDEN_LTTB = os.path.join(REPO, "data", "golden_lttb_sf0.01.parquet")
+GOLDEN_KAL = os.path.join(REPO, "data", "golden_kalman_sf0.01.parquet")
 GOLDEN_MP = os.path.join(REPO, "data", "golden_mp_sf0.01.parquet")
 GOLDEN_PELT = os.path.join(REPO, "data", "golden_pelt_sf0.01.parquet")
 GOLDEN_DTW = os.path.join(REPO, "data", "golden_dtw_sf0.01.parquet")
@@ -736,6 +737,23 @@ def q_tx_dtw_rerank(spark, sf_dir):
     pairs = sax_candidate_pairs(w, max_bucket=64) \
         .select("conv_a", "conv_b")
     return dtw_rerank(dense, pairs).orderBy("conv_a", "conv_b")
+
+
+def q_tx_kalman(spark, sf_dir):
+    """Kalman local-level filter + RTS smoother over each conv's DENSE
+    1h turn-count series (state-space denoising; Harvey 1989) — the
+    proper-backward-pass twin of the EWMA/Holt smoothers. Oracle: a
+    pure-numpy twin driven outside Spark (tools/make_goldens.py::
+    kalman_twin, data/golden_kalman_sf0.01.parquet), so the row is a
+    genuine differential over applyInPandas grouping/ordering/Arrow."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.kalman import kalman_smooth
+    from yatsm_spark.operators.rollup import rollup_gapfilled
+
+    tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
+    dense = rollup_gapfilled(with_measures(tx), "1h") \
+        .select("conv_id", "window_start", "turn_count")
+    return kalman_smooth(dense, "turn_count")
 
 
 def q_tx_pelt(spark, sf_dir):
@@ -2216,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_counter_increase": q_tx_counter_increase,
         "tx_twa": q_tx_twa,
         "tx_lttb": q_tx_lttb,
+        "tx_kalman": q_tx_kalman,
         "tx_m4": q_tx_m4,
         "tx_ewma": q_tx_ewma,
         "tx_holt": q_tx_holt,
@@ -4921,6 +4940,14 @@ def oracle_sql() -> dict[str, str]:
                    turn_count::long AS turn_count, pos::int AS pos
             FROM read_parquet('{GOLDEN_LTTB}')
             ORDER BY conv_id, pos
+        """,
+        "tx_kalman": f"""
+            SELECT conv_id, window_start::timestamp AS window_start,
+                   turn_count::long AS turn_count,
+                   kalman_level::double AS kalman_level,
+                   kalman_var::double AS kalman_var,
+                   kalman_smooth::double AS kalman_smooth
+            FROM read_parquet('{GOLDEN_KAL}')
         """,
         # M4: integer relation, ties break on earliest slot in BOTH
         # engines (identical ORDER BY in the four row_number windows).

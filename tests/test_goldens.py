@@ -151,3 +151,12 @@ def test_goldens_are_fresh():
     stored_lp = pd.read_parquet(
         os.path.join(REPO, "data", "golden_lp_sf0.01.parquet"))
     pd.testing.assert_frame_equal(lp, stored_lp, check_exact=True)
+
+
+def test_kalman_golden_is_fresh():
+    from make_goldens import kalman_twin
+
+    ka = kalman_twin()
+    stored = pd.read_parquet(
+        os.path.join(REPO, "data", "golden_kalman_sf0.01.parquet"))
+    pd.testing.assert_frame_equal(ka, stored, check_exact=True)

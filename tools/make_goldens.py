@@ -968,6 +968,55 @@ def main() -> None:
     lp.to_parquet(path, index=False)
     print(f"wrote {path}: {len(lp)} rows")
 
+    ka = kalman_twin()
+    path = os.path.join(REPO, "data", "golden_kalman_sf0.01.parquet")
+    ka.to_parquet(path, index=False)
+    print(f"wrote {path}: {len(ka)} rows")
+
 
 if __name__ == "__main__":
     main()
+
+
+def kalman_twin(conv_max: str = "conv00000200",
+                q: float = 1.0, r: float = 4.0) -> pd.DataFrame:
+    """tx_kalman twin: the dense 1h tier recomputed in DuckDB, each conv
+    filtered+smoothed by the SAME kernel (kernel/kalman.py) the Spark
+    operator calls — NO Spark in the loop."""
+    from yatsm_spark.kernel.kalman import kalman_local_level
+
+    tier = duckdb.sql(f"""
+        WITH r0 AS (
+          SELECT conv_id,
+                 to_timestamp((floor(epoch(ts)/3600)*3600)::bigint)
+                   ::timestamp AS ws,
+                 count(*)::long AS x
+          FROM read_parquet('{TX}/*.parquet')
+          WHERE conv_id < '{conv_max}'
+          GROUP BY 1, 2),
+        spans AS (SELECT conv_id, min(ws) AS w0, max(ws) AS w1
+                  FROM r0 GROUP BY 1),
+        grid AS (SELECT spans.conv_id,
+                        unnest(generate_series(w0, w1, INTERVAL 1 HOUR))
+                          AS ws
+                 FROM spans)
+        SELECT grid.conv_id AS conv_id, grid.ws AS window_start,
+               coalesce(r0.x, 0)::long AS turn_count
+        FROM grid LEFT JOIN r0
+          ON grid.conv_id = r0.conv_id AND grid.ws = r0.ws
+        ORDER BY grid.conv_id, grid.ws
+    """).df()
+    outs = []
+    for conv, g in tier.groupby("conv_id", sort=True):
+        g = g.reset_index(drop=True)
+        level, var, smooth = kalman_local_level(
+            g["turn_count"].to_numpy(np.float64), q=q, r=r)
+        outs.append(pd.DataFrame({
+            "conv_id": conv,
+            "window_start": g["window_start"],
+            "turn_count": g["turn_count"],
+            "kalman_level": level,
+            "kalman_var": var,
+            "kalman_smooth": smooth,
+        }))
+    return pd.concat(outs, ignore_index=True)
