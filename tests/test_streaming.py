@@ -796,3 +796,57 @@ def test_stream_left_profile_bit_equals_batch(spark, tmp_path):
                 spark.createDataFrame(pdf), m=8, w_hist=16).collect()}
     assert len(got) == len(want) == 2 * (60 - 8 + 1)
     assert got == want          # == on floats: bit equality demanded
+
+
+def test_stream_kalman_equals_batch_bit_exact(spark, tmp_path):
+    """stream_kalman emits the batch kalman_level / kalman_var columns
+    BIT-for-BIT across a micro-batch boundary: the state round-trips the
+    UNSNAPPED posterior doubles; snapping happens only on emit."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from yatsm_spark.operators.kalman import kalman_smooth
+    from yatsm_spark.streaming.stream_rollup import stream_kalman
+
+    base = pd.Timestamp("2025-01-01")
+    rng = np.random.RandomState(11)
+    rows = [{"conv_id": c,
+             "window_start": base + pd.Timedelta(hours=h),
+             "turn_count": int(rng.randint(0, 40))}
+            for c in ("c1", "c2") for h in range(24)]
+    pdf = pd.DataFrame(rows)
+    src = str(tmp_path / "kal_src")
+    os.makedirs(src)
+
+    def _write(sub, path):
+        tmp = str(tmp_path / "w")
+        spark.createDataFrame(sub).coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], path)
+        shutil.rmtree(tmp)
+
+    now = _time.time()
+    cut = base + pd.Timedelta(hours=13)
+    for k, sub in enumerate((pdf[pdf.window_start < cut],
+                             pdf[pdf.window_start >= cut])):
+        p = os.path.join(src, f"f{k}.parquet")
+        _write(sub, p)
+        os.utime(p, (now - 60 + 30 * k, now - 60 + 30 * k))
+
+    stream = (spark.readStream
+              .schema("conv_id string, window_start timestamp, turn_count long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    qy = (stream_kalman(stream)
+          .writeStream.format("memory").queryName("s_kal")
+          .outputMode("append").trigger(availableNow=True).start())
+    qy.awaitTermination(120)
+
+    got = {(r.conv_id, r.window_start): (r.kalman_level, r.kalman_var)
+           for r in spark.sql("SELECT * FROM s_kal").collect()}
+    want = {(r.conv_id, r.window_start): (r.kalman_level, r.kalman_var)
+            for r in kalman_smooth(spark.createDataFrame(pdf),
+                                   "turn_count").collect()}
+    assert len(got) == len(want) == len(pdf)
+    assert got == want          # == on floats: bit-equality demanded

@@ -807,3 +807,74 @@ def stream_cms_counters(stream: DataFrame, group_cols: list[str],
              .agg(F.count("*").alias("cnt"))
              .select(F.col("w.start").alias("window_start"),
                      *group_cols, "r", "c", "cnt"))
+
+
+#: stream_kalman output — every input row with its filtered level/variance
+_KAL_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("window_start", T.TimestampType()),
+    T.StructField("turn_count", T.LongType()),
+    T.StructField("kalman_level", T.DoubleType()),
+    T.StructField("kalman_var", T.DoubleType()),
+])
+#: state = the UNSNAPPED posterior (m, p) — snapping happens only on emit
+#: (kernel/kalman.py discipline), so the recursion dynamics round-trip
+#: the exact doubles across micro-batches.
+_KAL_STATE = T.StructType([
+    T.StructField("m", T.DoubleType()),
+    T.StructField("p", T.DoubleType()),
+])
+
+
+def _kalman_fn(q: float, r: float, p0: float):
+    import math
+
+    def _snap(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            m, p = state.get[0], state.get[1]
+            seen = True
+        else:
+            m, p, seen = 0.0, p0, False
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("window_start", kind="stable")
+            for ws, v in zip(pdf["window_start"], pdf["turn_count"]):
+                x = float(v)
+                if seen:
+                    p = p + q
+                else:
+                    m, seen = x, True  # diffuse first-observation prior
+                k = p / (p + r)
+                m = m + k * (x - m)
+                p = (1.0 - k) * p
+                out.append((key[0], ws, int(v), _snap(m), _snap(p)))
+        state.update((m, p))
+        if out:
+            yield pd.DataFrame(out, columns=["conv_id", "window_start",
+                                             "turn_count", "kalman_level",
+                                             "kalman_var"])
+
+    return fn
+
+
+def stream_kalman(rollup_stream: DataFrame, q: float = 1.0, r: float = 4.0,
+                  p0: float = 1e6) -> DataFrame:
+    """Streaming twin of the FORWARD pass of ``operators.kalman.
+    kalman_smooth``: the local-level Kalman filter maintained online with
+    O(1) state per conv (posterior mean + variance, two doubles). The
+    float64 op order is identical to kernel/kalman.py's filter loop, so
+    emitted (kalman_level, kalman_var) are BIT-equal to the batch
+    columns on the same rows — including across micro-batch boundaries
+    (state stores the unsnapped doubles; pytest pins it). The RTS
+    smoother column is inherently offline (it reads the future) and has
+    no streaming twin — by design, not omission."""
+    return rollup_stream.groupBy("conv_id").applyInPandasWithState(
+        _kalman_fn(q, r, p0),
+        outputStructType=_KAL_SCHEMA,
+        stateStructType=_KAL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
