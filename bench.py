@@ -273,7 +273,9 @@ def main():
                  "bloom_join", "tx_asof_tool", "tx_hdr_cascade",
                  "tx_anomaly", "tx_deriv", "tx_acf", "tx_seasonal",
                  "tx_matrix_profile", "tx_pelt", "tx_bursts",
-                 "tx_swing", "tx_holtwinters"):
+                 "tx_swing", "tx_holtwinters",
+                 "gopher_rules", "c4_clean", "para_dedup",
+                 "dsir_weights", "tx_periodogram", "tx_kalman"):
         fn = e.queries()[name]
         timed(name, lambda fn=fn: sink(fn(spark, SF_DIR)))
 
