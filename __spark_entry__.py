@@ -637,6 +637,34 @@ def q_tx_route_chunks(spark, sf_dir):
         .orderBy("conv_id")
 
 
+def q_tx_compact(spark, sf_dir):
+    """Chunk-table COMPACTION preserving the serving invariant end to
+    end: the 1m tier is encoded at a deliberately tiny chunk_points=256
+    (the many-small-chunks state frequent incremental eviction runs
+    leave behind), compact_chunks() re-frames it to 4096-point chunks,
+    and the same straddling range query as tx_route_chunks is served
+    through the COMPACTED table. Oracle: the raw-turn aggregation —
+    routed + compacted + decoded must stay BIT-IDENTICAL."""
+    from yatsm_spark.ingest import with_measures
+    from yatsm_spark.operators.cascade import cascade
+    from yatsm_spark.operators.codec import compact_chunks, encode_chunks
+    from yatsm_spark.operators.rollup import rollup_from_turns
+    from yatsm_spark.operators.routing import route_range
+
+    wm, evict_cutoff = "2025-01-20 00:00:00", "2025-01-15 00:00:00"
+    m = with_measures(_tx(spark, sf_dir))
+    t1m = rollup_from_turns(m.where(F.col("ts") < F.lit(wm)), "1m")
+    chunks = compact_chunks(
+        encode_chunks(t1m, "1m", chunk_points=256, densify=True),
+        chunk_points=4096)
+    live_1m = t1m.where(F.col("window_start") >= F.lit(evict_cutoff))
+    tiers = {"1m": live_1m, "1h": cascade(t1m, "1m", "1h"),
+             "1d": cascade(t1m, "1m", "1d")}
+    return route_range(tiers, "2025-01-05 00:30:00", "2025-01-22 02:03:00",
+                       fresh_measures=m, watermark=wm, chunks=chunks) \
+        .orderBy("conv_id")
+
+
 def q_tx_left_profile(spark, sf_dir):
     """Left matrix profile (bounded-history novelty score) of each
     conv's DENSE 1h series — the batch side of the streaming discord
@@ -2266,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_realtime_view": q_tx_realtime_view,
         "tx_route": q_tx_route,
         "tx_route_chunks": q_tx_route_chunks,
+        "tx_compact": q_tx_compact,
         "events_cohorts": q_events_cohorts,
         "tx_matrix_profile": q_tx_matrix_profile,
         "tx_mp_extrema": q_tx_mp_extrema,
@@ -3291,6 +3320,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY conv_id
         """,
         "tx_route_chunks": f"""
+            SELECT conv_id, {ROLE_COUNTS_SQL}
+            FROM {tx}
+            WHERE ts >= TIMESTAMP '2025-01-05 00:30:00'
+              AND ts <  TIMESTAMP '2025-01-22 02:03:00'
+            GROUP BY 1 ORDER BY conv_id
+        """,
+        "tx_compact": f"""
             SELECT conv_id, {ROLE_COUNTS_SQL}
             FROM {tx}
             WHERE ts >= TIMESTAMP '2025-01-05 00:30:00'

@@ -193,3 +193,35 @@ def test_postprocess_operator_aligns_and_merges(spark, filled):
         g0 = nomerge[nomerge.conv_id == conv]
         assert g["start_ts"].min() == g0["start_ts"].min()
         assert g["end_ts"].max() == g0["end_ts"].max()
+
+
+def test_compact_chunks_decode_identical_and_fewer_rows(spark, filled):
+    """compact_chunks re-frames many small chunks into few large ones;
+    the decoded relation must be BIT-identical and the chunk count must
+    actually shrink."""
+    from yatsm_spark.operators.codec import compact_chunks
+
+    small = encode_chunks(filled, "1m", chunk_points=64).cache()
+    big = compact_chunks(small, chunk_points=4096).cache()
+
+    n_small, n_big = small.count(), big.count()
+    assert n_big < n_small
+
+    a = decode_chunks(small)
+    b = decode_chunks(big)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+    # framing overhead shrinks too: compacted bytes <= original bytes
+    import pyspark.sql.functions as F
+
+    sz = lambda df: df.agg(F.sum(F.length("ts_codec")
+                                 + F.length("val_codec"))).collect()[0][0]
+    assert sz(big) <= sz(small)
+
+    # chunk invariants survive: bounded size, starts align with slots
+    assert big.filter("n_points > 4096").count() == 0
+    # compaction is idempotent at the same target
+    again = compact_chunks(big, chunk_points=4096)
+    assert big.exceptAll(again).count() == 0
+    assert again.exceptAll(big).count() == 0

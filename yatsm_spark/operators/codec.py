@@ -228,3 +228,66 @@ def decode_chunks(chunks: DataFrame) -> DataFrame:
                 yield pd.concat(frames, ignore_index=True)
 
     return chunks.mapInPandas(dec, ROLLUP_SCHEMA)
+
+
+def compact_chunks(chunks: DataFrame, chunk_points: int = 4096) -> DataFrame:
+    """Chunk-table compaction (the TimescaleDB ``compress_chunk``
+    maintenance analog): per (conv, tier), decode every chunk, stitch the
+    point streams back together in chunk_start order, and re-encode at
+    the target ``chunk_points`` — many small chunks (written by frequent
+    incremental eviction runs) become few large ones, shrinking both the
+    chunk-row count the serve path scans and the per-chunk codec framing
+    overhead.
+
+    Invariant (tested): ``decode_chunks(compact_chunks(x))`` is
+    bit-identical to ``decode_chunks(x)`` — same slots, same values, same
+    null mask, same gap flags — because the codec round-trip is exact and
+    compaction only re-frames chunk boundaries. One groupBy shuffle on
+    (conv_id, tier); per-group memory is the conv's decoded history,
+    which the retention driver already bounds (chunks only cover the
+    evicted window, rollup.py TTL contract)."""
+
+    def compact(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in CHUNK_SCHEMA.fields])
+        pdf = pdf.sort_values("chunk_start", kind="mergesort")
+        epochs_parts, val_parts, null_parts, gap_parts = [], [], [], []
+        for _, r in pdf.iterrows():
+            n = int(r["n_points"])
+            epochs_parts.append(decode_timestamps(bytes(r["ts_codec"])))
+            vals = _decode_values(bytes(r["val_codec"]), n)
+            val_parts.append(vals)
+        epochs = np.concatenate(epochs_parts)
+        conv_id = pdf["conv_id"].iloc[0]
+        tier = pdf["tier"].iloc[0]
+        merged = {
+            m: (np.concatenate([vp[m][0] for vp in val_parts]),
+                np.concatenate([vp[m][1] for vp in val_parts]))
+            for m in _SERIES
+        }
+
+        rows = []
+        for lo in range(0, len(epochs), chunk_points):
+            hi = min(lo + chunk_points, len(epochs))
+            parts = []
+            for m in _SERIES:
+                v, nm = merged[m]
+                body = np.where(nm, 0, v).astype(np.int64)[lo:hi]
+                if m == "gap_filled" or m.endswith("_count"):
+                    stream = encode_ints(body, None)
+                else:
+                    stream = encode_ints(body, nm[lo:hi])
+                parts.append(struct.pack(">I", len(stream)))
+                parts.append(stream)
+            rows.append({
+                "conv_id": conv_id,
+                "tier": tier,
+                "chunk_start": pd.Timestamp(int(epochs[lo]), unit="s"),
+                "n_points": hi - lo,
+                "ts_codec": encode_timestamps(epochs[lo:hi]),
+                "val_codec": b"".join(parts),
+            })
+        return pd.DataFrame(rows)
+
+    return chunks.groupBy("conv_id", "tier").applyInPandas(
+        compact, CHUNK_SCHEMA)
