@@ -1572,6 +1572,16 @@ def q_para_dedup(spark, sf_dir):
     return paragraph_dedup(d)
 
 
+def q_datamix_report(spark, sf_dir):
+    """Per-source corpus telemetry: volume, quality/Gopher pass rates,
+    exact-dup rate, LM score re-aggregated from exact integer micro-sums.
+    Oracle is composed from the SAME oracle strings the individual signal
+    rows are checked against."""
+    from yatsm_spark.operators.curate import datamix_report
+
+    return datamix_report(_t(spark, sf_dir, "documents"))
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (Xie 2023): hashed unigram+bigram bucket
     log-ratios (target = lang='en' slice vs the raw corpus), snapped to
@@ -2342,6 +2352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_export": q_shuffle_export,
         "c4_clean": q_c4_clean,
         "para_dedup": q_para_dedup,
+        "datamix_report": q_datamix_report,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "lm_score": q_lm_score,
@@ -2855,7 +2866,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id))
     """
 
-    return {
+    d = {
         "tx_rollup_1m": f"""
             SELECT conv_id, {slot_m} AS window_start, {ROLE_COUNTS_SQL}
             FROM {tx} GROUP BY 1, 2
@@ -5201,6 +5212,55 @@ def oracle_sql() -> dict[str, str]:
         **_langid_oracle(),
         **_embedding_oracles(),
     }
+
+    # datamix_report: composed FROM the dict's own per-doc oracles, so the
+    # sub-signals in the report are LITERALLY the strings the individual
+    # driver rows are checked against (quality/gopher/token/fingerprints),
+    # plus an lm CTE with the exact integer micro-sum exposed.
+    d["datamix_report"] = f"""
+        WITH oq AS ({d['quality']}),
+        og AS ({d['gopher_rules']}),
+        otk AS ({d['token_counts']}),
+        ofp AS ({d['fingerprints']}),
+        dup AS (SELECT f.doc_id, (c._c > 1) AS is_dup
+                FROM ofp f JOIN (SELECT fingerprint, count(*)::long AS _c
+                                 FROM ofp GROUP BY 1) c USING (fingerprint)),
+        lw AS (SELECT doc_id,
+                      unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                         x -> x <> '')) AS word
+               FROM documents),
+        lc AS (SELECT word, count(*)::long AS cnt FROM lw GROUP BY 1),
+        lt AS (SELECT sum(cnt)::double AS total FROM lc),
+        ls AS (SELECT lw.doc_id,
+                      floor(ln(lc.cnt::double / lt.total) * 1e6 + 0.5)::long AS lp
+               FROM lw JOIN lc USING (word) CROSS JOIN lt),
+        lp AS (SELECT doc_id, count(*)::long AS lm_tokens, sum(lp)::long AS lp_sum
+               FROM ls GROUP BY 1),
+        lm AS (SELECT dd.doc_id, coalesce(lp.lm_tokens, 0)::long AS lm_tokens,
+                      coalesce(lp.lp_sum, 0)::long AS lp_micro_sum
+               FROM (SELECT doc_id FROM documents) dd LEFT JOIN lp USING (doc_id)),
+        j AS (SELECT dd.source, otk.n_chars, otk.n_ws_tokens,
+                     oq.quality_keep, og.gopher_keep, dup.is_dup,
+                     lm.lm_tokens, lm.lp_micro_sum
+              FROM documents dd
+              JOIN otk USING (doc_id) JOIN oq USING (doc_id)
+              JOIN og USING (doc_id) JOIN dup USING (doc_id)
+              JOIN lm USING (doc_id))
+        SELECT source, count(*)::long AS n_docs,
+               sum(n_chars)::long AS n_chars,
+               sum(n_ws_tokens)::long AS n_tokens,
+               round(sum(CASE WHEN quality_keep THEN 1 ELSE 0 END) / count(*), 6)
+                 AS quality_rate,
+               round(sum(CASE WHEN gopher_keep THEN 1 ELSE 0 END) / count(*), 6)
+                 AS gopher_rate,
+               round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) / count(*), 6)
+                 AS dup_rate,
+               CASE WHEN sum(lm_tokens) > 0 THEN
+                 round(sum(lp_micro_sum) / 1e6 / sum(lm_tokens), 6)
+               END AS lm_avg_logprob
+        FROM j GROUP BY source
+    """
+    return d
 
 
 def _langid_oracle() -> dict[str, str]:

@@ -84,3 +84,36 @@ def test_curate_kept_set_is_consistent(corpus):
         | (F.col("exact_kept") & ~F.col("quality_keep"))
         | (F.col("quality_keep") & ~F.col("in_train"))).count()
     assert bad == 0
+
+
+def test_datamix_report_hand_computed(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from yatsm_spark.operators.curate import datamix_report
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "the cat and the dog have played with that ball",  # clean
+            "the cat and the dog have played with that ball",  # exact dup
+            "x",                                               # junk
+            "another clean document with the usual words in it",
+        ],
+        "lang": ["en"] * 4,
+        "source": ["a", "a", "a", "b"],
+        "n_chars": [0] * 4,
+    })
+    out = {r["source"]: r for r in
+           datamix_report(spark.createDataFrame(docs)).collect()}
+
+    a, b = out["a"], out["b"]
+    assert a["n_docs"] == 3 and b["n_docs"] == 1
+    # docs 0 and 1 are byte-identical -> both flagged dup
+    assert a["dup_rate"] == round(2 / 3, 6)
+    assert b["dup_rate"] == 0.0
+    # 'x' fails the quality battery; the two clean docs pass
+    assert a["quality_rate"] == round(2 / 3, 6)
+    assert a["n_tokens"] == 10 + 10 + 1
+    # lm average is a real negative logprob over a's tokens
+    assert a["lm_avg_logprob"] < 0

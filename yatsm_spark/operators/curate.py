@@ -139,3 +139,53 @@ def curate_training_set(docs: DataFrame, bench_rate: float = 0.05,
                     lm_keep.alias("lm_keep"), dup_keep.alias("dup_keep"))
             .withColumn("kept", F.col("lm_keep") & F.col("dup_keep")
                         & ~F.col("fuzzy_contaminated")))
+
+
+def datamix_report(docs: DataFrame) -> DataFrame:
+    """Per-source corpus telemetry — the summary table a curation
+    pipeline publishes after every run: volume (docs / chars / words),
+    quality pass rates (the simplified composite AND the full Gopher
+    battery at the discriminating 5/1 thresholds), exact-duplicate rate,
+    and the corpus-self LM score re-aggregated from EXACT integer
+    micro-sums (never a mean of already-rounded doubles — that would be
+    order-dependent).
+
+    Every emitted rate is one round-6 division of exact integers, so the
+    DuckDB oracle is value-identical. Plan: the per-doc signal operators
+    (each a linear scan / bounded agg) hash-join on doc_id — all
+    co-partitioned after the first shuffle — then ONE hash agg on
+    source."""
+    from yatsm_spark.operators.textstats import (
+        fingerprints, gopher_rules, lm_unigram_score, quality_scores,
+        token_counts)
+
+    base = docs.select("doc_id", "source")
+    tok = token_counts(docs).select("doc_id", "n_chars", "n_ws_tokens")
+    q = quality_scores(docs).select("doc_id", "quality_keep")
+    g = gopher_rules(docs, min_words=5, min_stops=1) \
+        .select("doc_id", "gopher_keep")
+    fp = fingerprints(docs)
+    dup = (fp.join(fp.groupBy("fingerprint")
+                     .agg(F.count(F.lit(1)).alias("_c")), "fingerprint")
+           .select("doc_id", (F.col("_c") > 1).alias("is_dup")))
+    lm = lm_unigram_score(docs, with_micro=True) \
+        .select("doc_id", F.col("n_tokens").alias("lm_tokens"),
+                "lp_micro_sum")
+
+    j = (base.join(tok, "doc_id").join(q, "doc_id").join(g, "doc_id")
+         .join(dup, "doc_id").join(lm, "doc_id"))
+    n = F.count(F.lit(1))
+    return (j.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_ws_tokens").cast("long").alias("n_tokens"),
+        F.round(F.sum(F.col("quality_keep").cast("int")) / n, 6)
+         .alias("quality_rate"),
+        F.round(F.sum(F.col("gopher_keep").cast("int")) / n, 6)
+         .alias("gopher_rate"),
+        F.round(F.sum(F.col("is_dup").cast("int")) / n, 6)
+         .alias("dup_rate"),
+        F.when(F.sum("lm_tokens") > 0,
+               F.round(F.sum("lp_micro_sum") / 1e6 / F.sum("lm_tokens"), 6))
+         .alias("lm_avg_logprob"),
+    ))

@@ -187,7 +187,8 @@ def redact_pii(docs: DataFrame, text_col: str = "text",
     return df
 
 
-def lm_unigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def lm_unigram_score(docs: DataFrame, text_col: str = "text",
+                     with_micro: bool = False) -> DataFrame:
     """Corpus-self unigram language-model score per document — the
     perplexity-style quality signal of CCNet (Wenzek et al. 2020,
     arXiv:1911.00359), proxied with a self-trained unigram LM instead of
@@ -228,13 +229,20 @@ def lm_unigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     per_doc = (scored.groupBy("doc_id")
                .agg(F.count(F.lit(1)).alias("n_tokens"),
                     F.sum("lp_micro").alias("lp_sum")))
+    cols = [
+        F.col("doc_id"),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.when(F.col("n_tokens") > 0,
+               F.round(F.col("lp_sum") / 1e6 / F.col("n_tokens"), 6))
+         .alias("avg_logprob")]
+    if with_micro:
+        # exact integer numerator for downstream re-aggregation (e.g. a
+        # per-source corpus report): avoids averaging already-rounded
+        # doubles, which would be order-dependent
+        cols.append(F.coalesce("lp_sum", F.lit(0)).cast("long")
+                     .alias("lp_micro_sum"))
     return (docs.select("doc_id").join(per_doc, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-                F.when(F.col("n_tokens") > 0,
-                       F.round(F.col("lp_sum") / 1e6 / F.col("n_tokens"), 6))
-                 .alias("avg_logprob")))
+            .select(*cols))
 
 
 #: Gopher required stop words (Rae et al. 2021, arXiv:2112.11446 §A1.1.2):
