@@ -1572,6 +1572,15 @@ def q_para_dedup(spark, sf_dir):
     return paragraph_dedup(d)
 
 
+def q_remove_dup_spans(spark, sf_dir):
+    """ExactSubstr REMOVAL (Lee 2022): rewrite each doc with the word
+    spans covered by corpus-duplicated 5-grams cut out — same interval
+    semantics as dup_ngram_spans, clean_text compared byte-exactly."""
+    from yatsm_spark.operators.dedup import remove_dup_spans
+
+    return remove_dup_spans(_t(spark, sf_dir, "documents"))
+
+
 def q_datamix_report(spark, sf_dir):
     """Per-source corpus telemetry: volume, quality/Gopher pass rates,
     exact-dup rate, LM score re-aggregated from exact integer micro-sums.
@@ -2352,6 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_export": q_shuffle_export,
         "c4_clean": q_c4_clean,
         "para_dedup": q_para_dedup,
+        "remove_dup_spans": q_remove_dup_spans,
         "datamix_report": q_datamix_report,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
@@ -4214,6 +4224,47 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(p.covered_tokens, 0)::long AS covered_tokens,
                    round(coalesce(p.n_dup_grams, 0)::double / b2.n_grams, 6) AS dup_ratio
             FROM base b2 LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "remove_dup_spans": """
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS w
+              FROM documents),
+            base AS (SELECT doc_id, w, len(w)::int AS n_words FROM words),
+            g AS (SELECT doc_id, n_words, (i - 1)::int AS pos,
+                         array_to_string(w[i:i+4], ' ') AS gram
+                  FROM base, unnest(generate_series(1, greatest(len(w) - 5, 0) + 1)) AS t(i)),
+            dupg AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+            d AS (SELECT g.doc_id, g.pos,
+                         least(g.pos + 5, g.n_words)::int AS e
+                  FROM g JOIN dupg USING (gram)),
+            isl AS (SELECT doc_id, pos, e,
+                           CASE WHEN pos > coalesce(max(e) OVER (
+                                  PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                                THEN 1 ELSE 0 END AS brk
+                    FROM d),
+            isl2 AS (SELECT *, sum(brk) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS iid
+                     FROM isl),
+            per_island AS (SELECT doc_id, iid, min(pos) AS a, max(e) AS b
+                           FROM isl2 GROUP BY 1, 2),
+            pos_all AS (SELECT doc_id, w, n_words, (i - 1)::int AS p
+                        FROM base, unnest(generate_series(1, n_words)) AS t(i)),
+            kept AS (SELECT pa.doc_id, pa.p, pa.w[pa.p + 1] AS word
+                     FROM pos_all pa
+                     WHERE NOT EXISTS (SELECT 1 FROM per_island pi
+                                       WHERE pi.doc_id = pa.doc_id
+                                         AND pa.p >= pi.a AND pa.p < pi.b)),
+            agg AS (SELECT doc_id, count(*)::long AS n_kept,
+                           string_agg(word, ' ' ORDER BY p) AS clean_text
+                    FROM kept GROUP BY 1)
+            SELECT b2.doc_id::long AS doc_id,
+                   b2.n_words::long AS n_words,
+                   (b2.n_words - coalesce(a.n_kept, 0))::long AS removed_tokens,
+                   coalesce(a.clean_text, '') AS clean_text
+            FROM base b2 LEFT JOIN agg a USING (doc_id)
         """,
         "ngram_jaccard": shingles + """
             , freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),

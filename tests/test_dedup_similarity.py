@@ -415,3 +415,45 @@ def test_paragraph_dedup_canonical_is_min_doc_then_idx(spark):
     # doc 3 owns 'dup' (smaller doc_id), doc 5 loses its instance
     assert out[3]["clean_text"] == "lead\n\ndup"
     assert out[5]["clean_text"] == "other"
+
+
+def test_remove_dup_spans_rewrite_and_counts(spark):
+    from yatsm_spark.operators.dedup import dup_ngram_spans, remove_dup_spans
+
+    boiler = "one two three four five"          # the duplicated 5-gram
+    rows = [
+        (0, f"alpha beta {boiler} gamma delta"),
+        (1, f"{boiler} something else entirely here"),
+        (2, "no duplicated content in this document at all"),
+    ]
+    out = {r["doc_id"]: r for r in
+           remove_dup_spans(_docs(spark, rows)).collect()}
+
+    assert out[0]["clean_text"] == "alpha beta gamma delta"
+    assert out[0]["removed_tokens"] == 5
+    assert out[1]["clean_text"] == "something else entirely here"
+    assert out[2]["removed_tokens"] == 0
+    assert out[2]["clean_text"] == rows[2][1]  # untouched doc round-trips
+
+    # removal agrees with the signal operator's coverage numbers
+    cov = {r["doc_id"]: r["covered_tokens"] for r in
+           dup_ngram_spans(_docs(spark, rows)).collect()}
+    for d in (0, 1, 2):
+        assert out[d]["removed_tokens"] == cov[d]
+
+
+def test_remove_dup_spans_overlapping_spans_merge(spark):
+    from yatsm_spark.operators.dedup import remove_dup_spans
+
+    # 'a b c d e f' duplicated: doc 0 contains it twice overlapping the
+    # shared prefix — merged interval must cover the union, not double-cut
+    rows = [
+        (0, "a b c d e f x a b c d e f"),
+        (1, "a b c d e f tail words here now"),
+    ]
+    out = {r["doc_id"]: r for r in
+           remove_dup_spans(_docs(spark, rows)).collect()}
+    # intervals [0,6) and [7,13) merge around the lone survivor 'x'
+    assert out[0]["clean_text"] == "x"
+    assert out[0]["removed_tokens"] == 12
+    assert out[1]["clean_text"] == "tail words here now"

@@ -372,3 +372,72 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
                            F.struct(F.col("para_idx"), F.col("para"))))),
                 lambda s: s["para"]),
             "\n\n").alias("clean_text")))
+
+
+def remove_dup_spans(docs: DataFrame, n: int = 5, min_count: int = 2,
+                     text_col: str = "text") -> DataFrame:
+    """The REMOVAL step of ExactSubstr dedup (Lee et al. 2022): rewrite
+    every document with the word spans covered by corpus-duplicated
+    n-grams cut out. Operates on the same normalized word sequence (and
+    the same merged ``[pos, pos+n)`` interval semantics) as
+    :func:`dup_ngram_spans`, so ``removed_tokens`` there equals
+    ``covered_tokens`` here; the emitted ``clean_text`` is the kept
+    words joined by single spaces — a normalized rewrite by definition
+    (the signal operator reports, this one acts).
+
+    Returns (doc_id, n_words, removed_tokens, clean_text), clean_text
+    compared BYTE-exactly by the oracle. Scale shape: identical to
+    dup_ngram_spans through the interval merge (gram explode + one
+    bounded gram agg + skew-aware join + one doc window), then the
+    merged intervals come back as a per-doc ARRAY (bounded by
+    n_words/n) and the rewrite is one in-row filter/transform pass —
+    no extra shuffle beyond the interval merge's."""
+    words = F.split(_NORM(F.col(text_col)), " ")
+    base = docs.select("doc_id", words.alias("w")) \
+               .withColumn("n_words", F.size("w"))
+    grams = base.select(
+        "doc_id", "n_words",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.col("n_words") - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, n)),
+            )
+        ).alias("pos", "gram"))
+    dup_keys = (grams.groupBy("gram")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .filter(F.col("cnt") >= min_count)
+                .select("gram"))
+    d = (grams.join(dup_keys, "gram")
+         .select("doc_id", "pos",
+                 F.least(F.col("pos") + n, F.col("n_words")).alias("e")))
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_e = F.max("e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    d = d.withColumn(
+        "brk", (F.col("pos") > F.coalesce(prev_max_e, F.lit(-1))).cast("int"))
+    d = d.withColumn("iid", F.sum("brk").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+    merged = (d.groupBy("doc_id", "iid")
+              .agg(F.min("pos").alias("a"), F.max("e").alias("b"))
+              .groupBy("doc_id")
+              .agg(F.sort_array(F.collect_list(F.struct("a", "b")))
+                   .alias("ivs")))
+
+    joined = (base.join(merged, "doc_id", "left")
+              .withColumn("ivs", F.coalesce(
+                  "ivs", F.array().cast("array<struct<a:int,b:int>>"))))
+    keep_idx = F.filter(
+        F.sequence(F.lit(0), F.col("n_words") - 1),
+        lambda i: ~F.exists("ivs",
+                            lambda iv: (i >= iv["a"]) & (i < iv["b"])))
+    pre = joined.select("doc_id", "n_words", "w",
+                        keep_idx.alias("_keep"))
+    return pre.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        (F.col("n_words") - F.size("_keep")).cast("long")
+         .alias("removed_tokens"),
+        F.array_join(
+            F.transform(F.col("_keep"),
+                        lambda i: F.element_at(F.col("w"), i + 1)),
+            " ").alias("clean_text"))
