@@ -767,6 +767,15 @@ def q_tx_dtw_rerank(spark, sf_dir):
     return dtw_rerank(dense, pairs).orderBy("conv_a", "conv_b")
 
 
+def q_tx_response_latency(spark, sf_dir):
+    """Per-conv response-latency profile: user turn -> nearest following
+    assistant turn, exact integer microseconds; median/p90 are SELECTION
+    ranks in integer math (the cross-engine median discipline)."""
+    from yatsm_spark.operators.sessionize import response_latency
+
+    return response_latency(_tx(spark, sf_dir))
+
+
 def q_tx_kalman(spark, sf_dir):
     """Kalman local-level filter + RTS smoother over each conv's DENSE
     1h turn-count series (state-space denoising; Harvey 1989) — the
@@ -2282,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_twa": q_tx_twa,
         "tx_lttb": q_tx_lttb,
         "tx_kalman": q_tx_kalman,
+        "tx_response_latency": q_tx_response_latency,
         "tx_m4": q_tx_m4,
         "tx_ewma": q_tx_ewma,
         "tx_holt": q_tx_holt,
@@ -5046,6 +5056,26 @@ def oracle_sql() -> dict[str, str]:
                    kalman_var::double AS kalman_var,
                    kalman_smooth::double AS kalman_smooth
             FROM read_parquet('{GOLDEN_KAL}')
+        """,
+        "tx_response_latency": f"""
+            WITH t AS (SELECT conv_id, turn_idx, role, epoch_us(ts) AS us
+                       FROM {tx}),
+            nx AS (SELECT conv_id, turn_idx, role, us,
+                          min(CASE WHEN role = 'assistant' THEN us END) OVER (
+                            PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS na
+                   FROM t),
+            lat AS (SELECT conv_id, (na - us) AS lat
+                    FROM nx WHERE role = 'user' AND na IS NOT NULL),
+            rk AS (SELECT conv_id, lat,
+                          row_number() OVER (PARTITION BY conv_id ORDER BY lat) AS rn,
+                          count(*) OVER (PARTITION BY conv_id) AS m
+                   FROM lat)
+            SELECT conv_id, max(m)::long AS n_pairs,
+                   max(CASE WHEN rn = (m+1)//2 THEN lat END)::long AS lat_median_us,
+                   max(CASE WHEN rn = (9*m+9)//10 THEN lat END)::long AS lat_p90_us,
+                   max(lat)::long AS lat_max_us
+            FROM rk GROUP BY 1
         """,
         # M4: integer relation, ties break on earliest slot in BOTH
         # engines (identical ORDER BY in the four row_number windows).

@@ -367,3 +367,60 @@ def test_periodogram_phase_invariant(spark):
             for i, v in enumerate(vals)]
     b = periodogram(_tier(spark, rows), periods=(20,)).collect()[0]
     assert a["power"] == b["power"]
+
+
+def test_response_latency_selection_ranks(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from yatsm_spark.operators.sessionize import response_latency
+
+    def turn(conv, idx, role, secs):
+        return (conv, idx, role, "hi", None,
+                T0 + dt.timedelta(seconds=secs))
+
+    rows = [
+        # c1: three user->assistant pairs with latencies 10s, 20s, 40s
+        turn("c1", 0, "user", 0), turn("c1", 1, "assistant", 10),
+        turn("c1", 2, "user", 100), turn("c1", 3, "assistant", 120),
+        turn("c1", 4, "user", 200), turn("c1", 5, "assistant", 240),
+        # trailing user turn with no assistant after it -> dropped
+        turn("c1", 6, "user", 300),
+        # c2: assistant-only conv -> no rows at all
+        turn("c2", 0, "assistant", 0), turn("c2", 1, "assistant", 5),
+    ]
+    tx = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]))
+    out = {r["conv_id"]: r for r in response_latency(tx).collect()}
+
+    assert "c2" not in out
+    r = out["c1"]
+    assert r["n_pairs"] == 3
+    # lower median of [10s, 20s, 40s] = 20s; p90 rank ceil(2.7)=3 -> 40s
+    assert r["lat_median_us"] == 20_000_000
+    assert r["lat_p90_us"] == 40_000_000
+    assert r["lat_max_us"] == 40_000_000
+
+
+def test_response_latency_nearest_not_lead(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from yatsm_spark.operators.sessionize import response_latency
+
+    # user at t=0, then ANOTHER user turn, then assistant: the pairing
+    # must skip the intervening user turn (nearest following assistant)
+    rows = [
+        ("c1", 0, "user", "a", None, T0),
+        ("c1", 1, "user", "b", None, T0 + dt.timedelta(seconds=5)),
+        ("c1", 2, "assistant", "c", None, T0 + dt.timedelta(seconds=8)),
+    ]
+    tx = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]))
+    r = response_latency(tx).collect()[0]
+    assert r["n_pairs"] == 2
+    # latencies: 8s (turn 0) and 3s (turn 1); median = lower of sorted
+    assert r["lat_median_us"] == 3_000_000
+    assert r["lat_max_us"] == 8_000_000

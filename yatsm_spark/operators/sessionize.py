@@ -133,3 +133,43 @@ def cohort_retention(events: DataFrame, period_s: int = 604800,
                          .cast("long")).alias("cohort_start"),
                      "period_offset", "n_active", "n_cohort",
                      rate.alias("retention_rate")))
+
+
+def response_latency(tx: DataFrame, by: str = "conv_id") -> DataFrame:
+    """Per-conversation response-latency profile over raw transcripts:
+    each user turn pairs with the NEXT assistant turn (nearest following
+    turn_idx — MIN over the forward frame, so the pairing is
+    order-robust, not LEAD-fragile), latency in exact integer
+    MICROSECONDS (`unix_micros` — the engine-wide no-second-truncation
+    rule). User turns with no following assistant turn drop out.
+
+    Emits (by, n_pairs, lat_median_us, lat_p90_us, lat_max_us). Median
+    and p90 are SELECTION ranks — lower median (m+1)//2 and
+    ceil(0.9·m) spelled as floor((9m+9)/10) in INTEGER math (never
+    0.9*m in floats: 9·m/10 at exact multiples rounds up in binary and
+    shifts the rank) — never an interpolated average, per the
+    cross-engine median discipline (BENCH/SUBMIT gotchas).
+
+    Scale shape: one window pass partitioned by conv (forward-frame MIN
+    + the rank window share the conv partitioning with the final agg —
+    one shuffle total, the sessionize property)."""
+    fwd = (Window.partitionBy(by).orderBy("turn_idx")
+           .rowsBetween(1, Window.unboundedFollowing))
+    na = F.min(F.when(F.col("role") == "assistant", F.col("_us"))).over(fwd)
+    lat = (tx.select(by, "turn_idx", "role",
+                     F.unix_micros(F.col("ts")).alias("_us"))
+           .withColumn("_na", na)
+           .filter((F.col("role") == "user") & F.col("_na").isNotNull())
+           .select(by, (F.col("_na") - F.col("_us")).alias("lat")))
+    wr = Window.partitionBy(by).orderBy("lat")
+    rk = (lat.withColumn("rn", F.row_number().over(wr))
+          .withColumn("m", F.count(F.lit(1)).over(Window.partitionBy(by))))
+    med_rank = F.floor((F.col("m") + 1) / 2)
+    p90_rank = F.floor((9 * F.col("m") + 9) / 10)
+    return rk.groupBy(by).agg(
+        F.max("m").cast("long").alias("n_pairs"),
+        F.max(F.when(F.col("rn") == med_rank, F.col("lat")))
+         .cast("long").alias("lat_median_us"),
+        F.max(F.when(F.col("rn") == p90_rank, F.col("lat")))
+         .cast("long").alias("lat_p90_us"),
+        F.max("lat").cast("long").alias("lat_max_us"))
