@@ -457,3 +457,22 @@ def test_remove_dup_spans_overlapping_spans_merge(spark):
     assert out[0]["clean_text"] == "x"
     assert out[0]["removed_tokens"] == 12
     assert out[1]["clean_text"] == "tail words here now"
+
+
+def test_paragraph_dedup_is_idempotent(spark):
+    """After one pass every surviving paragraph instance is canonical and
+    unique, so a second pass must be a byte-exact no-op."""
+    from yatsm_spark.operators.dedup import paragraph_dedup
+
+    rng = __import__("random").Random(5)
+    paras = [f"paragraph number {i} with words" for i in range(6)]
+    rows = [(d, "\n\n".join(rng.choice(paras)
+                            for _ in range(rng.randint(1, 5))))
+            for d in range(12)]
+    once = paragraph_dedup(_docs(spark, rows)).collect()
+    again = {r["doc_id"]: r for r in paragraph_dedup(
+        _docs(spark, [(r["doc_id"], r["clean_text"]) for r in once])
+    ).collect()}
+    for r in once:
+        assert again[r["doc_id"]]["clean_text"] == r["clean_text"]
+        assert again[r["doc_id"]]["n_dropped"] == 0

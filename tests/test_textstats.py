@@ -253,3 +253,28 @@ def test_c4_clean_match_oracle_on_hostile_text(spark):
                            "This line mentions javascript and is dropped.\n"),
                      F.col("text"), F.lit("!")).alias("text"))),
         con, _oracle("c4_clean"))
+
+
+def test_c4_clean_is_idempotent_on_clean_text(spark):
+    """Kept lines individually satisfy every line rule, so re-cleaning
+    the cleaned text keeps all of them byte-for-byte."""
+    from yatsm_spark.operators.textstats import c4_clean
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": [
+            "Good long sentence number one right here.\n"
+            "tiny\n"
+            "Another good long sentence lives here too!\n"
+            "unterminated line with plenty of words inside",
+            "One proper sentence with enough words inside.\n"
+            "Second proper sentence with enough words also?",
+        ],
+    })
+    once = c4_clean(spark.createDataFrame(docs)).collect()
+    again = {r["doc_id"]: r for r in c4_clean(spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r["doc_id"] for r in once],
+                      "text": [r["clean_text"] for r in once]}))).collect()}
+    for r in once:
+        assert again[r["doc_id"]]["clean_text"] == r["clean_text"]
+        assert again[r["doc_id"]]["n_kept_lines"] == r["n_kept_lines"]

@@ -622,6 +622,67 @@ def main():
         ("no cartesian product", "Cartesian", False),
     ])
 
+    audit("c4_clean (line-rule battery, byte-exact rewrite)",
+          qs["c4_clean"](spark, SF_DIR), [
+        ("zero shuffles — pure per-row Catalyst", "Exchange", False),
+        ("no row-at-a-time python UDF", "BatchEvalPython", False),
+    ])
+
+    audit("para_dedup (canonical-instance paragraph dedup + reassembly)",
+          qs["para_dedup"](spark, SF_DIR), [
+        ("paragraph fan-out is a Generate (posexplode)", "Generate", True),
+        ("canonical-owner agg is partial+final on the paragraph hash",
+         "partial_min", True),
+        ("no row-at-a-time python UDF", "BatchEvalPython", False),
+        ("no cartesian product", "Cartesian", False),
+    ])
+
+    audit("remove_dup_spans (ExactSubstr removal rewrite)",
+          qs["remove_dup_spans"](spark, SF_DIR), [
+        ("gram fan-out is a Generate (posexplode)", "Generate", True),
+        ("gram counts partially aggregated map-side", "partial_count", True),
+        ("no row-at-a-time python UDF", "BatchEvalPython", False),
+        ("no cartesian product", "Cartesian", False),
+    ])
+
+    audit("dsir_select (deterministic resampling cut)",
+          qs["dsir_select"](spark, SF_DIR), [
+        ("no one-reducer global window (rank is range-partitioned)",
+         "Exchange SinglePartition", False),
+        ("no row-at-a-time python UDF", "BatchEvalPython", False),
+    ])
+
+    audit("datamix_report (per-source curation telemetry)",
+          qs["datamix_report"](spark, SF_DIR), [
+        ("source rollup partially aggregated map-side", "partial_count", True),
+        ("no row-at-a-time python UDF", "BatchEvalPython", False),
+        ("no cartesian product", "Cartesian", False),
+    ])
+
+    audit("tx_kalman (state-space smoother via grouped Arrow UDF)",
+          qs["tx_kalman"](spark, SF_DIR), [
+        ("kernel drives through ONE grouped Arrow UDF",
+         "FlatMapGroupsInPandas", True),
+        ("no row-at-a-time python UDF", "BatchEvalPython", False),
+    ])
+
+    audit("tx_compact (chunk compaction feeding the chunk-serve path)",
+          qs["tx_compact"](spark, SF_DIR), [
+        ("compaction is a grouped Arrow UDF per (conv, tier)",
+         "FlatMapGroupsInPandas", True),
+        ("chunk decode on the serve side is mapInPandas (no shuffle)",
+         "MapInPandas", True),
+        ("no row-at-a-time python UDF", "BatchEvalPython", False),
+        ("no cartesian product", "Cartesian", False),
+    ])
+
+    audit("tx_response_latency (forward-frame pairing + selection ranks)",
+          qs["tx_response_latency"](spark, SF_DIR), [
+        ("forward-frame window, rank window and final agg all share the "
+         "conv partitioning: exactly one Exchange", "+- Exchange", 1),
+        ("no row-at-a-time python UDF", "BatchEvalPython", False),
+    ])
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
