@@ -125,6 +125,7 @@ def main():
     from yatsm_spark.ingest import with_measures
     from yatsm_spark.operators.rollup import rollup_from_turns
     from yatsm_spark.streaming.stream_rollup import (
+        stream_kalman,
         online_monitor,
         stream_anomaly,
         stream_rollup_1m,
@@ -170,6 +171,13 @@ def main():
         tier_schema, src_tier, "anomaly")
     results["stream_anomaly"]["state_bytes_per_conv"] = round(
         results["stream_anomaly"]["state_mem_bytes_final"] / n_convs, 1)
+
+    results["stream_kalman"] = run_stream(
+        spark, lambda s: stream_kalman(s.select(
+            "conv_id", "window_start", "turn_count")),
+        tier_schema, src_tier, "kalman")
+    results["stream_kalman"]["state_bytes_per_conv"] = round(
+        results["stream_kalman"]["state_mem_bytes_final"] / n_convs, 1)
 
     out = os.environ.get("STREAM_OUT")
     if out:
