@@ -1590,6 +1590,17 @@ def q_remove_dup_spans(spark, sf_dir):
     return remove_dup_spans(_t(spark, sf_dir, "documents"))
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic A-ES weighted sampling without replacement
+    (Efraimidis-Spirakis): inclusion probability proportional to n_chars,
+    hash-derived uniforms (no RNG state), micro-snapped keys so the rank
+    order is integer-exact cross-engine."""
+    from yatsm_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(_t(spark, sf_dir, "documents"), "n_chars",
+                           k=100, seed=3)
+
+
 def q_datamix_report(spark, sf_dir):
     """Per-source corpus telemetry: volume, quality/Gopher pass rates,
     exact-dup rate, LM score re-aggregated from exact integer micro-sums.
@@ -2372,6 +2383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "para_dedup": q_para_dedup,
         "remove_dup_spans": q_remove_dup_spans,
+        "weighted_sample": q_weighted_sample,
         "datamix_report": q_datamix_report,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
@@ -4821,6 +4833,20 @@ def oracle_sql() -> dict[str, str]:
                                        chr(10)||chr(10) ORDER BY para_idx),
                             '') AS clean_text
             FROM fl GROUP BY 1
+        """,
+        "weighted_sample": """
+            WITH b AS (SELECT doc_id, n_chars,
+                              ((doc_id + 3) * 2654435761) % 4294967296 AS h
+                       FROM documents WHERE n_chars > 0),
+            k AS (SELECT doc_id, n_chars,
+                         floor(ln((h + 0.5) / 4294967296.0) / n_chars
+                               * 1e6 + 0.5)::long AS km
+                  FROM b)
+            SELECT doc_id::long AS doc_id, n_chars::long AS n_chars,
+                   round(km / 1e6, 6) AS es_key,
+                   row_number() OVER (ORDER BY -km, doc_id)::long AS draw_rank,
+                   (row_number() OVER (ORDER BY -km, doc_id) <= 100) AS kept
+            FROM k
         """,
         "dsir_weights": dsir_cte + """
             SELECT doc_id, n_feats, logw_micro, logw, logw_per_feat FROM wt

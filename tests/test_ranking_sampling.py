@@ -278,3 +278,51 @@ def test_global_shuffle_plan_has_no_global_window(spark):
     # and nothing in the plan collapses to a single partition
     assert "windowspecdefinition(_part" in plan
     assert "singlepartition" not in plan
+
+
+def test_weighted_sample_favors_heavy_weights(spark):
+    import pandas as pd
+
+    from yatsm_spark.operators.sampling import weighted_sample
+
+    # 50 heavy docs (w=1000) vs 450 light (w=1): top-50 should be
+    # overwhelmingly heavy under any seed
+    pdf = pd.DataFrame({
+        "doc_id": range(500),
+        "w": [1000] * 50 + [1] * 450,
+    })
+    out = weighted_sample(spark.createDataFrame(pdf), "w", k=50,
+                          seed=1, id_col="doc_id")
+    kept = [r["doc_id"] for r in out.filter("kept").collect()]
+    assert len(kept) == 50
+    heavy = sum(1 for d in kept if d < 50)
+    assert heavy >= 40  # expectation ~49; wide margin for the fixed seed
+
+
+def test_weighted_sample_extensible_and_partition_invariant(spark):
+    import pandas as pd
+
+    from yatsm_spark.operators.sampling import weighted_sample
+
+    pdf = pd.DataFrame({"doc_id": range(200),
+                        "w": [(i % 7) + 1 for i in range(200)]})
+    sdf = spark.createDataFrame(pdf)
+    a = {r["doc_id"]: r["draw_rank"]
+         for r in weighted_sample(sdf, "w", k=30, seed=5).collect()}
+    b = {r["doc_id"]: r["draw_rank"]
+         for r in weighted_sample(sdf, "w", k=80, seed=5,
+                                  n_parts=7).collect()}
+    # ranks identical whatever k or partition count; k only moves the cut
+    assert a == b
+    ranks = sorted(a.values())
+    assert ranks == list(range(1, 201))  # contiguous 1..n
+
+
+def test_weighted_sample_zero_weight_excluded(spark):
+    import pandas as pd
+
+    from yatsm_spark.operators.sampling import weighted_sample
+
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "w": [5, 0, -2]})
+    out = weighted_sample(spark.createDataFrame(pdf), "w", k=3).collect()
+    assert [r["doc_id"] for r in out] == [1]

@@ -22,7 +22,7 @@ operators/sampling.py::global_shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from yatsm_spark.operators.dedup import _NORM
 
@@ -105,29 +105,14 @@ def dsir_select(weights: DataFrame, k: int,
     the resampling step, with the paper's Gumbel noise replaced by a
     deterministic rank cut so the oracle can replay it exactly.
 
-    No one-reducer global window: repartitionByRange on the order key,
-    per-partition local rank, tiny count agg -> broadcast cumulative
-    offsets (sampling.global_shuffle's shape — the only driver state is
-    n_parts integers). Emits (doc_id, logw_micro, dsir_rank, kept)."""
-    spark = weights.sparkSession
-    if n_parts is None:
-        n_parts = spark.sparkContext.defaultParallelism
-    d = (weights.select("doc_id", "logw_micro",
-                        (-F.col("logw_micro")).alias("_neg"))
-         .repartitionByRange(n_parts, F.col("_neg"), F.col("doc_id"))
-         .withColumn("_part", F.spark_partition_id())
-         .localCheckpoint())
-    counts = (d.groupBy("_part").agg(F.count(F.lit(1)).alias("_c"))
-              .orderBy("_part").collect())
-    offsets, acc = {}, 0
-    for r in counts:
-        offsets[r._part] = acc
-        acc += r._c
-    off = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "_part int, _off long")
-    w = Window.partitionBy("_part").orderBy(F.col("_neg"), F.col("doc_id"))
-    return (d.withColumn("_rn", F.row_number().over(w))
-            .join(F.broadcast(off), "_part")
-            .select("doc_id", "logw_micro",
-                    (F.col("_off") + F.col("_rn")).alias("dsir_rank"),
-                    ((F.col("_off") + F.col("_rn")) <= k).alias("kept")))
+    No one-reducer global window: the shared range-partitioned rank
+    machinery (operators/sampling.py::global_rank). Emits
+    (doc_id, logw_micro, dsir_rank, kept)."""
+    from yatsm_spark.operators.sampling import global_rank
+
+    d = weights.select("doc_id", "logw_micro",
+                       (-F.col("logw_micro")).alias("_neg"))
+    ranked = global_rank(d, ["_neg", "doc_id"], n_parts)
+    return ranked.select("doc_id", "logw_micro",
+                         F.col("rank").alias("dsir_rank"),
+                         (F.col("rank") <= k).alias("kept"))

@@ -167,3 +167,67 @@ def global_shuffle(df: DataFrame, seed: int = 0, id_col: str = "doc_id",
             .join(F.broadcast(off), "_part")
             .select(F.col(id_col),
                     (F.col("_off") + F.col("_rn") - 1).alias("shuffle_pos")))
+
+
+def global_rank(df: DataFrame, order_cols: list, n_parts: int | None = None,
+                rank_col: str = "rank") -> DataFrame:
+    """Contiguous 1-based global rank following ``order_cols`` WITHOUT a
+    one-reducer window: repartitionByRange on the order key, per-
+    partition local rank, tiny count agg -> broadcast cumulative offsets
+    (the global_shuffle shape — the only driver state is n_parts
+    integers). ``order_cols`` are column NAMES already present on df
+    (negate numerics beforehand for descending order); appends
+    ``rank_col`` and drops nothing else."""
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    d = (df.repartitionByRange(n_parts, *cols)
+         .withColumn("_part", F.spark_partition_id())
+         .localCheckpoint())
+    counts = (d.groupBy("_part").agg(F.count(F.lit(1)).alias("_c"))
+              .orderBy("_part").collect())
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r._part] = acc
+        acc += r._c
+    off = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_part int, _off long")
+    w = Window.partitionBy("_part").orderBy(*cols)
+    return (d.withColumn("_rn", F.row_number().over(w))
+            .join(F.broadcast(off), "_part")
+            .withColumn(rank_col, F.col("_off") + F.col("_rn"))
+            .drop("_part", "_rn", "_off"))
+
+
+def weighted_sample(df: DataFrame, weight_col: str, k: int, seed: int = 0,
+                    id_col: str = "doc_id",
+                    n_parts: int | None = None) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-ES): each row gets key = ln(u)/w with u a
+    hash-derived uniform in (0,1) and w its positive integer weight; the
+    k largest keys are the sample — inclusion probability proportional
+    to weight, no RNG state (u = (knuth_hash(id+seed)+0.5)/2^32, so the
+    draw replays bit-identically anywhere).
+
+    The key is snapped to integer micro-units (the ln() discipline of
+    lm_score/dsir) so ranking is integer-exact cross-engine, with id as
+    the tie-break. Rows with weight <= 0 are excluded (they can never be
+    drawn). Emits (id, weight, es_key, rank, kept); the rank <= m prefix
+    IS weighted_sample(m) — extensible like sample_stratified. Selection
+    uses :func:`global_rank` (range partition + offsets, no one-reducer
+    window)."""
+    h = F.pmod((F.col(id_col) + F.lit(int(seed))) * F.lit(_KNUTH),
+               F.lit(_MOD))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(_MOD))
+    key_micro = F.floor(F.log(u) / F.col(weight_col).cast("double")
+                        * 1e6 + 0.5).cast("long")
+    base = (df.filter(F.col(weight_col) > 0)
+            .select(id_col, weight_col, key_micro.alias("key_micro"))
+            .withColumn("_neg", -F.col("key_micro")))
+    ranked = global_rank(base, ["_neg", id_col], n_parts)
+    return ranked.select(
+        id_col, weight_col,
+        F.round(F.col("key_micro") / 1e6, 6).alias("es_key"),
+        F.col("rank").alias("draw_rank"),
+        (F.col("rank") <= k).alias("kept"))
