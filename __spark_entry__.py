@@ -776,6 +776,15 @@ def q_tx_response_latency(spark, sf_dir):
     return response_latency(_tx(spark, sf_dir))
 
 
+def q_tx_tool_transitions(spark, sf_dir):
+    """First-order Markov transition counts over tool-call sequences
+    (LEAD per conv, non-tool turns skipped, terminal NULL included);
+    p_next is one round-6 exact integer division per row."""
+    from yatsm_spark.operators.sessionize import tool_transitions
+
+    return tool_transitions(_tx(spark, sf_dir))
+
+
 def q_tx_kalman(spark, sf_dir):
     """Kalman local-level filter + RTS smoother over each conv's DENSE
     1h turn-count series (state-space denoising; Harvey 1989) — the
@@ -2303,6 +2312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_lttb": q_tx_lttb,
         "tx_kalman": q_tx_kalman,
         "tx_response_latency": q_tx_response_latency,
+        "tx_tool_transitions": q_tx_tool_transitions,
         "tx_m4": q_tx_m4,
         "tx_ewma": q_tx_ewma,
         "tx_holt": q_tx_holt,
@@ -5082,6 +5092,18 @@ def oracle_sql() -> dict[str, str]:
                    kalman_var::double AS kalman_var,
                    kalman_smooth::double AS kalman_smooth
             FROM read_parquet('{GOLDEN_KAL}')
+        """,
+        "tx_tool_transitions": f"""
+            WITH s AS (SELECT conv_id, turn_idx, tool,
+                              lead(tool) OVER (PARTITION BY conv_id
+                                               ORDER BY turn_idx) AS next_tool
+                       FROM {tx} WHERE tool IS NOT NULL),
+            c AS (SELECT tool, next_tool, count(*)::long AS n_transitions
+                  FROM s GROUP BY 1, 2)
+            SELECT tool, next_tool, n_transitions,
+                   round(n_transitions / sum(n_transitions)
+                                           OVER (PARTITION BY tool), 6) AS p_next
+            FROM c
         """,
         "tx_response_latency": f"""
             WITH t AS (SELECT conv_id, turn_idx, role, epoch_us(ts) AS us

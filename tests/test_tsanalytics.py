@@ -424,3 +424,40 @@ def test_response_latency_nearest_not_lead(spark):
     # latencies: 8s (turn 0) and 3s (turn 1); median = lower of sorted
     assert r["lat_median_us"] == 3_000_000
     assert r["lat_max_us"] == 8_000_000
+
+
+def test_tool_transitions_counts_and_terminal(spark):
+    import pandas as pd
+
+    from yatsm_spark.operators.sessionize import tool_transitions
+
+    rows = [
+        # c1 tools: search -> read -> search ; c2: search -> write
+        ("c1", 0, "user", "q", None),
+        ("c1", 1, "assistant", "a", "search"),
+        ("c1", 2, "assistant", "a", "read"),
+        ("c1", 3, "user", "q", None),
+        ("c1", 4, "assistant", "a", "search"),
+        ("c2", 0, "assistant", "a", "search"),
+        ("c2", 1, "assistant", "a", "write"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                      "text", "tool"])
+    out = {(r["tool"], r["next_tool"]): r for r in
+           tool_transitions(spark.createDataFrame(pdf)).collect()}
+
+    assert out[("search", "read")]["n_transitions"] == 1
+    assert out[("search", "write")]["n_transitions"] == 1
+    assert out[("read", "search")]["n_transitions"] == 1
+    # terminals: c1 ends on search, c2 on write
+    assert out[("search", None)]["n_transitions"] == 1
+    assert out[("write", None)]["n_transitions"] == 1
+    # outgoing rows per tool sum to 1.0 and p is the exact fraction
+    assert out[("search", "read")]["p_next"] == round(1 / 3, 6)
+    assert out[("search", None)]["p_next"] == round(1 / 3, 6)
+
+    # without terminals the NULL rows disappear
+    no_t = {(r["tool"], r["next_tool"]) for r in
+            tool_transitions(spark.createDataFrame(pdf),
+                             include_terminal=False).collect()}
+    assert ("write", None) not in no_t

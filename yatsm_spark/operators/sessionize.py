@@ -173,3 +173,34 @@ def response_latency(tx: DataFrame, by: str = "conv_id") -> DataFrame:
         F.max(F.when(F.col("rn") == p90_rank, F.col("lat")))
          .cast("long").alias("lat_p90_us"),
         F.max("lat").cast("long").alias("lat_max_us"))
+
+
+def tool_transitions(tx: DataFrame, by: str = "conv_id",
+                     include_terminal: bool = True) -> DataFrame:
+    """First-order Markov transition counts over each conversation's
+    TOOL-CALL sequence: for consecutive tool-bearing turns (ordered by
+    turn_idx, non-tool turns skipped), count corpus-wide (tool ->
+    next_tool) pairs; ``include_terminal`` adds (tool -> NULL) rows for
+    each conv's final tool call, so outgoing counts per tool sum to its
+    total usage. The agent-behavior mining staple (what follows a
+    search? how often does a write terminate the episode?).
+
+    Emits (tool, next_tool, n_transitions, p_next): p_next is the
+    round-6 row-normalized probability — one exact integer division per
+    row. One conv-partitioned LEAD window + one small hash agg; the
+    window and nothing else touches per-turn data (text pruned at the
+    scan)."""
+    w = Window.partitionBy(by).orderBy("turn_idx")
+    seq = (tx.filter(F.col("tool").isNotNull())
+           .select(by, "turn_idx", "tool")
+           .withColumn("next_tool", F.lead("tool").over(w)))
+    if not include_terminal:
+        seq = seq.filter(F.col("next_tool").isNotNull())
+    counts = (seq.groupBy("tool", "next_tool")
+              .agg(F.count(F.lit(1)).alias("n_transitions")))
+    tot = Window.partitionBy("tool")
+    return counts.select(
+        "tool", "next_tool",
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        F.round(F.col("n_transitions")
+                / F.sum("n_transitions").over(tot), 6).alias("p_next"))
