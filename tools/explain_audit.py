@@ -683,6 +683,21 @@ def main():
         ("no row-at-a-time python UDF", "BatchEvalPython", False),
     ])
 
+    audit("weighted_sample (A-ES draw via shared global_rank)",
+          qs["weighted_sample"](spark, SF_DIR), [
+        ("no one-reducer global window (rank is range-partitioned)",
+         "Exchange SinglePartition", False),
+        ("no row-at-a-time python UDF", "BatchEvalPython", False),
+    ])
+
+    audit("tx_tool_transitions (Markov counts over tool sequences)",
+          qs["tx_tool_transitions"](spark, SF_DIR), [
+        ("text pruned at the scan (only conv/turn/tool read)",
+         "text", False),
+        ("no row-at-a-time python UDF", "BatchEvalPython", False),
+        ("no cartesian product", "Cartesian", False),
+    ])
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
