@@ -291,6 +291,23 @@ def test_cc_empty_and_single_pair(spark):
     assert _cc(spark, [(7, 3)]) == {3: 3, 7: 3}
 
 
+def test_cc_ansi_mode_no_overflow(spark):
+    # Round-5 driver repro: the convergence fingerprint used
+    # sum(xxhash64(u,v)), which overflows int64 under the Spark 4 default
+    # ANSI session (ARITHMETIC_OVERFLOW) on a few hundred edges. bit_xor
+    # is order-insensitive and closed over int64. Flip ANSI on (runtime
+    # conf) and run a graph big enough that a signed sum of ~uniform
+    # 64-bit hashes would certainly wrap.
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        edges = [(i, i + 1) for i in range(500)]
+        got = _cc(spark, edges, max_iters=10)
+        assert got == {i: 0 for i in range(501)}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
 def test_dedup_groups_labels_full_corpus(spark):
     from pyspark.sql import Row
 

@@ -43,7 +43,12 @@ def main():
     only = set(sys.argv[1:])
     # ORACLE_CPUS: run the identical sweep at another parallelism to pin
     # cross-parallelism value-identity of every query (not just the tiers).
-    spark = get_spark(master=f"local[{os.environ.get('ORACLE_CPUS', '16')}]")
+    # ORACLE_ANSI=1: driver-faithful session conf — Spark 4 defaults to
+    # spark.sql.ansi.enabled=true while the engine conf turns it off; the
+    # round-5 driver harness caught an overflow the engine session masked.
+    extra = {"spark.sql.ansi.enabled": "true"} if os.environ.get("ORACLE_ANSI") else None
+    spark = get_spark(master=f"local[{os.environ.get('ORACLE_CPUS', '16')}]",
+                      extra_confs=extra)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")

@@ -974,8 +974,6 @@ def main() -> None:
     print(f"wrote {path}: {len(ka)} rows")
 
 
-if __name__ == "__main__":
-    main()
 
 
 def kalman_twin(conv_max: str = "conv00000200",
@@ -1020,3 +1018,7 @@ def kalman_twin(conv_max: str = "conv00000200",
             "kalman_smooth": smooth,
         }))
     return pd.concat(outs, ignore_index=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -204,8 +204,14 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                 .filter(F.col("u") != F.col("v")).distinct())
 
     def sig(e: DataFrame):
+        # Order-insensitive convergence fingerprint. bit_xor (not sum):
+        # summing ~uniform signed 64-bit hashes overflows int64 almost
+        # immediately, which is an ERROR under ANSI mode (Spark 4 session
+        # default) — xor is closed over int64 and equally order-insensitive
+        # (edges are distinct, so no pair cancellation). Same pattern as
+        # tools/tier_hash.py.
         r = e.agg(F.count(F.lit(1)).alias("n"),
-                  F.sum(F.xxhash64("u", "v")).alias("h")).first()
+                  F.bit_xor(F.xxhash64("u", "v")).alias("h")).first()
         return r["n"], r["h"]
 
     prev = sig(edges)

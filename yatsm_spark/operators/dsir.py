@@ -71,8 +71,11 @@ def dsir_weights(docs: DataFrame, target: Column, text_col: str = "text",
     tgt = (gt.select(_bucket(F.col("gram")).alias("bucket"))
            .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct")))
 
-    tot_s = src.agg(F.sum("cs").alias("ts"))
-    tot_t = tgt.agg(F.sum("ct").alias("tt"))
+    # coalesce(…, 0): with an EMPTY slice sum() is NULL in Spark, which would
+    # NULL every log-ratio and silently zero all weights, while the DuckDB
+    # oracle coalesces to 0 and computes real ratios — keep engines identical.
+    tot_s = src.agg(F.coalesce(F.sum("cs"), F.lit(0)).alias("ts"))
+    tot_t = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
 
     dim = (src.join(tgt, "bucket", "left")
            .select("bucket", "cs", F.coalesce("ct", F.lit(0)).alias("ct"))

@@ -575,16 +575,21 @@ def periodogram(tier: DataFrame, periods=(30, 60, 120, 240),
     w = exp.select(F.col(by), "period", "_x",
                    ccol.alias("_c"), scol.alias("_s"))
     d38 = "decimal(38,0)"
+    # cast-before-sum: product terms are ~1e12 per row (micro-trig x counts),
+    # so an int64 partial sum wraps silently past ~9.2e6 grid rows per group
+    # in non-ANSI Spark while the DuckDB oracle sums in HUGEINT. Summing the
+    # decimal(38,0)-cast operand keeps the partials exact at any group size
+    # (same discipline as pca.py / tsfuncs.py).
     agg = w.groupBy(by, "period").agg(
         F.count(F.lit(1)).cast(d38).alias("_n"),
-        F.sum("_x").cast(d38).alias("_sx"),
-        F.sum(F.col("_x") * F.col("_x")).cast(d38).alias("_sxx"),
-        F.sum("_c").cast(d38).alias("_sc"),
-        F.sum("_s").cast(d38).alias("_ss"),
-        F.sum(F.col("_x") * F.col("_c")).cast(d38).alias("_sxc"),
-        F.sum(F.col("_x") * F.col("_s")).cast(d38).alias("_sxs"),
-        (F.sum(F.col("_c") * F.col("_c")) + F.sum(F.col("_s") * F.col("_s")))
-        .cast(d38).alias("_w2"),
+        F.sum(F.col("_x").cast(d38)).alias("_sx"),
+        F.sum((F.col("_x") * F.col("_x")).cast(d38)).alias("_sxx"),
+        F.sum(F.col("_c").cast(d38)).alias("_sc"),
+        F.sum(F.col("_s").cast(d38)).alias("_ss"),
+        F.sum((F.col("_x") * F.col("_c")).cast(d38)).alias("_sxc"),
+        F.sum((F.col("_x") * F.col("_s")).cast(d38)).alias("_sxs"),
+        (F.sum((F.col("_c") * F.col("_c")).cast(d38))
+         + F.sum((F.col("_s") * F.col("_s")).cast(d38))).alias("_w2"),
     )
 
     n, sx, sxx = F.col("_n"), F.col("_sx"), F.col("_sxx")
