@@ -73,6 +73,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Materialize a query's result once before its final global orderBy.
+
+    A global sort range-partitions, and RangePartitioning draws its
+    sample by EXECUTING the child plan — so every query that ends in
+    .orderBy() was computing its whole pipeline TWICE (once for the
+    sampling pass, once for the real exchange; measured 2x on tx_deriv /
+    tx_anomaly at sf0.1). A lazy localCheckpoint caches the child's
+    partitions at first materialization (the sampling pass) and the sort
+    exchange re-reads them — identical rows, one execution. The sort
+    itself stays: ordered output is part of each query's contract.
+    """
+    return df.localCheckpoint(eager=False)
+
+
 # ---------------------------------------------------------------------------
 # flagship
 
@@ -223,7 +238,7 @@ def q_tx_counter_increase(spark, sf_dir):
                .rowsBetween(Window.unboundedPreceding, 0))
     counter = tier.withColumn(
         "counter", F.pmod(F.sum("turn_count").over(w), F.lit(512)))
-    return total_increase(counter, "counter").orderBy("conv_id")
+    return total_increase(counter, "counter").transform(_ckpt).orderBy("conv_id")
 
 
 def q_tx_twa(spark, sf_dir):
@@ -235,7 +250,7 @@ def q_tx_twa(spark, sf_dir):
     from yatsm_spark.operators.tsfuncs import time_weighted_avg
 
     tier = rollup_from_turns(with_measures(_tx(spark, sf_dir)), "1m")
-    return time_weighted_avg(tier, "token_len_sum").orderBy("conv_id")
+    return time_weighted_avg(tier, "token_len_sum").transform(_ckpt).orderBy("conv_id")
 
 
 def q_tx_lttb(spark, sf_dir):
@@ -252,7 +267,7 @@ def q_tx_lttb(spark, sf_dir):
 
     tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000100")
     tier = rollup_from_turns(with_measures(tx), "1m")
-    return lttb(tier, "turn_count", 64).orderBy("conv_id", "pos")
+    return lttb(tier, "turn_count", 64).transform(_ckpt).orderBy("conv_id", "pos")
 
 
 def q_tx_m4(spark, sf_dir):
@@ -267,7 +282,7 @@ def q_tx_m4(spark, sf_dir):
     tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000100")
     tier = rollup_from_turns(with_measures(tx), "1m")
     return m4_downsample(tier, "turn_count", 3600) \
-        .orderBy("conv_id", "window_start")
+        .transform(_ckpt).orderBy("conv_id", "window_start")
 
 
 def q_tx_ewma(spark, sf_dir):
@@ -282,7 +297,7 @@ def q_tx_ewma(spark, sf_dir):
 
     tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
     tier = rollup_from_turns(with_measures(tx), "1h")
-    return ewma(tier, "turn_count", 0.25).orderBy("conv_id", "window_start")
+    return ewma(tier, "turn_count", 0.25).transform(_ckpt).orderBy("conv_id", "window_start")
 
 
 def q_tx_holt(spark, sf_dir):
@@ -298,7 +313,7 @@ def q_tx_holt(spark, sf_dir):
 
     tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
     tier = rollup_from_turns(with_measures(tx), "1h")
-    return holt(tier, "turn_count").orderBy("conv_id", "window_start")
+    return holt(tier, "turn_count").transform(_ckpt).orderBy("conv_id", "window_start")
 
 
 def q_tx_rate(spark, sf_dir):
@@ -317,7 +332,7 @@ def q_tx_rate(spark, sf_dir):
                .rowsBetween(Window.unboundedPreceding, 0))
     counter = tier.withColumn(
         "counter", F.pmod(F.sum("turn_count").over(w), F.lit(512)))
-    return rate_per_sec(counter, "counter").orderBy("conv_id")
+    return rate_per_sec(counter, "counter").transform(_ckpt).orderBy("conv_id")
 
 
 def q_tx_deriv(spark, sf_dir):
@@ -331,7 +346,7 @@ def q_tx_deriv(spark, sf_dir):
     from yatsm_spark.operators.tsfuncs import deriv
 
     tier = rollup_from_turns(with_measures(_tx(spark, sf_dir)), "1m")
-    return deriv(tier, "token_len_sum").orderBy("conv_id")
+    return deriv(tier, "token_len_sum").transform(_ckpt).orderBy("conv_id")
 
 
 def q_tx_corr(spark, sf_dir):
@@ -345,7 +360,7 @@ def q_tx_corr(spark, sf_dir):
 
     tier = rollup_from_turns(with_measures(_tx(spark, sf_dir)), "1h")
     return pearson_corr(tier, "turn_count", "token_len_sum") \
-        .orderBy("conv_id")
+        .transform(_ckpt).orderBy("conv_id")
 
 
 def q_tx_anomaly(spark, sf_dir):
@@ -362,7 +377,7 @@ def q_tx_anomaly(spark, sf_dir):
     tier = rollup_from_turns(with_measures(tx), "1m") \
         .select("conv_id", "window_start", "turn_count")
     return rolling_anomaly(tier, "turn_count", k=30, sigma=3, min_n=8) \
-        .orderBy("conv_id", "window_start")
+        .transform(_ckpt).orderBy("conv_id", "window_start")
 
 
 def q_tx_alert_episodes(spark, sf_dir):
@@ -378,7 +393,7 @@ def q_tx_alert_episodes(spark, sf_dir):
     tier = rollup_from_turns(with_measures(tx), "1m") \
         .select("conv_id", "window_start", "turn_count")
     flags = rolling_anomaly(tier, "turn_count", k=30, sigma=3, min_n=8)
-    return alert_episodes(flags).orderBy("conv_id", "episode_start")
+    return alert_episodes(flags).transform(_ckpt).orderBy("conv_id", "episode_start")
 
 
 def q_tx_ohlc(spark, sf_dir):
@@ -391,7 +406,7 @@ def q_tx_ohlc(spark, sf_dir):
     from yatsm_spark.operators.tsanalytics import ohlc
 
     tier = rollup_from_turns(with_measures(_tx(spark, sf_dir)), "1m")
-    return ohlc(tier, "turn_count", 3600).orderBy("conv_id", "bucket_start")
+    return ohlc(tier, "turn_count", 3600).transform(_ckpt).orderBy("conv_id", "bucket_start")
 
 
 def q_tx_state_durations(spark, sf_dir):
@@ -400,7 +415,7 @@ def q_tx_state_durations(spark, sf_dir):
     event and run counts. Exact integer relation from unix_micros."""
     from yatsm_spark.operators.tsanalytics import state_durations
 
-    return state_durations(_tx(spark, sf_dir)).orderBy("conv_id", "state")
+    return state_durations(_tx(spark, sf_dir)).transform(_ckpt).orderBy("conv_id", "state")
 
 
 def q_tx_uptime(spark, sf_dir):
@@ -411,7 +426,7 @@ def q_tx_uptime(spark, sf_dir):
     covered span."""
     from yatsm_spark.operators.tsanalytics import uptime_intervals
 
-    return uptime_intervals(_tx(spark, sf_dir), 300).orderBy("conv_id")
+    return uptime_intervals(_tx(spark, sf_dir), 300).transform(_ckpt).orderBy("conv_id")
 
 
 def q_tx_acf(spark, sf_dir):
@@ -424,7 +439,7 @@ def q_tx_acf(spark, sf_dir):
 
     tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
     dense = rollup_gapfilled(with_measures(tx), "1m")
-    return acf(dense, "turn_count", 5).orderBy("conv_id", "lag")
+    return acf(dense, "turn_count", 5).transform(_ckpt).orderBy("conv_id", "lag")
 
 
 def q_tx_seasonal(spark, sf_dir):
@@ -439,7 +454,7 @@ def q_tx_seasonal(spark, sf_dir):
     tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
     dense = rollup_gapfilled(with_measures(tx), "1h")
     return seasonal_decompose(dense, "turn_count", 24, 3600) \
-        .orderBy("conv_id", "window_start")
+        .transform(_ckpt).orderBy("conv_id", "window_start")
 
 
 def q_tx_ccf(spark, sf_dir):
@@ -454,7 +469,7 @@ def q_tx_ccf(spark, sf_dir):
     tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
     dense = rollup_gapfilled(with_measures(tx), "1h")
     return ccf(dense, "turn_count", "tool_call_count", 3) \
-        .orderBy("conv_id", "lag")
+        .transform(_ckpt).orderBy("conv_id", "lag")
 
 
 def q_tx_sax(spark, sf_dir):
@@ -468,7 +483,7 @@ def q_tx_sax(spark, sf_dir):
 
     tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000100")
     dense = rollup_gapfilled(with_measures(tx), "1m")
-    return sax_paa(dense, "turn_count", 16, 4).orderBy("conv_id", "seg")
+    return sax_paa(dense, "turn_count", 16, 4).transform(_ckpt).orderBy("conv_id", "seg")
 
 
 def q_tx_sax_neardups(spark, sf_dir):
@@ -488,7 +503,7 @@ def q_tx_sax_neardups(spark, sf_dir):
     dense = rollup_gapfilled(with_measures(tx), "1m")
     w = sax_words(dense, "turn_count", 16, 4)
     return sax_candidate_pairs(w, max_bucket=64) \
-        .orderBy("conv_a", "conv_b")
+        .transform(_ckpt).orderBy("conv_a", "conv_b")
 
 
 def q_tx_holtwinters(spark, sf_dir):
@@ -506,7 +521,7 @@ def q_tx_holtwinters(spark, sf_dir):
     dense = rollup_gapfilled(with_measures(tx), "1h") \
         .select("conv_id", "window_start", "turn_count")
     return holt_winters(dense, "turn_count", period=24) \
-        .orderBy("conv_id", "window_start")
+        .transform(_ckpt).orderBy("conv_id", "window_start")
 
 
 def q_tx_dist_shift(spark, sf_dir):
@@ -523,7 +538,7 @@ def q_tx_dist_shift(spark, sf_dir):
     tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000100")
     dense = rollup_gapfilled(with_measures(tx), "1m")
     return distribution_shift(dense, "turn_count", cap=64) \
-        .orderBy("conv_id")
+        .transform(_ckpt).orderBy("conv_id")
 
 
 def q_tx_hw_backtest(spark, sf_dir):
@@ -541,7 +556,7 @@ def q_tx_hw_backtest(spark, sf_dir):
     dense = rollup_gapfilled(with_measures(tx), "1h") \
         .select("conv_id", "window_start", "turn_count")
     return holt_winters_backtest(dense, "turn_count", period=24) \
-        .orderBy("conv_id")
+        .transform(_ckpt).orderBy("conv_id")
 
 
 def q_events_funnel(spark, sf_dir):
@@ -554,7 +569,7 @@ def q_events_funnel(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return funnel(ev, ["view", "click", "purchase"], horizon_s=86400) \
-        .orderBy("step_ord")
+        .transform(_ckpt).orderBy("step_ord")
 
 
 def q_events_cohorts(spark, sf_dir):
@@ -566,7 +581,7 @@ def q_events_cohorts(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return cohort_retention(ev, period_s=604800) \
-        .orderBy("cohort_start", "period_offset")
+        .transform(_ckpt).orderBy("cohort_start", "period_offset")
 
 
 def q_tx_realtime_view(spark, sf_dir):
@@ -585,7 +600,7 @@ def q_tx_realtime_view(spark, sf_dir):
     # materialized table would have been
     tier = rollup_from_turns(m.where(F.col("ts") < F.lit(wm)), "1m")
     return realtime_view(tier, m, "1m", wm) \
-        .orderBy("conv_id", "window_start")
+        .transform(_ckpt).orderBy("conv_id", "window_start")
 
 
 def q_tx_route(spark, sf_dir):
@@ -608,7 +623,7 @@ def q_tx_route(spark, sf_dir):
              "1d": cascade(t1m, "1m", "1d")}
     return route_range(tiers, "2025-01-02 00:30:00", "2025-01-22 02:03:00",
                        fresh_measures=m, watermark=wm) \
-        .orderBy("conv_id")
+        .transform(_ckpt).orderBy("conv_id")
 
 
 def q_tx_route_chunks(spark, sf_dir):
@@ -634,7 +649,7 @@ def q_tx_route_chunks(spark, sf_dir):
              "1d": cascade(t1m, "1m", "1d")}
     return route_range(tiers, "2025-01-05 00:30:00", "2025-01-22 02:03:00",
                        fresh_measures=m, watermark=wm, chunks=chunks) \
-        .orderBy("conv_id")
+        .transform(_ckpt).orderBy("conv_id")
 
 
 def q_tx_compact(spark, sf_dir):
@@ -662,7 +677,7 @@ def q_tx_compact(spark, sf_dir):
              "1d": cascade(t1m, "1m", "1d")}
     return route_range(tiers, "2025-01-05 00:30:00", "2025-01-22 02:03:00",
                        fresh_measures=m, watermark=wm, chunks=chunks) \
-        .orderBy("conv_id")
+        .transform(_ckpt).orderBy("conv_id")
 
 
 def q_tx_left_profile(spark, sf_dir):
@@ -679,7 +694,7 @@ def q_tx_left_profile(spark, sf_dir):
     dense = rollup_gapfilled(with_measures(tx), "1h") \
         .select("conv_id", "window_start", "turn_count")
     return left_matrix_profile(dense, m=12, w_hist=48) \
-        .orderBy("conv_id", "idx")
+        .transform(_ckpt).orderBy("conv_id", "idx")
 
 
 def q_tx_ab_profile(spark, sf_dir):
@@ -697,7 +712,7 @@ def q_tx_ab_profile(spark, sf_dir):
     dense = rollup_gapfilled(with_measures(tx), "1h") \
         .select("conv_id", "window_start", "turn_count")
     return ab_join_profile(dense, "conv00000014", m=12) \
-        .orderBy("conv_id")
+        .transform(_ckpt).orderBy("conv_id")
 
 
 def q_tx_swing(spark, sf_dir):
@@ -714,7 +729,7 @@ def q_tx_swing(spark, sf_dir):
     tier = rollup_from_turns(with_measures(tx), "1m") \
         .select("conv_id", "window_start", "turn_count")
     return swing_door(tier, "turn_count", e=2) \
-        .orderBy("conv_id", "pos")
+        .transform(_ckpt).orderBy("conv_id", "pos")
 
 
 def q_tx_topk_slots(spark, sf_dir):
@@ -729,7 +744,7 @@ def q_tx_topk_slots(spark, sf_dir):
     tier = rollup_from_turns(with_measures(_tx(spark, sf_dir)), "1m") \
         .select("conv_id", "window_start", "turn_count")
     return topk_slots(tier, "turn_count", k=5) \
-        .orderBy("conv_id", "rank")
+        .transform(_ckpt).orderBy("conv_id", "rank")
 
 
 def q_tx_bursts(spark, sf_dir):
@@ -741,7 +756,7 @@ def q_tx_bursts(spark, sf_dir):
 
     tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000300")
     return burst_intervals(tx, s=3.0, gamma=1.0) \
-        .orderBy("conv_id", "burst_ord")
+        .transform(_ckpt).orderBy("conv_id", "burst_ord")
 
 
 def q_tx_dtw_rerank(spark, sf_dir):
@@ -764,7 +779,7 @@ def q_tx_dtw_rerank(spark, sf_dir):
     w = sax_words(dense, "turn_count", 16, 4)
     pairs = sax_candidate_pairs(w, max_bucket=64) \
         .select("conv_a", "conv_b")
-    return dtw_rerank(dense, pairs).orderBy("conv_a", "conv_b")
+    return dtw_rerank(dense, pairs).transform(_ckpt).orderBy("conv_a", "conv_b")
 
 
 def q_tx_response_latency(spark, sf_dir):
@@ -817,7 +832,7 @@ def q_tx_pelt(spark, sf_dir):
     dense = rollup_gapfilled(with_measures(tx), "1h") \
         .select("conv_id", "window_start", "turn_count")
     return pelt_changepoints(dense, "turn_count") \
-        .orderBy("conv_id", "cp_ord")
+        .transform(_ckpt).orderBy("conv_id", "cp_ord")
 
 
 def q_tx_matrix_profile(spark, sf_dir):
@@ -834,7 +849,7 @@ def q_tx_matrix_profile(spark, sf_dir):
     tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
     dense = rollup_gapfilled(with_measures(tx), "1h") \
         .select("conv_id", "window_start", "turn_count")
-    return matrix_profile(dense, m=12).orderBy("conv_id", "idx")
+    return matrix_profile(dense, m=12).transform(_ckpt).orderBy("conv_id", "idx")
 
 
 def q_tx_mp_extrema(spark, sf_dir):
@@ -845,7 +860,7 @@ def q_tx_mp_extrema(spark, sf_dir):
     from yatsm_spark.operators.matrixprofile import mp_extrema
 
     return mp_extrema(q_tx_matrix_profile(spark, sf_dir)) \
-        .orderBy("conv_id")
+        .transform(_ckpt).orderBy("conv_id")
 
 
 def q_tx_theilsen(spark, sf_dir):
@@ -860,7 +875,7 @@ def q_tx_theilsen(spark, sf_dir):
     tx = _tx(spark, sf_dir).filter(F.col("conv_id") < "conv00000200")
     tier = rollup_from_turns(with_measures(tx), "1h") \
         .select("conv_id", "window_start", "turn_count")
-    return theil_sen(tier, "turn_count").orderBy("conv_id")
+    return theil_sen(tier, "turn_count").transform(_ckpt).orderBy("conv_id")
 
 
 def q_tx_hdr_cascade(spark, sf_dir):
@@ -879,7 +894,7 @@ def q_tx_hdr_cascade(spark, sf_dir):
     merged = fine.groupBy("conv_id", "bucket") \
                  .agg(F.sum("cnt").alias("cnt"))
     return hdr_quantiles_from_hist(merged, ["conv_id"]) \
-        .orderBy("conv_id", "q_label")
+        .transform(_ckpt).orderBy("conv_id", "q_label")
 
 
 def q_tx_cascade_1h(spark, sf_dir):
@@ -964,7 +979,7 @@ def q_tx_asof_tool(spark, sf_dir):
                .agg(F.max("turn_idx").alias("asst_turn")))
     return asof_join(left, right, "conv_id", "ts", "rts", ["asst_turn"],
                      direction="backward", tolerance_secs=600) \
-        .orderBy("conv_id", "turn_idx")
+        .transform(_ckpt).orderBy("conv_id", "turn_idx")
 
 
 def q_tx_asof_next(spark, sf_dir):
@@ -982,7 +997,7 @@ def q_tx_asof_next(spark, sf_dir):
                .agg(F.max("turn_idx").alias("next_user_turn")))
     return asof_join(left, right, "conv_id", "ts", "rts",
                      ["next_user_turn"], direction="forward") \
-        .orderBy("conv_id", "turn_idx")
+        .transform(_ckpt).orderBy("conv_id", "turn_idx")
 
 
 def q_tx_hll_cascade(spark, sf_dir):
@@ -999,7 +1014,7 @@ def q_tx_hll_cascade(spark, sf_dir):
     fine = hll_registers(tx, ["conv_id", "role"], "text")
     merged = fine.groupBy("conv_id", "bucket") \
                  .agg(F.max("register").alias("register"))
-    return hll_estimate(merged, ["conv_id"]).orderBy("conv_id")
+    return hll_estimate(merged, ["conv_id"]).transform(_ckpt).orderBy("conv_id")
 
 
 def q_tx_interval_join(spark, sf_dir):
@@ -1749,7 +1764,7 @@ def q_hll_distinct(spark, sf_dir):
     from yatsm_spark.operators.sketches import hll_distinct
 
     return hll_distinct(_t(spark, sf_dir, "documents"),
-                        ["source"], "text").orderBy("source")
+                        ["source"], "text").transform(_ckpt).orderBy("source")
 
 
 def q_hdr_quantiles(spark, sf_dir):
@@ -1775,7 +1790,7 @@ def q_cms_estimate(spark, sf_dir):
     tx = _tx(spark, sf_dir)
     items = tx.select("role", "conv_id").distinct()
     return cms_estimate(tx, ["role"], "conv_id", items) \
-        .orderBy("role", "conv_id")
+        .transform(_ckpt).orderBy("role", "conv_id")
 
 
 def q_heavy_hitters(spark, sf_dir):
@@ -1788,7 +1803,7 @@ def q_heavy_hitters(spark, sf_dir):
     from yatsm_spark.operators.sketches import heavy_hitters
 
     return heavy_hitters(_tx(spark, sf_dir), ["role"], "conv_id", 600) \
-        .orderBy("role", "conv_id")
+        .transform(_ckpt).orderBy("role", "conv_id")
 
 
 def q_bloom_join(spark, sf_dir):
@@ -1809,7 +1824,7 @@ def q_bloom_join(spark, sf_dir):
     return (j.groupBy("o_orderkey")
              .agg(F.count(F.lit(1)).alias("n_lines"),
                   F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"))
-             .orderBy("o_orderkey"))
+             .transform(_ckpt).orderBy("o_orderkey"))
 
 
 def q_simhash(spark, sf_dir):
@@ -1954,7 +1969,7 @@ def q_pq_codes(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     books = pq_train(emb, m=8, ksub=16, n_iters=5)
-    return pq_encode(emb, books).orderBy("vec_id")
+    return pq_encode(emb, books).transform(_ckpt).orderBy("vec_id")
 
 
 def q_pq_adc_topk(spark, sf_dir):
@@ -1967,7 +1982,7 @@ def q_pq_adc_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     books = pq_train(emb, m=8, ksub=16, n_iters=5)
     return pq_adc_topk(emb, books, query_ids=list(range(10)), k=5) \
-        .orderBy("query_id", "rank")
+        .transform(_ckpt).orderBy("query_id", "rank")
 
 
 #: domain-mixture recipe shared by q_sample_mixture and its generated
@@ -1985,7 +2000,7 @@ def q_sample_mixture(spark, sf_dir):
     from yatsm_spark.operators.sampling import sample_mixture
 
     return sample_mixture(_t(spark, sf_dir, "documents"), MIX_WEIGHTS,
-                          MIX_TOTAL).orderBy("doc_id")
+                          MIX_TOTAL).transform(_ckpt).orderBy("doc_id")
 
 
 def q_ivfpq_topk(spark, sf_dir):
@@ -2000,7 +2015,7 @@ def q_ivfpq_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     coarse, books = ivfpq_index(emb, n_centroids=8, m=8, ksub=16, n_iters=5)
     return ivfpq_topk(emb, coarse, books, query_ids=list(range(10)),
-                      nprobe=2, k=5).orderBy("query_id", "rank")
+                      nprobe=2, k=5).transform(_ckpt).orderBy("query_id", "rank")
 
 
 def q_zorder_events(spark, sf_dir):
@@ -2014,7 +2029,7 @@ def q_zorder_events(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return zorder_key(ev, ["ts", "value"], bits=16) \
-        .select("event_id", "z").orderBy("event_id")
+        .select("event_id", "z").transform(_ckpt).orderBy("event_id")
 
 
 def q_pca_project(spark, sf_dir):
@@ -2028,7 +2043,7 @@ def q_pca_project(spark, sf_dir):
     from yatsm_spark.operators.pca import pca_project
 
     return pca_project(_t(spark, sf_dir, "embeddings"), k=4) \
-        .orderBy("vec_id")
+        .transform(_ckpt).orderBy("vec_id")
 
 
 def q_ivf_topk_kmeans(spark, sf_dir):

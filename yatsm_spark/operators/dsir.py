@@ -12,11 +12,14 @@ per-bucket log-ratio is snapped to integer micro-units BEFORE the per-doc
 sum (the BM25/lm_score discipline), so each document's weight is an exact
 long and ranking is integer-exact cross-engine.
 
-Scale shape: tokenize + explode grams (linear, text pruned immediately);
-TWO bucket-count aggs whose outputs are <= n_buckets rows (map-side
-partials); the ratio dim broadcast-joins back onto the gram stream; ONE
-per-doc hash agg. Selection avoids the one-reducer global window with the
-range-partition + local-rank + broadcast-offsets machinery of
+Scale shape: ONE tokenize + explode + md5 pass over the corpus, reduced
+to a (doc, target-flag, bucket, multiplicity) table that is
+localCheckpoint()ed (bounded by docs x n_buckets, far smaller than the
+occurrence stream); source/target bucket counts and the per-doc weight agg
+all reuse it, so the text is normalized and hashed exactly once. The ratio
+dim broadcast-joins back onto the checkpointed table; ONE per-doc hash agg.
+Selection avoids the one-reducer global window with the range-partition +
+local-rank + broadcast-offsets machinery of
 operators/sampling.py::global_shuffle.
 """
 
@@ -25,21 +28,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from yatsm_spark.operators.dedup import _NORM
-
-
-def _grams(docs: DataFrame, text_col: str):
-    """(doc_id, gram) rows: unigrams + adjacent bigrams of the
-    normalized word stream. Empty docs contribute no rows."""
-    words = F.filter(F.split(_NORM(F.col(text_col)), " "),
-                     lambda w: w != F.lit(""))
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(F.sequence(F.lit(1), F.size(words) - 1),
-                    lambda i: F.concat(F.element_at(words, i), F.lit(" "),
-                                       F.element_at(words, i + 1))),
-    ).otherwise(F.array())
-    return (docs.select("doc_id",
-                        F.explode(F.concat(words, bigrams)).alias("gram")))
 
 
 def _bucket(col) -> Column:
@@ -63,13 +51,34 @@ def dsir_weights(docs: DataFrame, target: Column, text_col: str = "text",
     reading, and logw_per_feat the length-normalized variant (NULL for
     gram-less docs — which otherwise carry n_feats=0, logw_micro=0).
     """
-    g = _grams(docs.select("doc_id", text_col), text_col)
-    gt = _grams(docs.filter(target).select("doc_id", text_col), text_col)
+    # Tokenize + md5-bucket the corpus ONCE. The previous formulation built
+    # three independent gram subtrees (source counts, target counts, per-doc
+    # join-back) and Spark recomputed the full normalize/split/md5 pass for
+    # each — 3x the dominant cost. Carrying the target flag through one
+    # gram stream, pre-aggregating to (doc, flag, bucket, k) and
+    # localCheckpoint()ing that bounded table (<= docs x n_buckets rows,
+    # far smaller than the occurrence stream) lets every downstream agg
+    # reuse one tokenize pass. All sums below are over the same integers,
+    # so cs/ct/n_feats/lw are unchanged.
+    flagged = docs.select("doc_id", target.alias("_is_t"), text_col)
+    words = F.filter(F.split(_NORM(F.col(text_col)), " "),
+                     lambda w: w != F.lit(""))
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(words) - 1),
+                    lambda i: F.concat(F.element_at(words, i), F.lit(" "),
+                                       F.element_at(words, i + 1))),
+    ).otherwise(F.array())
+    occ = (flagged.select("doc_id", "_is_t",
+                          F.explode(F.concat(words, bigrams)).alias("gram"))
+           .select("doc_id", "_is_t", _bucket(F.col("gram")).alias("bucket")))
+    occ_k = (occ.groupBy("doc_id", "_is_t", "bucket")
+                .agg(F.count(F.lit(1)).alias("k"))
+                .localCheckpoint(eager=True))
 
-    occ = g.select("doc_id", _bucket(F.col("gram")).alias("bucket"))
-    src = occ.groupBy("bucket").agg(F.count(F.lit(1)).alias("cs"))
-    tgt = (gt.select(_bucket(F.col("gram")).alias("bucket"))
-           .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct")))
+    src = occ_k.groupBy("bucket").agg(F.sum("k").alias("cs"))
+    tgt = (occ_k.filter(F.col("_is_t"))
+           .groupBy("bucket").agg(F.sum("k").alias("ct")))
 
     # coalesce(…, 0): with an EMPTY slice sum() is NULL in Spark, which would
     # NULL every log-ratio and silently zero all weights, while the DuckDB
@@ -88,10 +97,10 @@ def dsir_weights(docs: DataFrame, target: Column, text_col: str = "text",
     dim = dim.select(
         "bucket", F.floor(F.log(ratio) * 1e6 + 0.5).cast("long").alias("lr"))
 
-    per_doc = (occ.join(F.broadcast(dim), "bucket")
-               .groupBy("doc_id")
-               .agg(F.count(F.lit(1)).alias("n_feats"),
-                    F.sum("lr").alias("lw")))
+    per_doc = (occ_k.join(F.broadcast(dim), "bucket")
+                .groupBy("doc_id")
+                .agg(F.sum("k").alias("n_feats"),
+                     F.sum(F.col("k") * F.col("lr")).alias("lw")))
     return (docs.select("doc_id").join(per_doc, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),

@@ -182,7 +182,12 @@ def global_rank(df: DataFrame, order_cols: list, n_parts: int | None = None,
     if n_parts is None:
         n_parts = spark.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
-    d = (df.repartitionByRange(n_parts, *cols)
+    # Lazy-checkpoint the INPUT too: repartitionByRange draws its range
+    # bounds by sampling-executing the child plan, so an expensive upstream
+    # (e.g. dsir_weights feeding dsir_select) otherwise runs twice — once
+    # for the sampling pass, once for the real exchange.
+    d = (df.localCheckpoint(eager=False)
+         .repartitionByRange(n_parts, *cols)
          .withColumn("_part", F.spark_partition_id())
          .localCheckpoint())
     counts = (d.groupBy("_part").agg(F.count(F.lit(1)).alias("_c"))

