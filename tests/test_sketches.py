@@ -207,3 +207,36 @@ def test_heavy_hitters_partitioning_invariance(spark):
     b = sorted(tuple(r) for r in
                heavy_hitters(df.repartition(19), ["g"], "v", 150).collect())
     assert a == b and len(a) == 14
+
+
+def test_heavy_hitters_prefilter_paths_identical(spark):
+    # r6: the prefilter decision ("auto"/"always"/"never") picks a physical
+    # plan only — all three must return the identical exact result, on a
+    # mix of heavy and light values.
+    from yatsm_spark.operators.sketches import heavy_hitters
+    vals = [f"h{i % 3}" for i in range(900)] + [f"u{i}" for i in range(400)]
+    df = spark.createDataFrame([(v, str(i % 2)) for i, v in enumerate(vals)],
+                               "v string, g string")
+    outs = [sorted(tuple(r) for r in
+                   heavy_hitters(df, ["g"], "v", 100, prefilter=p).collect())
+            for p in ("auto", "always", "never")]
+    assert outs[0] == outs[1] == outs[2] and len(outs[0]) == 6
+
+
+def test_sum128_matches_decimal_sums(spark):
+    # r6: hi/lo split sums must equal a decimal(38,0)-operand sum exactly,
+    # including negatives, zero, and near-int64-boundary terms.
+    from yatsm_spark.operators.tsfuncs import sum128
+
+    rows = [(1, 9_223_372_036_854_775_000), (1, -9_223_372_036_854_775_000),
+            (1, 123_456_789_012_345_678), (1, -1), (1, 0), (1, 7),
+            (2, 2**62), (2, 2**62 - 1), (2, -(2**61)), (2, 3)]
+    df = spark.createDataFrame(rows, "g int, x long")
+    aggs, rebuild = sum128({"_s": F.col("x")})
+    got = {r.g: r._s for r in
+           df.groupBy("g").agg(*aggs).select("g", *rebuild).collect()}
+    want = {r.g: r.s for r in
+            df.groupBy("g")
+              .agg(F.sum(F.col("x").cast("decimal(38,0)")).alias("s"))
+              .collect()}
+    assert got == want

@@ -60,6 +60,22 @@ def shuffle_partitions_for_bytes(n_bytes: int, cores: int,
     return max(cores, min(32_768, int(n_bytes // target_bytes)))
 
 
+def grouped_stage_partitions(spark) -> int:
+    """Partition width for grouped-kernel stages (applyInPandas over
+    conv groups). Group sizes are zipf-skewed, and a grouped stage gets
+    NO AQE skew-splitting (a group is atomic), so balance comes from
+    the law of large numbers: more, smaller partitions -> more groups
+    per partition -> smaller relative spread of per-partition work.
+    4x the scheduler's core count gives ~4 task waves for packing while
+    keeping partitions far above Arrow-batch granularity; floored by
+    the session shuffle width so a data-sized wider setting wins.
+    Measured at sf0.1/local[32]: segments_ccdc wall drops ~25% vs the
+    32-partition single wave. Scale-adaptive by construction (cores
+    and shuffle width both grow with the cluster)."""
+    conf_sp = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(conf_sp, 4 * spark.sparkContext.defaultParallelism)
+
+
 def get_spark(
     app_name: str = "yatsm-spark",
     master: str | None = None,

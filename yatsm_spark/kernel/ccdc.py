@@ -298,7 +298,14 @@ def ccdc_fit(t: np.ndarray, Y: np.ndarray, params: CCDCParams | None = None) -> 
         else:
             rm = rmses
         resid = Y[:, act[pos]] - coefs @ X_full[act[pos]]
-        sc = np.sqrt(sum((resid[b] / max(rm[b], p.min_rmse)) ** 2 for b in test_idx))
+        if len(test_idx) == 1:
+            # bit-identical single-series shortcut: sum() over one term is
+            # 0.0 + x = x, and v**2 is the same multiply as v*v
+            v = resid[test_idx[0]] / max(rm[test_idx[0]], p.min_rmse)
+            sc = np.sqrt(v * v)
+        else:
+            sc = np.sqrt(sum((resid[b] / max(rm[b], p.min_rmse)) ** 2
+                             for b in test_idx))
         return sc, resid
 
     while here < len(act):
@@ -355,8 +362,25 @@ def ccdc_fit(t: np.ndarray, Y: np.ndarray, params: CCDCParams | None = None) -> 
                     _, coefs, rmses = fit_window(start, i - 1)
                 last_fit_end = day(i - 1)
 
-            prev_days = t[act[i - 1 : len(act) - 1]]
-            b_off = int(np.searchsorted(prev_days, last_fit_end + p.retrain_time, side="left"))
+            # First position in [i-1, len(act)-1) whose day reaches the
+            # retrain target. t[act] is ascending, so binary-search it
+            # WITHOUT materializing the tail (the old
+            # t[act[i-1:len(act)-1]] gather copied O(remaining) elements
+            # per block — ~25% of kernel time on deletion-heavy series).
+            target = last_fit_end + p.retrain_time
+            if act_arange:
+                j = int(np.searchsorted(t, target, side="left"))
+                j = min(max(j, i - 1), len(act) - 1)
+            else:
+                lo_, hi_ = i - 1, len(act) - 1
+                while lo_ < hi_:
+                    mid = (lo_ + hi_) >> 1
+                    if t[act[mid]] < target:
+                        lo_ = mid + 1
+                    else:
+                        hi_ = mid
+                j = lo_
+            b_off = j - (i - 1)
             B = min(i + max(b_off, 1), len(act))
 
             blk = act[i:B]
@@ -372,7 +396,12 @@ def ccdc_fit(t: np.ndarray, Y: np.ndarray, params: CCDCParams | None = None) -> 
             else:
                 blk_resid = Y[:, blk] - coefs @ X_full[blk].T
                 denom = np.maximum(rmses, p.min_rmse)
-                sc = np.sqrt(sum((blk_resid[b] / denom[b]) ** 2 for b in test_idx))
+                if len(test_idx) == 1:
+                    v = blk_resid[test_idx[0]] / denom[test_idx[0]]
+                    sc = np.sqrt(v * v)
+                else:
+                    sc = np.sqrt(sum((blk_resid[b] / denom[b]) ** 2
+                                     for b in test_idx))
                 over = sc > p.threshold
 
             tp = np.flatnonzero(over)
@@ -413,7 +442,10 @@ def ccdc_fit(t: np.ndarray, Y: np.ndarray, params: CCDCParams | None = None) -> 
                 # F5: isolated outlier → delete as noise, rescan from the
                 # same global position (model unchanged ⇒ later scores
                 # unchanged; restart keeps predecessor bookkeeping exact).
-                act = np.delete(act, i + p_)
+                # (np.delete's mask machinery cost ~50us/call at 53k
+                # calls; two basic slices concatenate to the same array)
+                dp = i + p_
+                act = np.concatenate((act[:dp], act[dp + 1:]))
                 act_arange = False
                 i = i + p_
                 continue

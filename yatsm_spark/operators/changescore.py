@@ -148,13 +148,21 @@ def change_scores(
     structured-array field append of the reference costs zero extra
     exchanges here.
     """
+    from yatsm_spark.conf import grouped_stage_partitions
+
     p = params or CONV_PARAMS
     p_dict = asdict(p)
     schema = PHENO_SEGMENT_SCHEMA if phenology else SEGMENT_SCHEMA
     # Column-prune BEFORE the group shuffle: the kernel needs 3 columns, so
     # never move the other 9 through the exchange (at 10^12 scale the
-    # shuffle is the cost of this operator).
-    filled = filled.select("conv_id", "window_start", measure)
+    # shuffle is the cost of this operator). Repartition wider than the
+    # session shuffle width (grouped_stage_partitions): zipf-sized conv
+    # groups in one task wave straggle, and AQE cannot split a group —
+    # the explicit hash partitioning satisfies the groupBy's required
+    # distribution, so no second exchange is added.
+    filled = (filled.select("conv_id", "window_start", measure)
+              .repartition(grouped_stage_partitions(filled.sparkSession),
+                           "conv_id"))
 
     def fit_conv(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("window_start", kind="stable")
@@ -244,9 +252,13 @@ def change_scores_post(
         refit_segments,
     )
 
+    from yatsm_spark.conf import grouped_stage_partitions
+
     p = params or CONV_PARAMS
     p_dict = asdict(p)
-    filled = filled.select("conv_id", "window_start", measure)
+    filled = (filled.select("conv_id", "window_start", measure)
+              .repartition(grouped_stage_partitions(filled.sparkSession),
+                           "conv_id"))
 
     def fit_conv(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("window_start", kind="stable")
@@ -317,11 +329,15 @@ def change_scores_multi(
     """
     from dataclasses import replace as _dc_replace
 
+    from yatsm_spark.conf import grouped_stage_partitions
+
     p = params or CONV_PARAMS
     if test_indices is not None:
         p = _dc_replace(p, test_indices=tuple(test_indices))
     p_dict = asdict(p)
-    filled = filled.select("conv_id", "window_start", *measures)
+    filled = (filled.select("conv_id", "window_start", *measures)
+              .repartition(grouped_stage_partitions(filled.sparkSession),
+                           "conv_id"))
 
     def fit_conv(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("window_start", kind="stable")

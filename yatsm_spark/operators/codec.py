@@ -133,7 +133,13 @@ def encode_chunks(rollup: DataFrame, tier: str, chunk_points: int = 4096,
     for m in stat_cols:
         sel.append(F.coalesce(F.col(m), F.lit(0)).cast("long").alias(m))
         sel.append(F.col(m).isNotNull().alias(f"_nn_{m}"))
-    rollup = rollup.select(*sel)
+    # Wider grouped-stage partitioning (see conf.grouped_stage_partitions):
+    # zipf conv groups in a single task wave straggle, and the explicit
+    # conv hash partitioning is reused by the groupBy — no extra exchange.
+    from yatsm_spark.conf import grouped_stage_partitions
+
+    rollup = rollup.select(*sel).repartition(
+        grouped_stage_partitions(rollup.sparkSession), "conv_id")
 
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
         """Whole-conv numpy encode: every series is converted to
