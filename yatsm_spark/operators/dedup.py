@@ -85,7 +85,14 @@ def minhash_candidates(docs: DataFrame, n_hashes: int = 8, bands: int = 4,
         F.concat_ws("_", F.lit(b), *[F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias("band_key")
         for b in range(bands)
     ]
-    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+    # Materialize the banded signature table ONCE (r6): it feeds the hot-key
+    # aggregation, the anti-join probe side AND both sides of the self-join —
+    # without the checkpoint Spark recomputed the whole shingle + k x md5 +
+    # min-agg subtree up to four times (the dominant cost of this operator).
+    # Size is docs x bands short rows — the same bounded-intermediate class
+    # as the CMS/connected-components checkpoints.
+    banded = (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+                 .localCheckpoint(eager=True))
     # Remove the OVER-cap keys with a broadcast anti-join: the hot-key set is
     # tiny by construction (each key over the cap covers >max_band_size docs),
     # while the keep-set is O(docs x bands) — broadcasting THAT would OOM at
