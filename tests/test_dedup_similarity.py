@@ -493,3 +493,23 @@ def test_paragraph_dedup_is_idempotent(spark):
     for r in once:
         assert again[r["doc_id"]]["clean_text"] == r["clean_text"]
         assert again[r["doc_id"]]["n_dropped"] == 0
+
+
+def test_cc_local_and_distributed_paths_identical(spark):
+    # r6: small edge sets take a driver-side union-find fast path (one job
+    # instead of O(log^2 n) star-contraction rounds). Forcing the
+    # distributed path with max_local_edges=0 must give the identical
+    # labeling on a graph with chains, cliques, bridges and noise.
+    from yatsm_spark.operators.dedup import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(40)]
+        + [(a, b) for a in range(100, 105) for b in range(100, 105) if a < b]
+        + [(104, 40), (200, 201), (201, 200), (300, 300)]
+    )
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    local = {(r.node, r.component_id)
+             for r in connected_components(df).collect()}
+    dist = {(r.node, r.component_id)
+            for r in connected_components(df, max_local_edges=0).collect()}
+    assert local == dist and len(local) > 0

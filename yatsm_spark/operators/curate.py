@@ -54,19 +54,32 @@ def curate_corpus(docs: DataFrame, bench_rate: float = 0.05,
     true only if the doc survived every earlier stage too — so `kept`
     is simply the last flag AND a zero contamination count.
     """
+    # Stage boundaries are MATERIALIZED as id-sized tables (r6): the
+    # decision table joins five stage outputs whose subtrees chain into
+    # each other, and evaluating that DAG as a tree recomputed each
+    # earlier stage once per consuming branch (quality + the jaccard->CC
+    # subgraph ran several times; measured 12.5s -> ~4s at sf0.1). Each
+    # checkpoint holds only (doc_id) or (doc_id, flag/count) rows —
+    # text is re-attached from `docs` (doc_id is its key) exactly where a
+    # stage needs it, so each stage scans the text once.
     ids = docs.select("doc_id")
     bench = sample_hash(docs, bench_rate)
-    train = sample_hash(docs, bench_rate, complement=True)
-    q = quality_scores(docs, text_col).select("doc_id", "quality_keep")
+    train_ids = sample_hash(docs, bench_rate, complement=True) \
+        .select("doc_id").localCheckpoint(eager=True)
+    q = quality_scores(docs, text_col).select("doc_id", "quality_keep") \
+        .localCheckpoint(eager=True)
 
-    s1 = train.join(q.filter("quality_keep").select("doc_id"), "doc_id")
+    s1_ids = train_ids.join(q.filter("quality_keep").select("doc_id"),
+                            "doc_id")
+    s1 = docs.select("doc_id", text_col).join(s1_ids, "doc_id")
     keep2 = (s1.select("doc_id", F.md5(_NORM(F.col(text_col))).alias("fp"))
                .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-               .select("doc_id"))
+               .select("doc_id").localCheckpoint(eager=True))
     s2 = s1.join(keep2, "doc_id")
     keep3 = (dedup_groups(s2, ngram_jaccard_pairs(
                  s2, threshold=jaccard_threshold, text_col=text_col))
-             .filter("is_canonical").select("doc_id"))
+             .filter("is_canonical").select("doc_id")
+             .localCheckpoint(eager=True))
     s3 = s2.join(keep3, "doc_id")
     dec = decontaminate(s3, bench, n=ngram_n, text_col=text_col) \
         .select("doc_id", "n_contaminated_ngrams")
@@ -75,7 +88,7 @@ def curate_corpus(docs: DataFrame, bench_rate: float = 0.05,
         return id_set.select("doc_id").withColumn(name, F.lit(True))
 
     out = (ids
-           .join(flag(train, "in_train"), "doc_id", "left")
+           .join(flag(train_ids, "in_train"), "doc_id", "left")
            .join(q, "doc_id", "left")
            .join(flag(keep2, "exact_kept"), "doc_id", "left")
            .join(flag(keep3, "neardup_kept"), "doc_id", "left")

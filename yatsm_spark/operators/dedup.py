@@ -40,15 +40,23 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle). Built with
-    sequence+transform — JVM-side, no UDF."""
-    words = F.split(_NORM(F.col(text_col)), " ")
+    sequence+transform — JVM-side, no UDF.
+
+    The word array is materialized as a column BEFORE the transform lambda
+    slices it: Catalyst CSE does not reach inside higher-order-function
+    lambdas, so an inline `words` expression re-ran normalize+split per
+    shingle — O(words^2) per doc (r6; measured 12x on the dsir gram
+    stream, same pathology here)."""
+    w = docs.select("doc_id",
+                    F.split(_NORM(F.col(text_col)), " ").alias("_w"))
+    wcol = F.col("_w")
     shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            F.sequence(F.lit(0), F.greatest(F.size(wcol) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(wcol, i + 1, n)),
         )
     )
-    return docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    return w.select("doc_id", F.explode(shingles).alias("shingle"))
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = 8, shingle_n: int = 3,
@@ -175,7 +183,8 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",
-                         b_col: str = "doc_b", max_iters: int = 25) -> DataFrame:
+                         b_col: str = "doc_b", max_iters: int = 25,
+                         max_local_edges: int = 1 << 20) -> DataFrame:
     """Connected components over an undirected pair table -> (node,
     component_id = min node id in the component). Covers only nodes that
     appear in >= 1 pair; use dedup_groups for the full-corpus labeling.
@@ -222,6 +231,50 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         return r["n"], r["h"]
 
     prev = sig(edges)
+    # Small-graph fast path (r6): each distributed round costs ~6 driver-
+    # synced stages (two star contractions + checkpoint + fingerprint), so
+    # a tiny pair graph paid seconds of pure scheduling (measured 3.4s for
+    # 256 edges at sf0.1). When the DISTINCT edge count — already computed
+    # for the convergence fingerprint — is within max_local_edges
+    # (default 2^20 edges ~ 16 MB, the broadcast-side size class), collect
+    # the edges once and run exact union-find on the driver: identical
+    # labeling (component_id = min node id; pinned by a test forcing both
+    # paths), one job instead of O(log^2 n) rounds. Big graphs take the
+    # star-contraction loop exactly as before.
+    if prev[0] <= max_local_edges:
+        from pyspark.sql import types as T
+
+        dtype = edges.schema["u"].dataType
+        elist = [(row["u"], row["v"]) for row in edges.collect()]
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        nodes = set()
+        for u, v in elist:
+            nodes.add(u)
+            nodes.add(v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        comp_min: dict = {}
+        for n in nodes:
+            r = find(n)
+            m = comp_min.get(r)
+            if m is None or n < m:
+                comp_min[r] = n
+        schema = T.StructType([
+            T.StructField("node", dtype, False),
+            T.StructField("component_id", dtype, False),
+        ])
+        return spark.createDataFrame(
+            [(n, comp_min[find(n)]) for n in sorted(nodes)], schema)
     for _ in range(max_iters):
         edges = star(star(edges, large=True), large=False).localCheckpoint()
         cur = sig(edges)

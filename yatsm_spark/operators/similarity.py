@@ -363,7 +363,11 @@ def train_kmeans(
     if sample_mod > 1:
         sample = sample.filter(
             F.pmod(F.col(id_col), F.lit(sample_mod)) == seed % sample_mod)
-    sample = sample.select(F.col(id_col), vec_d.alias("v"))
+    # Materialize the training sample ONCE (r6): the init probe and every
+    # Lloyd iteration re-assigned over this subtree, re-scanning and
+    # re-casting the embeddings n_iters+1 times.
+    sample = sample.select(F.col(id_col), vec_d.alias("v")) \
+                   .localCheckpoint(eager=True)
 
     init = sample.orderBy(F.col(id_col).asc()).limit(n_centroids).collect()
     if len(init) < n_centroids:
@@ -542,13 +546,17 @@ def semdedup(
     assigned = _with_csims_broadcast(embeddings, cb, id_col, vec_col)
     # codebook is cid-sorted 0..k-1, so csims position cluster+1 is the
     # (already round-6 snapped) similarity to the assigned centroid
+    # Materialize the assignment ONCE (r6): base feeds the guard probe,
+    # BOTH sides of the within-cluster self-join and the final decision
+    # join — without the checkpoint the k-cosine-folds-per-row assignment
+    # subtree ran four times.
     base = assigned.select(
         F.col(id_col),
         F.col("cluster"),
         F.element_at(F.col("csims"), (F.col("cluster") + 1).cast("int"))
          .alias("cent_sim"),
         F.col("v"), F.col("nrm"),
-    )
+    ).localCheckpoint(eager=True)
     sizes = base.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
     worst = max((r.n for r in sizes), default=0)
     if worst > max_cluster_size:

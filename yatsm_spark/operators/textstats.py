@@ -120,12 +120,19 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     doc max/sum, both hash-aggs on the doc key)."""
     t = F.col(text_col)
     words = F.split(F.trim(F.regexp_replace(t, WS_CLASS + "+", " ")), " ")
+    # words is materialized as a column BEFORE the gram lambdas slice it
+    # (r6): Catalyst CSE does not reach inside higher-order-function
+    # lambdas, so the inline expression re-ran regexp+split per gram —
+    # O(words^2) per doc (same pathology measured 12x on the dsir gram
+    # stream).
+    w0 = docs.select("doc_id", words.alias("ws"))
+    wcol = F.col("ws")
 
     def rep_ratio(n: int):
         grams = F.when(
-            F.size(words) >= n,
-            F.transform(F.sequence(F.lit(0), F.size(words) - n),
-                        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))),
+            F.size(wcol) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(wcol) - n),
+                        lambda i: F.concat_ws(" ", F.slice(wcol, i + 1, n))),
         ).otherwise(F.array())
         return F.when(F.size(grams) > 0,
                       1.0 - F.size(F.array_distinct(grams)) / F.size(grams)
@@ -133,11 +140,11 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     # Two selects, NOT one: putting explode() in the same projection as
     # the ratio expressions leaves them ABOVE the Generate, re-evaluating
-    # the O(words^2) interpreted lambda chain once per exploded word
-    # (~40x per doc — measured 120s vs 2s at sf0.01). Below the Generate
-    # they run once per doc; CollapseProject cannot merge across it.
-    pre = docs.select("doc_id", rep_ratio(2).alias("rep_2gram_ratio"),
-                      rep_ratio(3).alias("rep_3gram_ratio"), words.alias("ws"))
+    # the gram lambda chain once per exploded word (~40x per doc —
+    # measured 120s vs 2s at sf0.01). Below the Generate they run once
+    # per doc; CollapseProject cannot merge across it.
+    pre = w0.select("doc_id", rep_ratio(2).alias("rep_2gram_ratio"),
+                    rep_ratio(3).alias("rep_3gram_ratio"), "ws")
     base = pre.select("doc_id", "rep_2gram_ratio", "rep_3gram_ratio",
                       F.explode("ws").alias("word"))
     per_word = base.groupBy("doc_id", "rep_2gram_ratio", "rep_3gram_ratio",
