@@ -404,53 +404,84 @@ def ccdc_fit(t: np.ndarray, Y: np.ndarray, params: CCDCParams | None = None) -> 
                                      for b in test_idx))
                 over = sc > p.threshold
 
-            tp = np.flatnonzero(over)
-            if len(tp) == 0:
-                i = B
-                continue
-            p_ = int(tp[0])
-            # count the True run from p_, extending past the block edge with
-            # the same (frozen) model if needed
-            run_resids = [blk_resid[:, p_]]
-            q = p_ + 1
-            while len(run_resids) < p.consecutive:
-                # dynamic_rmse: members after the first must score against
-                # the rmse window FROZEN at the run start (the sequential
-                # loop held `i` fixed during a run) — block scores used a
-                # per-position window, so always rescore scalar-ly here.
-                if q < len(blk) and not p.dynamic_rmse:
-                    if over[q]:
-                        run_resids.append(blk_resid[:, q])
-                        q += 1
+            # In-block scan with deletion reuse (r6): the model is FROZEN
+            # within a block, so after an F5 noise deletion the scores of
+            # every LATER position are unchanged — the old code restarted
+            # the outer loop (re-gather + re-matmul of the block tail per
+            # deletion); now the scan continues inside the cached
+            # over/blk_resid arrays. Bookkeeping: array index j maps to
+            # act position i + j - ndel after ndel in-block deletions
+            # (deletions happen left-to-right). The retrain recheck the
+            # old restart performed is provably a no-op inside the block:
+            # every position below B has predecessor day < target by the
+            # b_off construction, and a deletion only moves predecessors
+            # EARLIER. dynamic_rmse keeps the old restart (its per-obs
+            # rmse window endpoint shifts when the predecessor is
+            # deleted, so cached scores would be stale). Identical
+            # outputs, pinned by the frozen goldens.
+            j_scan = 0
+            ndel = 0
+            advanced = -1
+            while True:
+                tp = np.flatnonzero(over[j_scan:])
+                if len(tp) == 0:
+                    advanced = i + len(over) - ndel
+                    break
+                p_arr = j_scan + int(tp[0])
+                pos = i + p_arr - ndel
+                # count the True run from p_arr, extending past the block
+                # edge with the same (frozen) model if needed
+                run_resids = [blk_resid[:, p_arr]]
+                q_arr = p_arr + 1
+                while len(run_resids) < p.consecutive:
+                    # dynamic_rmse: members after the first must score
+                    # against the rmse window FROZEN at the run start (the
+                    # sequential loop held `i` fixed during a run) — block
+                    # scores used a per-position window, so always rescore
+                    # scalar-ly here.
+                    if q_arr < len(over) and not p.dynamic_rmse:
+                        if over[q_arr]:
+                            run_resids.append(blk_resid[:, q_arr])
+                            q_arr += 1
+                        else:
+                            break
                     else:
+                        g = i + q_arr - ndel
+                        if g >= len(act):
+                            break
+                        sc_g, r_g = score_obs(g, pos)
+                        if sc_g > p.threshold:
+                            run_resids.append(r_g)
+                            q_arr += 1
+                        else:
+                            break
+                if len(run_resids) >= p.consecutive:
+                    broke = True
+                    break_pos = pos
+                    break
+                if len(run_resids) == 1:
+                    # F5: isolated outlier → delete as noise; later scores
+                    # are unchanged (model fixed), so just advance the
+                    # in-block cursor. (Two-slice concatenate: np.delete's
+                    # mask machinery cost ~50us/call at 53k calls.)
+                    act = np.concatenate((act[:pos], act[pos + 1:]))
+                    act_arange = False
+                    if p.dynamic_rmse:
+                        advanced = pos
                         break
-                else:
-                    g = i + q
-                    if g >= len(act):
-                        break
-                    sc_g, r_g = score_obs(g, i + p_)
-                    if sc_g > p.threshold:
-                        run_resids.append(r_g)
-                        q += 1
-                    else:
-                        break
-            if len(run_resids) >= p.consecutive:
-                broke = True
-                break_pos = i + p_
+                    ndel += 1
+                    j_scan = p_arr + 1
+                    continue
+                # short run fizzled (< consecutive): absorb into the
+                # segment; if the run crossed the block edge, re-enter the
+                # outer loop exactly where the sequential code resumes
+                if q_arr >= len(over):
+                    advanced = i + q_arr - ndel
+                    break
+                j_scan = q_arr
+            if broke:
                 break
-            if len(run_resids) == 1:
-                # F5: isolated outlier → delete as noise, rescan from the
-                # same global position (model unchanged ⇒ later scores
-                # unchanged; restart keeps predecessor bookkeeping exact).
-                # (np.delete's mask machinery cost ~50us/call at 53k
-                # calls; two basic slices concatenate to the same array)
-                dp = i + p_
-                act = np.concatenate((act[:dp], act[dp + 1:]))
-                act_arange = False
-                i = i + p_
-                continue
-            # short run fizzled (< consecutive): absorb into the segment
-            i = i + q
+            i = advanced
 
         if broke:
             mags = np.median(np.stack(run_resids, axis=1), axis=1)
