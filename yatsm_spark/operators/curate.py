@@ -75,7 +75,10 @@ def curate_corpus(docs: DataFrame, bench_rate: float = 0.05,
     keep2 = (s1.select("doc_id", F.md5(_NORM(F.col(text_col))).alias("fp"))
                .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
                .select("doc_id").localCheckpoint(eager=True))
-    s2 = s1.join(keep2, "doc_id")
+    # s2 carries text into the near-dup stage and is consumed by the pair
+    # builder, the labeling join and s3 — checkpoint the survivor slice so
+    # the docs-scan+joins run once.
+    s2 = s1.join(keep2, "doc_id").localCheckpoint(eager=True)
     keep3 = (dedup_groups(s2, ngram_jaccard_pairs(
                  s2, threshold=jaccard_threshold, text_col=text_col))
              .filter("is_canonical").select("doc_id")

@@ -131,7 +131,13 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, shingle_n: int 
     the capped sets (round-1 ADVICE: mixing capped intersections with
     uncapped sizes silently underestimates J whenever the cap fires).
     """
-    sh = word_shingles(docs, shingle_n, text_col).cache()
+    # localCheckpoint, NOT cache() (r6): the shingle stream has three
+    # consumers in one query (stop-key agg, both self-join sides via shf);
+    # a lazy cache lets the first execution's consumers RACE to populate
+    # it, each recomputing the upstream subtree — measured 11.7s vs 2.7s
+    # when the input is itself a join (curate_corpus's survivor slice).
+    # The eager checkpoint materializes exactly once.
+    sh = word_shingles(docs, shingle_n, text_col).localCheckpoint(eager=True)
     # Stop-shingles (df > cap) are the SMALL set — broadcast-anti-join them
     # out rather than broadcasting the corpus-sized keep-set (round-2 ADVICE).
     stop = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
